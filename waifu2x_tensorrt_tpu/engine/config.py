@@ -1,0 +1,86 @@
+"""Build/render configuration structs.
+
+Mirrors trt::BuildConfig / trt::RenderConfig (reference
+src/tensorrt/config.h:12-43) with TPU-native precision semantics:
+``fp16`` selects bfloat16 compute (TPU's fast half type) and ``tf32``
+selects float32 — same CLI surface, hardware-appropriate mapping.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax.numpy as jnp
+
+
+class Precision(enum.Enum):
+    FP16 = "fp16"  # bfloat16 compute on TPU
+    TF32 = "tf32"  # float32 compute on TPU
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self is Precision.FP16 else jnp.float32
+
+    @property
+    def cache_tag(self) -> str:
+        # Engine-cache key tag, matching the reference's serialized names
+        # ("FP16"/"TF32", img2img_build.cpp:13-20).
+        return "FP16" if self is Precision.FP16 else "TF32"
+
+
+@dataclasses.dataclass
+class BuildConfig:
+    """AOT-compile configuration (reference config.h:12-31)."""
+
+    device_id: int = 0
+    precision: Precision = Precision.FP16
+    min_batch_size: int = 1
+    opt_batch_size: int = 1
+    max_batch_size: int = 4
+    min_channels: int = 3
+    opt_channels: int = 3
+    max_channels: int = 3
+    min_width: int = 64
+    opt_width: int = 256
+    max_width: int = 640
+    min_height: int = 64
+    opt_height: int = 256
+    max_height: int = 640
+
+
+@dataclasses.dataclass
+class RenderConfig:
+    """Render-time configuration (reference config.h:33-42)."""
+
+    device_id: int = 0
+    precision: Precision = Precision.FP16
+    batch_size: int = 1
+    channels: int = 3
+    height: int = 256
+    width: int = 256
+    scaling: int = 4
+    overlap: tuple[float, float] = (0.0625, 0.0625)
+    tta: bool = False
+
+
+def is_compatible(render: RenderConfig, build: BuildConfig) -> bool:
+    """Range-compatibility check (reference img2img_load.cpp:9-20)."""
+    return (
+        render.device_id == build.device_id
+        and render.precision == build.precision
+        and build.min_batch_size <= render.batch_size <= build.max_batch_size
+        and build.min_channels <= render.channels <= build.max_channels
+        and build.min_width <= render.width <= build.max_width
+        and build.min_height <= render.height <= build.max_height
+    )
+
+
+def is_optimized(render: RenderConfig, build: BuildConfig) -> bool:
+    """Exact-opt match check (reference img2img_load.cpp:22-27)."""
+    return (
+        render.batch_size == build.opt_batch_size
+        and render.channels == build.opt_channels
+        and render.width == build.opt_width
+        and render.height == build.opt_height
+    )
