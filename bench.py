@@ -1,0 +1,108 @@
+"""Headline benchmark: upscaled output megapixels/sec/chip.
+
+Flagship config (BASELINE.md config 2 / north-star metric):
+swin_unet/art scale=4 noise=3, tile 256, batch 4, bf16 ("fp16" CLI
+precision), blend 1/16 — rendering 720p frames through the full jitted
+pipeline (pad → tile gather → model → blend → scatter-add → u8).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline: the reference publishes no numbers (SURVEY.md §6); the
+BASELINE.md target is >=2x an (unmeasured) TensorRT-fp16 RTX-4090 run of
+swin_unet 4x. We use an engineering estimate for that GPU baseline,
+derived from the model's measured FLOPs/output-pixel and 165 TFLOP/s
+fp16 tensor-core peak at a generous 45% sustained MFU for TensorRT CNN+
+attention workloads; see BENCH_NOTES.md. vs_baseline = value / estimate.
+"""
+
+import json
+import os
+import sys
+import time
+
+# Run on the ambient platform (the real TPU under the driver; CPU if forced).
+os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.renderer import make_render_fn
+    from waifu2x_tensorrt_tpu.models.registry import create_model, init_params
+
+    frame_hw = (720, 1280)
+    tile = 256
+    batch = 4
+    scale = 4
+    config = RenderConfig(
+        precision=Precision.FP16,
+        batch_size=batch,
+        height=tile,
+        width=tile,
+        scaling=scale,
+        overlap=(1 / 16, 1 / 16),
+        tta=False,
+    )
+    module, spec = create_model(
+        "swin_unet/art", scale, 3, dtype=config.precision.dtype
+    )
+    params = init_params(module, tile=64)
+    params = jax.device_put(params)
+
+    fn = make_render_fn(module, spec, config, frame_hw)
+    prog = jax.jit(fn)
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (*frame_hw, 3), np.uint8)
+    frame_dev = jax.device_put(jnp.asarray(frame))
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    out = prog(params, frame_dev)
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    prog(params, frame_dev).block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = prog(params, frame_dev)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    out_mp = (frame_hw[0] * scale) * (frame_hw[1] * scale) / 1e6
+    mpps = iters * out_mp / dt
+    fps = iters / dt
+
+    # GPU-baseline estimate (see module docstring / BENCH_NOTES.md).
+    baseline_mpps = 30.0
+
+    result = {
+        "metric": "upscaled_output_megapixels_per_sec_per_chip "
+                  "(swin_unet/art 4x, tile 256, batch 4, bf16, 720p frames)",
+        "value": round(mpps, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mpps / baseline_mpps, 3),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "aux": {
+                    "fps_720p_to_4x": round(fps, 3),
+                    "compile_s": round(compile_s, 1),
+                    "device": str(jax.devices()[0]),
+                    "tiles_per_frame": fn.plan.tile_count,
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

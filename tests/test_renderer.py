@@ -1,0 +1,178 @@
+"""End-to-end tests of the jitted frame renderer against numpy oracles."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+from waifu2x_tensorrt_tpu.engine.renderer import make_render_fn
+from waifu2x_tensorrt_tpu.models.registry import ModelSpec
+from waifu2x_tensorrt_tpu.tiling import (
+    DIHEDRAL_SIZE,
+    dihedral_apply,
+    dihedral_inverse,
+    plan_tiles,
+)
+
+
+class NearestUp(nn.Module):
+    """Identity model: nearest-neighbour upsample (+ optional center crop
+    emulating cunet context shrink)."""
+
+    scale: int = 2
+    offset: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.repeat(jnp.repeat(x, self.scale, axis=1), self.scale, axis=2)
+        if self.offset:
+            o = self.offset
+            y = y[:, o:-o, o:-o, :]
+        return y
+
+
+class MaskedUp(nn.Module):
+    """Non-equivariant model: upsample then multiply by a fixed
+    position-dependent mask — exercises TTA inverse/mean correctness."""
+
+    scale: int
+    mask: np.ndarray  # (oh, ow)
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.repeat(jnp.repeat(x, self.scale, axis=1), self.scale, axis=2)
+        return y * jnp.asarray(self.mask)[None, :, :, None]
+
+
+def _cfg(tile, batch, scale, blend=0.0625, tta=False):
+    return RenderConfig(
+        precision=Precision.TF32, batch_size=batch, height=tile, width=tile,
+        scaling=scale, overlap=(blend, blend), tta=tta,
+    )
+
+
+def _spec(scale, offset=0):
+    return ModelSpec("fake/test", scale, -1, offset=offset, tile_divisor=1)
+
+
+@pytest.mark.parametrize(
+    "hw,tile,batch,scale,blend",
+    [
+        ((100, 160), 64, 4, 2, 0.0625),
+        ((100, 160), 64, 3, 2, 0.0),     # batch not dividing tile count
+        ((64, 64), 64, 1, 2, 0.0625),    # single tile
+        ((70, 50), 64, 2, 4, 0.125),     # frame smaller than tile grid
+    ],
+)
+def test_identity_render_exact(hw, tile, batch, scale, blend):
+    """Nearest-up model => output uint8 equals nearest-upsampled input."""
+    module = NearestUp(scale=scale)
+    fn = make_render_fn(module, _spec(scale), _cfg(tile, batch, scale, blend), hw)
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (*hw, 3), np.uint8)
+    out = np.asarray(jax.jit(fn)({}, jnp.asarray(frame)))
+    expected = np.repeat(np.repeat(frame, scale, 0), scale, 1)
+    assert out.shape == expected.shape
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_cunet_style_offset_render():
+    module = NearestUp(scale=2, offset=8)  # out_tile = 2*64 - 16 = 112
+    spec = _spec(2, offset=8)
+    fn = make_render_fn(module, spec, _cfg(64, 2, 2), (90, 130))
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 256, (90, 130, 3), np.uint8)
+    out = np.asarray(jax.jit(fn)({}, jnp.asarray(frame)))
+    expected = np.repeat(np.repeat(frame, 2, 0), 2, 1)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_tta_equivariant_model_unchanged():
+    """For a dihedral-equivariant model, TTA must not change the output."""
+    module = NearestUp(scale=2)
+    hw = (64, 96)
+    frame = np.random.default_rng(2).integers(0, 256, (*hw, 3), np.uint8)
+    out_plain = np.asarray(
+        jax.jit(make_render_fn(module, _spec(2), _cfg(64, 2, 2), hw))(
+            {}, jnp.asarray(frame))
+    )
+    out_tta = np.asarray(
+        jax.jit(make_render_fn(module, _spec(2), _cfg(64, 2, 2, tta=True), hw))(
+            {}, jnp.asarray(frame))
+    )
+    np.testing.assert_array_equal(out_plain, out_tta)
+
+
+def test_tta_matches_oracle_for_nonequivariant_model():
+    """TTA mean over the 8 inverse-augmented outputs, checked against a
+    numpy oracle (correct semantics of img2img_render.cpp:304-318, with
+    the reference's unaveraged-temporary bug fixed)."""
+    tile, scale, hw = 32, 2, (40, 56)
+    rng = np.random.default_rng(3)
+    mask = rng.random((tile * scale, tile * scale)).astype(np.float32)
+    module = MaskedUp(scale=scale, mask=mask)
+    blend = 0.0625
+    fn = make_render_fn(module, _spec(scale), _cfg(tile, 3, scale, blend, tta=True), hw)
+    frame = rng.integers(0, 256, (*hw, 3), np.uint8)
+    out = np.asarray(jax.jit(fn)({}, jnp.asarray(frame)))
+
+    # ---- numpy oracle ----
+    plan = plan_tiles(hw, (tile, tile), (tile * scale, tile * scale), scale,
+                      (blend, blend))
+    x = frame.astype(np.float32) / 255.0
+    pt, pb, pl, pr = plan.pad
+    padded = np.pad(x, ((pt, pb), (pl, pr), (0, 0)), mode="edge")
+    canvas = np.zeros((*plan.canvas_size, 3), np.float32)
+    oh, ow = plan.output_tile
+    for t in range(plan.tile_count):
+        iy, ix = plan.input_origins[t]
+        tin = padded[iy:iy + tile, ix:ix + tile]
+        acc = np.zeros((oh, ow, 3), np.float32)
+        for a in range(DIHEDRAL_SIZE):
+            aug = dihedral_apply(tin, a)
+            pred = np.repeat(np.repeat(aug, scale, 0), scale, 1) * mask[..., None]
+            acc += dihedral_inverse(pred, a)
+        acc /= DIHEDRAL_SIZE
+        acc *= plan.row_weights[t][:, None, None]
+        acc *= plan.col_weights[t][None, :, None]
+        oy, ox = plan.output_origins[t]
+        canvas[oy:oy + oh, ox:ox + ow] += acc
+    ref = canvas[: plan.output_size[0], : plan.output_size[1]]
+    ref_u8 = np.clip(np.round(ref * 255.0), 0, 255).astype(np.uint8)
+
+    # fp assoc differences across the batch/TTA reduction: allow ±1 LSB
+    diff = np.abs(out.astype(int) - ref_u8.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_multichip_sharded_matches_single():
+    from waifu2x_tensorrt_tpu.parallel import data_parallel_mesh, tile_sharding
+
+    mesh = data_parallel_mesh(8)
+    sharding = tile_sharding(mesh)
+    module = NearestUp(scale=2)
+    hw = (100, 160)
+    frame = np.random.default_rng(4).integers(0, 256, (*hw, 3), np.uint8)
+    cfg = _cfg(64, 2, 2)
+    out_single = np.asarray(
+        jax.jit(make_render_fn(module, _spec(2), cfg, hw))({}, jnp.asarray(frame))
+    )
+    fn_sh = make_render_fn(module, _spec(2), cfg, hw, sharding=sharding)
+    assert fn_sh.n_chunks >= 1
+    out_sharded = np.asarray(jax.jit(fn_sh)({}, jnp.asarray(frame)))
+    np.testing.assert_array_equal(out_single, out_sharded)
+
+
+def test_renderer_cache_reuses_programs():
+    from waifu2x_tensorrt_tpu.engine.renderer import RendererCache
+
+    module = NearestUp(scale=2)
+    cache = RendererCache(module, _spec(2), _cfg(64, 2, 2))
+    p1 = cache.get((100, 160))
+    p2 = cache.get((100, 160))
+    assert p1 is p2
+    p3 = cache.get((64, 64))
+    assert p3 is not p1

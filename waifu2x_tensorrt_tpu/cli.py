@@ -1,0 +1,269 @@
+"""Command-line interface: flag-for-flag parity with the reference CLI.
+
+Reference: src/main.cpp:17-154 (global options + ``render``/``build``
+subcommands, identical choices/defaults/validation), :156-209 (file
+discovery, model path + output suffix conventions), :211-294 (render and
+build orchestration loops).
+
+Extensions beyond the reference (documented, not replacing anything):
+  --dp N        shard the tile batch over N chips (0 = all); reference
+                ``--device`` picks a single GPU (src/main.cpp:70-74).
+  --models-dir  weight-store root (reference hardcodes ``models/``).
+
+Known reference behaviors intentionally fixed here (SURVEY.md §5):
+  progress logs are 1-based (ref logs fileIndex/frameIndex before
+  increment, src/main.cpp:186-193).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from waifu2x_tensorrt_tpu.engine.config import BuildConfig, Precision, RenderConfig
+from waifu2x_tensorrt_tpu.io.discover import DEFAULT_EXTENSIONS, find_files_by_extension
+from waifu2x_tensorrt_tpu.io.video import VideoCapture, VideoWriter
+from waifu2x_tensorrt_tpu.models.registry import validate as validate_model
+from waifu2x_tensorrt_tpu.utils.logging import (
+    Severity,
+    console_message_callback,
+)
+
+TILE_CHOICES = (64, 128, 256, 400, 640)  # src/main.cpp:62-64
+BLEND_CHOICES = (1 / 8, 1 / 16, 1 / 32, 0.0)  # src/main.cpp:108-115
+MODEL_CHOICES = (
+    "cunet/art",
+    "swin_unet/art",
+    "swin_unet/art_scan",
+    "swin_unet/photo",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="waifu2x-tpu",
+        description="TPU-native waifu2x image/video upscaler",
+    )
+    p.add_argument("--model", required=True, choices=MODEL_CHOICES,
+                   help="Set the model to use")
+    p.add_argument("--scale", required=True, type=int, choices=(1, 2, 4),
+                   help="Set the scale factor")
+    p.add_argument("--noise", required=True, type=int,
+                   choices=(-1, 0, 1, 2, 3), help="Set the noise level")
+    p.add_argument("--batchSize", dest="batch_size", required=True, type=int,
+                   help="Set the batch size")
+    p.add_argument("--tileSize", dest="tile_size", required=True, type=int,
+                   choices=TILE_CHOICES, help="Set the tile size")
+    p.add_argument("--device", dest="device", type=int, default=0,
+                   help="Set the device ID")
+    p.add_argument("--precision", choices=("fp16", "tf32"), default="fp16",
+                   help="Set the precision")
+    p.add_argument("--models-dir", default="models",
+                   help="Model weight directory (default: models)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="Data-parallel chips for the tile batch (0 = all)")
+
+    sub = p.add_subparsers(dest="command", required=True)
+
+    render = sub.add_parser("render", help="Render image(s)/video(s)")
+    render.add_argument("-i", "--input", dest="inputs", nargs="+",
+                        required=True, help="Set the input paths")
+    render.add_argument("--recursive", action="store_true",
+                        help="Search for input files recursively")
+    render.add_argument("-o", "--output", dest="output", default=None,
+                        help="Set the output directory")
+    render.add_argument("--nosuffix", action="store_true",
+                        help="Set to not have the suffix added to the filenames")
+    render.add_argument("--blend", type=float, default=1 / 16,
+                        help="Set the percentage of overlap between two tiles to blend")
+    render.add_argument("--tta", action="store_true",
+                        help="Enable test-time augmentation")
+    render.add_argument("--codec", default="libx264",
+                        help="Set the codec (video only)")
+    render.add_argument("--pix_fmt", default="yuv420p",
+                        help="Set the pixel format (video only)")
+    render.add_argument("--crf", type=int, default=23,
+                        help="Set the constant rate factor (video only)")
+
+    sub.add_parser("build", help="Build model")
+    return p
+
+
+def _validate(args) -> None:
+    # semantic validation, src/main.cpp:142-145
+    validate_model(args.model, args.scale, args.noise)
+    if args.batch_size <= 0:
+        raise ValueError("batchSize must be positive")
+    if args.command == "render":
+        if not any(abs(args.blend - c) < 1e-12 for c in BLEND_CHOICES):
+            raise ValueError(
+                f"--blend must be one of 1/8, 1/16, 1/32, 0; got {args.blend}"
+            )
+        if not (0 <= args.crf <= 51):
+            raise ValueError("--crf must be in [0, 51]")
+        if args.output is not None and not Path(args.output).is_dir():
+            raise ValueError(f"output directory does not exist: {args.output}")
+
+
+def output_suffix(model: str, noise: int, scale: int, tta: bool) -> str:
+    """``(model)(noiseN)(scaleS)(tta)`` with '/'->'_' (src/main.cpp:205-209)."""
+    s = f"({model.replace('/', '_')})"
+    if noise != -1:
+        s += f"(noise{noise})"
+    if scale != 1:
+        s += f"(scale{scale})"
+    if tta:
+        s += "(tta)"
+    return s
+
+
+def resolve_output_path(
+    input_path: Path,
+    output_dir: Path | None,
+    suffix: str,
+    nosuffix: bool,
+    is_image: bool,
+) -> Path:
+    """Output naming rules of the render loop (src/main.cpp:240-255)."""
+    out = input_path
+    if output_dir is not None:
+        out = output_dir / out.name
+    if not nosuffix:
+        out = out.with_name(out.stem + suffix + out.suffix)
+    return out.with_suffix(".png" if is_image else ".mp4")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        _validate(args)
+    except ValueError as e:
+        print(e, file=sys.stderr)
+        return -1
+
+    message_cb = console_message_callback()
+    precision = Precision.FP16 if args.precision == "fp16" else Precision.TF32
+
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    engine = Upscaler(models_dir=args.models_dir)
+    engine.set_message_callback(message_cb)
+
+    if args.command == "build":
+        config = BuildConfig(
+            device_id=args.device,
+            precision=precision,
+            min_batch_size=args.batch_size,
+            opt_batch_size=args.batch_size,
+            max_batch_size=args.batch_size,
+            min_width=args.tile_size,
+            opt_width=args.tile_size,
+            max_width=args.tile_size,
+            min_height=args.tile_size,
+            opt_height=args.tile_size,
+            max_height=args.tile_size,
+        )
+        try:
+            engine.build(args.model, args.scale, args.noise, config)
+        except Exception as e:
+            message_cb(Severity.error, f"Engine build failed: {e}.")
+            return -1
+        return 0
+
+    # ---- render ----
+    files = find_files_by_extension(args.inputs, DEFAULT_EXTENSIONS,
+                                    args.recursive)
+    if not files:
+        message_cb(Severity.error, "No input files found.")
+        return -1
+
+    config = RenderConfig(
+        device_id=args.device,
+        precision=precision,
+        batch_size=args.batch_size,
+        channels=3,
+        height=args.tile_size,
+        width=args.tile_size,
+        scaling=args.scale,
+        overlap=(args.blend, args.blend),
+        tta=args.tta,
+    )
+
+    sharding = None
+    if args.dp != 1:
+        from waifu2x_tensorrt_tpu.parallel import (
+            data_parallel_mesh,
+            tile_sharding,
+        )
+
+        mesh = data_parallel_mesh(None if args.dp == 0 else args.dp)
+        sharding = tile_sharding(mesh)
+
+    state = {"file": 0, "files": len(files), "frame": 0, "frames": 0}
+
+    def progress_cb(current: int, total: int, speed: float) -> None:
+        message_cb(
+            Severity.info,
+            f"Rendered file {state['file']}/{state['files']}, "
+            f"frame {state['frame']}/{state['frames']}, "
+            f"batch {current}/{total} @ {speed:.2f} it/s",
+        )
+
+    engine.set_progress_callback(progress_cb)
+    try:
+        engine.load(args.model, args.scale, args.noise, config,
+                    sharding=sharding)
+    except Exception as e:
+        message_cb(Severity.error, f"Engine load failed: {e}.")
+        return -1
+
+    suffix = output_suffix(args.model, args.noise, args.scale, args.tta)
+    out_dir = Path(args.output) if args.output else None
+
+    capture = VideoCapture()
+    for file_index, file in enumerate(files):
+        state["file"] = file_index + 1
+        try:
+            capture.open(file)
+        except Exception as e:
+            message_cb(Severity.error, f"Failed to open {file}: {e}.")
+            return -1
+        is_image = capture.frame_count == 1
+        out_path = resolve_output_path(file, out_dir, suffix, args.nosuffix,
+                                       is_image)
+        writer = VideoWriter()
+        writer.set_constant_rate_factor(args.crf)
+        if is_image:
+            writer.set_frame_rate(1).set_pixel_format("").set_codec("")
+        else:
+            writer.set_frame_rate(capture.frame_rate) \
+                  .set_pixel_format(args.pix_fmt).set_codec(args.codec)
+        writer.set_frame_size(capture.frame_width * args.scale,
+                              capture.frame_height * args.scale)
+        writer.set_output_file(out_path)
+        state["frames"] = capture.frame_count
+
+        try:
+            writer.open()
+            for frame_index in range(capture.frame_count):
+                state["frame"] = frame_index + 1
+                frame = capture.read()
+                if frame is None:
+                    raise RuntimeError("decoder ended early")
+                out = engine.render(frame)
+                writer.write(out)
+        except Exception as e:
+            message_cb(Severity.error, f"Render failed: {e}.")
+            return -1
+        finally:
+            capture.release()
+            writer.release()
+        message_cb(Severity.info, f"Wrote {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,209 @@
+"""The jitted per-frame render program.
+
+One XLA computation per (model, frame geometry, render config) replaces the
+reference's host-orchestrated hot loop (Img2Img::render,
+src/tensorrt/img2img_render.cpp:224-352, plus infer/blobFromImages,
+img2img_infer.cpp:5-93):
+
+    uint8 frame ──> normalize [0,1] ──> edge-pad ──> gather tile batch
+      ──> (x8 dihedral TTA) ──> model, chunked at batch_size (lax.map)
+      ──> inverse-TTA mean ──> separable blend-ramp multiply
+      ──> scatter-add onto fp32 canvas ──> crop ──> saturating uint8
+
+Everything between host upload and download is a single traced graph: no
+NCHW blob packing (NHWC end-to-end), no per-tile host round-trips, no
+stream-sync hazards (the reference never syncs its final download —
+SURVEY.md §5 bug 1; JAX arrays synchronize on host access by design).
+
+Divergences (documented):
+- TTA averaging uses the mathematically intended mean over all 8 variants;
+  the reference averages into a scratch buffer but then blends an
+  unaveraged temporary (img2img_render.cpp:313-315) — not replicated.
+- Batch padding tiles are zeros in the compute dtype; the reference pads
+  with type-mismatched mats (img2img_render.cpp:281, SURVEY.md §5 bug 2).
+
+Multi-chip: pass ``sharding`` (a NamedSharding over the tile axis) and each
+model chunk is sharded over the data-parallel mesh axis — tiles are
+independent, so the only cross-device traffic is the gather of output tiles
+into the (replicated) canvas accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from waifu2x_tensorrt_tpu.engine.config import RenderConfig
+from waifu2x_tensorrt_tpu.models.registry import ModelSpec
+from waifu2x_tensorrt_tpu.tiling import (
+    DIHEDRAL_SIZE,
+    dihedral_apply,
+    dihedral_inverse,
+    plan_tiles,
+)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def make_render_fn(
+    module,
+    spec: ModelSpec,
+    config: RenderConfig,
+    frame_hw: tuple[int, int],
+    sharding: Optional[jax.sharding.NamedSharding] = None,
+) -> Callable:
+    """Build the (un-jitted) render function for one frame geometry.
+
+    Returns ``fn(params, frame_u8) -> out_u8`` where ``frame_u8`` is
+    (H, W, 3) uint8 RGB and the result is (H*scale, W*scale, 3) uint8 RGB.
+    """
+    tile = config.height
+    assert config.width == tile, "square tiles only (CLI parity)"
+    out_tile = spec.output_tile(tile)
+    plan = plan_tiles(
+        frame_hw, (tile, tile), (out_tile, out_tile), spec.scale,
+        config.overlap,
+    )
+
+    compute_dtype = config.precision.dtype
+    batch = config.batch_size
+    steps_per_tile = DIHEDRAL_SIZE if config.tta else 1
+    n_steps = plan.tile_count * steps_per_tile
+
+    # If sharded, each chunk spans the dp axis so every device works.
+    n_dp = 1
+    if sharding is not None:
+        n_dp = int(np.prod([
+            sharding.mesh.shape[a] for a in sharding.spec if a is not None
+        ]))
+    chunk = batch * n_dp
+    n_chunks = -(-n_steps // chunk)
+    padded_steps = n_chunks * chunk
+
+    in_origins = jnp.asarray(plan.input_origins)  # (T, 2) (y, x)
+    out_origins = jnp.asarray(plan.output_origins)
+    row_w = jnp.asarray(plan.row_weights)  # (T, oh)
+    col_w = jnp.asarray(plan.col_weights)  # (T, ow)
+    pad_t, pad_b, pad_l, pad_r = plan.pad
+    th, tw = plan.input_tile
+    oh, ow = plan.output_tile
+    canvas_h, canvas_w = plan.canvas_size
+    out_h, out_w = plan.output_size
+
+    def fn(params, frame_u8):
+        x = frame_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        padded = jnp.pad(
+            x, ((pad_t, pad_b), (pad_l, pad_r), (0, 0)), mode="edge"
+        )
+
+        def slice_tile(origin):
+            return jax.lax.dynamic_slice(
+                padded, (origin[0], origin[1], 0), (th, tw, 3)
+            )
+
+        tiles = jax.vmap(slice_tile)(in_origins)  # (T, th, tw, 3) fp32
+
+        if config.tta:
+            tiles = jnp.concatenate(
+                [dihedral_apply(tiles, i) for i in range(DIHEDRAL_SIZE)], 0
+            )
+            # layout: aug-major (aug i block holds all tiles); remembered
+            # below when inverting.
+
+        if padded_steps != n_steps:
+            tiles = jnp.concatenate(
+                [
+                    tiles,
+                    jnp.zeros((padded_steps - n_steps, th, tw, 3), tiles.dtype),
+                ],
+                0,
+            )
+
+        chunks = tiles.reshape(n_chunks, chunk, th, tw, 3)
+
+        def apply_chunk(c):
+            c = c.astype(compute_dtype)
+            if sharding is not None:
+                c = jax.lax.with_sharding_constraint(c, sharding)
+            y = module.apply({"params": params}, c)
+            return y.astype(jnp.float32)
+
+        if n_chunks == 1:
+            outs = apply_chunk(chunks[0])[None]
+        else:
+            outs = jax.lax.map(apply_chunk, chunks)
+        outs = outs.reshape(padded_steps, oh, ow, 3)[:n_steps]
+
+        if config.tta:
+            outs = outs.reshape(DIHEDRAL_SIZE, plan.tile_count, oh, ow, 3)
+            outs = sum(
+                dihedral_inverse(outs[i], i) for i in range(DIHEDRAL_SIZE)
+            ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
+
+        outs = outs * row_w[:, :, None, None] * col_w[:, None, :, None]
+
+        canvas = jnp.zeros((canvas_h, canvas_w, 3), jnp.float32)
+
+        def scatter(canvas, inp):
+            tile_out, origin = inp
+            y, xo = origin[0], origin[1]
+            patch = jax.lax.dynamic_slice(canvas, (y, xo, 0), (oh, ow, 3))
+            return (
+                jax.lax.dynamic_update_slice(canvas, patch + tile_out, (y, xo, 0)),
+                None,
+            )
+
+        canvas, _ = jax.lax.scan(scatter, canvas, (outs, out_origins))
+        out = canvas[:out_h, :out_w]
+        # saturating u8 cast: round-half-even then clamp, matching
+        # cv::cuda::GpuMat::convertTo(CV_8U, 255.0) (img2img_render.cpp:342)
+        return jnp.clip(jnp.round(out * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+    fn.plan = plan  # expose for tests/diagnostics
+    fn.n_chunks = n_chunks
+    return fn
+
+
+class RendererCache:
+    """jit-compiled render programs keyed by frame geometry.
+
+    The reference compiles one TensorRT engine per tile config and reuses it
+    for every frame size; XLA programs are specialized on frame geometry too,
+    so we cache per (H, W).
+    """
+
+    def __init__(
+        self,
+        module,
+        spec: ModelSpec,
+        config: RenderConfig,
+        sharding: Optional[jax.sharding.NamedSharding] = None,
+    ) -> None:
+        self._module = module
+        self._spec = spec
+        self._config = config
+        self._sharding = sharding
+        self._programs: dict[tuple[int, int], Callable] = {}
+
+    def get(self, frame_hw: tuple[int, int]) -> Callable:
+        key = (int(frame_hw[0]), int(frame_hw[1]))
+        prog = self._programs.get(key)
+        if prog is None:
+            fn = make_render_fn(
+                self._module, self._spec, self._config, key, self._sharding
+            )
+            prog = jax.jit(fn)
+            prog.plan = fn.plan
+            self._programs[key] = prog
+        return prog
+
+    def render(self, params, frame_u8: np.ndarray) -> np.ndarray:
+        """Render one frame (synchronous convenience wrapper)."""
+        prog = self.get(frame_u8.shape[:2])
+        return np.asarray(prog(params, jnp.asarray(frame_u8)))

@@ -1,0 +1,148 @@
+"""Upscaler: the engine facade (reference class trt::Img2Img,
+src/tensorrt/img2img.h:14-50).
+
+Owns the model module + params, the jitted render programs, and the
+message/progress callback seams. Public surface mirrors the reference:
+``build()``, ``load()``, ``render()``, ``set_message_callback()``,
+``set_progress_callback()`` — raising exceptions instead of returning
+false (the CLI converts to exit codes, matching main.cpp:224-225,265-266).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from waifu2x_tensorrt_tpu.engine import cache as engine_cache
+from waifu2x_tensorrt_tpu.engine.config import BuildConfig, RenderConfig
+from waifu2x_tensorrt_tpu.engine.renderer import RendererCache, make_render_fn
+from waifu2x_tensorrt_tpu.models import registry
+from waifu2x_tensorrt_tpu.utils.logging import Logger, Severity
+
+
+class Upscaler:
+    def __init__(self, models_dir: str | Path = "models") -> None:
+        self.logger = Logger()
+        self.models_dir = Path(models_dir)
+        self._module = None
+        self._spec: Optional[registry.ModelSpec] = None
+        self._params = None
+        self._renderers: Optional[RendererCache] = None
+        self._render_config: Optional[RenderConfig] = None
+        self._sharding = None
+
+    # -- callback seams (img2img_base.cpp:12-18) ---------------------------
+    def set_message_callback(self, cb) -> None:
+        self.logger.set_message_callback(cb)
+
+    def set_progress_callback(self, cb) -> None:
+        self.logger.set_progress_callback(cb)
+
+    # -- build: AOT compile + sidecar (img2img_build.cpp:54-173) -----------
+    def build(self, family: str, scale: int, noise: int,
+              config: BuildConfig) -> None:
+        import jax.numpy as jnp
+
+        registry.validate(family, scale, noise)
+        engine_cache.enable_persistent_cache(self.models_dir)
+        module, spec = registry.create_model(
+            family, scale, noise, dtype=config.precision.dtype
+        )
+        params, loaded = registry.load_or_init_params(
+            module, self.models_dir, family, scale, noise,
+            tile=config.opt_height,
+            warn=lambda m: self.logger.log(Severity.warn, m),
+        )
+        self.logger.log(
+            Severity.info,
+            f"Building engine for {family} scale={scale} noise={noise} "
+            f"opt=({config.opt_batch_size},3,{config.opt_height},{config.opt_width}) "
+            f"precision={config.precision.cache_tag}",
+        )
+        t0 = time.perf_counter()
+
+        def apply_tiles(p, x):
+            return module.apply({"params": p}, x)
+
+        shape = (config.opt_batch_size, config.opt_height, config.opt_width, 3)
+        x = jax.ShapeDtypeStruct(shape, config.precision.dtype)
+        lowered = jax.jit(apply_tiles).lower(params, x)
+        compiled = lowered.compile()
+        dt = time.perf_counter() - t0
+        stem = registry.weights_path(self.models_dir, family, scale, noise)
+        sidecar = engine_cache.write_engine_sidecar(stem, config)
+        flops = compiled.cost_analysis().get("flops", 0.0)
+        self.logger.log(
+            Severity.info,
+            f"Engine built in {dt:.1f}s ({flops / 1e9:.1f} GFLOP/step); "
+            f"sidecar {sidecar.name}; persistent cache at "
+            f"{engine_cache.compilation_cache_dir(self.models_dir)}",
+        )
+
+    # -- load: engine select + weights + renderer (img2img_load.cpp) -------
+    def load(self, family: str, scale: int, noise: int,
+             config: RenderConfig, sharding=None,
+             require_engine: bool = False) -> None:
+        registry.validate(family, scale, noise)
+        engine_cache.enable_persistent_cache(self.models_dir)
+        stem = registry.weights_path(self.models_dir, family, scale, noise)
+        found = engine_cache.find_engine(stem, config)
+        if found is None:
+            msg = (f"no prebuilt engine sidecar for {family} "
+                   f"(tile={config.height}, batch={config.batch_size}); ")
+            if require_engine:
+                # reference hard-fails here (img2img_load.cpp:111-113)
+                raise FileNotFoundError(
+                    msg + "could not satisfy render configuration")
+            self.logger.log(Severity.warn, msg + "compiling on first use")
+        else:
+            self.logger.log(Severity.info, f"Using engine {found[0].name}")
+
+        module, spec = registry.create_model(
+            family, scale, noise, dtype=config.precision.dtype
+        )
+        params, from_file = registry.load_or_init_params(
+            module, self.models_dir, family, scale, noise, tile=config.height,
+            warn=lambda m: self.logger.log(Severity.warn, m),
+        )
+        self._module = module
+        self._spec = spec
+        self._params = jax.device_put(params)
+        self._render_config = config
+        self._sharding = sharding
+        self._renderers = RendererCache(module, spec, config, sharding)
+
+    # -- render (img2img_render.cpp:224-352) -------------------------------
+    def render(self, frame_u8: np.ndarray) -> np.ndarray:
+        """Upscale one RGB uint8 HWC frame; returns RGB uint8 HWC."""
+        if self._renderers is None:
+            raise RuntimeError("load() must be called before render()")
+        if frame_u8.ndim != 3 or frame_u8.shape[2] != 3:
+            raise ValueError(f"expected (H, W, 3) frame, got {frame_u8.shape}")
+        t0 = time.perf_counter()
+        prog = self._renderers.get(frame_u8.shape[:2])
+        out_dev = prog(self._params, np.ascontiguousarray(frame_u8))
+        out = np.asarray(out_dev)
+        dt = time.perf_counter() - t0
+        n_batches = prog.plan.tile_count  # progress granularity: tiles
+        self.logger.progress(n_batches, n_batches, n_batches / max(dt, 1e-9))
+        return out
+
+    def render_async(self, frame_u8: np.ndarray):
+        """Dispatch a frame render without blocking; returns the device
+        array future (JAX async dispatch — the double-buffering seam the
+        reference approximates with its single CUDA stream)."""
+        prog = self._renderers.get(frame_u8.shape[:2])
+        return prog(self._params, np.ascontiguousarray(frame_u8))
+
+    @property
+    def spec(self) -> Optional[registry.ModelSpec]:
+        return self._spec
+
+    @property
+    def params(self):
+        return self._params

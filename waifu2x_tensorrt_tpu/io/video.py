@@ -1,0 +1,325 @@
+"""Video decode/encode over ffmpeg subprocess pipes.
+
+Same process architecture as the reference (free pipelining of codec work
+against accelerator work): ``ffprobe`` probes geometry, then a long-lived
+``ffmpeg`` child streams raw frames over a pipe
+(VideoCapture, src/videoio/capture.cpp:19-165; VideoWriter,
+src/videoio/writer.cpp:15-167). Differences:
+
+- frames are rgb24 (not bgr24): we control both pipe ends, so the
+  reference's device-side BGR<->RGB conversions disappear.
+- ``release()`` uses portable subprocess teardown (the reference calls
+  _pclose unconditionally and breaks non-Windows builds — SURVEY.md §5
+  bug 3, README.md:95).
+- a background reader thread + bounded queue double-buffers decode against
+  TPU compute (the "keep the chip fed" goal the reference lacks).
+
+ffmpeg/ffprobe binaries are required only for video paths, exactly like
+the reference; ``have_ffmpeg()`` gates them.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import threading
+import queue as _queue
+from fractions import Fraction
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from waifu2x_tensorrt_tpu.io.image import image_size, read_image, write_image
+
+IMAGE_SUFFIXES = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff"}
+
+
+def have_ffmpeg() -> bool:
+    return shutil.which("ffmpeg") is not None and shutil.which("ffprobe") is not None
+
+
+def parse_key_value_string(text: str) -> dict[str, str]:
+    """Parse ``key=value`` lines (capture.cpp:19-39)."""
+    result: dict[str, str] = {}
+    for line in text.splitlines():
+        if "=" in line:
+            key, _, value = line.partition("=")
+            result[key] = value
+    return result
+
+
+def fraction_string_to_double(text: str) -> float:
+    """Parse an ``a/b`` fraction (capture.cpp:41-53)."""
+    num, sep, den = text.partition("/")
+    if not sep:
+        raise ValueError(f"invalid fraction format: {text!r}")
+    denominator = float(den)
+    if denominator == 0:
+        raise ZeroDivisionError("division by zero")
+    return float(num) / denominator
+
+
+def probe(path: str | Path) -> dict[str, str]:
+    """ffprobe stream fields used by the reference (capture.cpp:65-73)."""
+    cmd = [
+        "ffprobe", "-v", "error", "-select_streams", "v:0",
+        "-show_entries", "stream=width,height,r_frame_rate,nb_frames",
+        "-of", "default=noprint_wrappers=1", str(path),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    return parse_key_value_string(out.stdout)
+
+
+class VideoCapture:
+    """Streaming decoder (reference class VideoCapture, capture.h:6-31).
+
+    For image files (or when ffmpeg is unavailable and the file is an
+    image) decodes via PIL with frame_count == 1, mirroring the
+    reference's nb_frames=="n/a" image path.
+    """
+
+    def __init__(self, prefetch: int = 4) -> None:
+        self._proc: Optional[subprocess.Popen] = None
+        self._queue: Optional[_queue.Queue] = None
+        self._reader: Optional[threading.Thread] = None
+        self._image: Optional[np.ndarray] = None
+        self._image_read = False
+        self._prefetch = prefetch
+        self.frame_width = 0
+        self.frame_height = 0
+        self.frame_rate = 0.0
+        self.frame_count = 0
+
+    def open(self, path: str | Path) -> None:
+        self.release()
+        path = Path(path)
+        if not path.exists():
+            raise FileNotFoundError(str(path))
+
+        if path.suffix.lower() in IMAGE_SUFFIXES:
+            self.frame_height, self.frame_width = image_size(path)
+            self.frame_rate = 0.0
+            self.frame_count = 1
+            self._image = read_image(path)
+            self._image_read = False
+            return
+
+        if not have_ffmpeg():
+            raise RuntimeError(
+                "ffmpeg/ffprobe are required for video input but were not "
+                "found on PATH"
+            )
+        info = probe(path)
+        self.frame_width = int(info["width"])
+        self.frame_height = int(info["height"])
+        self.frame_rate = fraction_string_to_double(info["r_frame_rate"])
+        nb = info.get("nb_frames", "N/A")
+        if nb.lower() in ("n/a", ""):
+            # image handled above for known suffixes; stream without count:
+            # count frames by decoding (rare; matches image fallback =1 only
+            # for true images)
+            self.frame_count = self._count_frames(path)
+        else:
+            self.frame_count = int(nb)
+
+        cmd = [
+            "ffmpeg", "-v", "error", "-i", str(path),
+            "-f", "image2pipe", "-vcodec", "rawvideo", "-pix_fmt", "rgb24", "-",
+        ]
+        self._proc = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, bufsize=self.frame_width * self.frame_height * 3
+        )
+        self._queue = _queue.Queue(maxsize=self._prefetch)
+        self._reader = threading.Thread(target=self._reader_loop, daemon=True)
+        self._reader.start()
+
+    @staticmethod
+    def _count_frames(path: Path) -> int:
+        cmd = [
+            "ffprobe", "-v", "error", "-select_streams", "v:0",
+            "-count_frames", "-show_entries", "stream=nb_read_frames",
+            "-of", "default=noprint_wrappers=1:nokey=1", str(path),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+        return int(out.stdout.strip())
+
+    def _reader_loop(self) -> None:
+        nbytes = self.frame_width * self.frame_height * 3
+        stdout = self._proc.stdout
+        q = self._queue
+        while True:
+            buf = stdout.read(nbytes)
+            if buf is None or len(buf) < nbytes:
+                q.put(None)
+                return
+            frame = np.frombuffer(buf, np.uint8).reshape(
+                self.frame_height, self.frame_width, 3
+            )
+            q.put(frame)
+
+    def read(self) -> Optional[np.ndarray]:
+        """Next RGB uint8 frame, or None at end of stream."""
+        if self._image is not None:
+            if self._image_read:
+                return None
+            self._image_read = True
+            return self._image
+        if self._queue is None:
+            raise RuntimeError("capture is not opened")
+        return self._queue.get()
+
+    def release(self) -> None:
+        if self._proc is not None:
+            try:
+                self._proc.stdout.close()
+            except Exception:
+                pass
+            self._proc.terminate()
+            self._proc.wait()
+            self._proc = None
+        self._reader = None
+        self._queue = None
+        self._image = None
+        self._image_read = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
+class VideoWriter:
+    """Streaming encoder with fluent setters (reference VideoWriter,
+    writer.h:7-49). Also writes single PNGs when codec/pix_fmt are empty
+    and frame_rate == 1 (the reference image path, src/main.cpp:248-252).
+    """
+
+    def __init__(self) -> None:
+        self._proc: Optional[subprocess.Popen] = None
+        self._opened = False
+        self._frame_size: tuple[int, int] = (0, 0)  # (w, h)
+        self._frame_rate: float = -1.0
+        self._codec = "libx264"
+        self._pix_fmt = "yuv420p"
+        self._crf = -1
+        self._quality = -1
+        self._output: Optional[Path] = None
+        self._png_written = False
+
+    def _check_closed(self):
+        if self._opened:
+            raise RuntimeError("cannot change settings while writer is open")
+
+    # fluent setters with the reference's validation (writer.cpp:64-123)
+    def set_frame_size(self, width: int, height: int) -> "VideoWriter":
+        self._check_closed()
+        if width <= 0 or height <= 0:
+            raise ValueError("frame size must be greater than 0")
+        self._frame_size = (width, height)
+        return self
+
+    def set_frame_rate(self, fps: float) -> "VideoWriter":
+        self._check_closed()
+        self._frame_rate = fps
+        return self
+
+    def set_codec(self, codec: str) -> "VideoWriter":
+        self._check_closed()
+        self._codec = codec
+        return self
+
+    def set_pixel_format(self, pix_fmt: str) -> "VideoWriter":
+        self._check_closed()
+        self._pix_fmt = pix_fmt
+        return self
+
+    def set_constant_rate_factor(self, crf: int) -> "VideoWriter":
+        self._check_closed()
+        if crf > 51:
+            raise ValueError("crf must be <= 51")
+        self._crf = crf
+        return self
+
+    def set_quality(self, q: int) -> "VideoWriter":
+        self._check_closed()
+        if not (1 <= q <= 31):
+            raise ValueError("quality must be in [1, 31]")
+        self._quality = q
+        return self
+
+    def set_output_file(self, path: str | Path) -> "VideoWriter":
+        self._check_closed()
+        self._output = Path(path)
+        return self
+
+    @property
+    def is_image_mode(self) -> bool:
+        return self._codec == "" and self._pix_fmt == ""
+
+    def open(self) -> None:
+        self.release()
+        w, h = self._frame_size
+        if w <= 0 or h <= 0:
+            raise ValueError("frame size must be greater than 0")
+        if self._output is None:
+            raise ValueError("output file is empty")
+        if self.is_image_mode:
+            self._png_written = False
+            self._opened = True
+            return
+        if not have_ffmpeg():
+            raise RuntimeError(
+                "ffmpeg is required for video output but was not found on PATH"
+            )
+        cmd = ["ffmpeg", "-v", "error", "-y", "-f", "rawvideo",
+               "-vcodec", "rawvideo", "-s", f"{w}x{h}", "-pix_fmt", "rgb24"]
+        if self._frame_rate > 0:
+            cmd += ["-r", repr(self._frame_rate)]
+        cmd += ["-i", "-"]
+        if self._codec:
+            cmd += ["-vcodec", self._codec]
+        if self._pix_fmt:
+            cmd += ["-pix_fmt", self._pix_fmt]
+        if self._crf >= 0:
+            cmd += ["-crf", str(self._crf)]
+        if self._quality >= 0:
+            cmd += ["-q:v", str(self._quality)]
+        cmd += [str(self._output)]
+        self._output.parent.mkdir(parents=True, exist_ok=True)
+        self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        self._opened = True
+
+    def is_opened(self) -> bool:
+        return self._opened
+
+    def write(self, frame: np.ndarray) -> None:
+        if not self._opened:
+            raise RuntimeError("video writer is not opened")
+        w, h = self._frame_size
+        if frame.shape != (h, w, 3):
+            raise ValueError("frame size does not match")
+        if frame.dtype != np.uint8:
+            raise ValueError("frame dtype must be uint8")
+        if self.is_image_mode:
+            write_image(self._output, frame)
+            self._png_written = True
+            return
+        self._proc.stdin.write(np.ascontiguousarray(frame).tobytes())
+
+    def release(self) -> None:
+        if self._proc is not None:
+            try:
+                self._proc.stdin.close()
+            except Exception:
+                pass
+            self._proc.wait()
+            self._proc = None
+        self._opened = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()

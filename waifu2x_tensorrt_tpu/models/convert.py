@@ -1,0 +1,154 @@
+"""Weight conversion: upstream torch/ONNX checkpoints -> flax param trees.
+
+Upstream waifu2x weights ship as torch checkpoints (nagadomi/nunif) and as
+the ONNX exports the reference consumes (README.md:11-12). Conversion:
+
+  torch state_dict / ONNX initializers
+      -> name mapping (tables below)
+      -> layout transforms (OIHW->HWIO convs, transposed-conv flip,
+         Linear transpose, 1x1-SE-conv -> Dense)
+      -> flax {'params': ...} tree, saved as .npz via registry.save_params.
+
+Layout rules:
+- Conv2d weight (O,I,kH,kW) -> flax Conv kernel (kH,kW,I,O).
+- ConvTranspose2d weight (I,O,kH,kW) -> flax ConvTranspose kernel
+  (kH,kW,I,O) with SPATIALLY FLIPPED taps: torch's transposed conv is the
+  gradient-of-conv (kernel applied flipped), while flax/lax conv_transpose
+  (transpose_kernel=False) applies the kernel unflipped.
+- nn.Linear weight (O,I) -> Dense kernel (I,O).
+- SE 1x1 convs (O,I,1,1) -> Dense kernel (I,O).
+
+The cunet mapping is exact for the upstream CUNet/UpCUNet topology (see
+models/cunet.py); correctness is proven in tests/test_convert.py by
+converting a randomly initialized torch mirror and comparing forwards.
+The swin_unet mapping depends on our reconstruction matching upstream
+module-for-module and must be validated against real checkpoints before
+fidelity claims (models/swin_unet.py docstring).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Mapping
+
+import numpy as np
+
+__all__ = [
+    "conv_weight",
+    "conv_transpose_weight",
+    "dense_weight",
+    "cunet_from_torch",
+    "cunet_from_onnx",
+]
+
+
+def conv_weight(w: np.ndarray) -> np.ndarray:
+    """(O, I, kH, kW) -> (kH, kW, I, O)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def conv_transpose_weight(w: np.ndarray) -> np.ndarray:
+    """(I, O, kH, kW) -> (kH, kW, I, O), spatial taps flipped."""
+    w = w[:, :, ::-1, ::-1]
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1)))
+
+
+def dense_weight(w: np.ndarray) -> np.ndarray:
+    """(O, I) or (O, I, 1, 1) -> (I, O)."""
+    if w.ndim == 4:
+        w = w[:, :, 0, 0]
+    return np.ascontiguousarray(w.T)
+
+
+def _unet_conv_entries(src_prefix: str, dst_prefix: str, se: bool):
+    """UNetConv: nn.Sequential(conv, lrelu, conv, lrelu[, SEBlock])."""
+    entries = [
+        (f"{src_prefix}.conv.0", f"{dst_prefix}/conv0", "conv"),
+        (f"{src_prefix}.conv.2", f"{dst_prefix}/conv1", "conv"),
+    ]
+    if se:
+        entries += [
+            (f"{src_prefix}.conv.4.conv1", f"{dst_prefix}/se/fc1", "dense"),
+            (f"{src_prefix}.conv.4.conv2", f"{dst_prefix}/se/fc2", "dense"),
+        ]
+    return entries
+
+
+def _unet1_entries(prefix: str):
+    return (
+        _unet_conv_entries(f"{prefix}.conv1", f"{prefix}/conv1", se=False)
+        + [(f"{prefix}.conv1_down", f"{prefix}/conv1_down", "conv")]
+        + _unet_conv_entries(f"{prefix}.conv2", f"{prefix}/conv2", se=True)
+        + [
+            (f"{prefix}.conv2_up", f"{prefix}/conv2_up", "deconv"),
+            (f"{prefix}.conv3", f"{prefix}/conv3", "conv"),
+        ]
+    )
+
+
+def _unet2_entries(prefix: str):
+    return (
+        _unet_conv_entries(f"{prefix}.conv1", f"{prefix}/conv1", se=False)
+        + [(f"{prefix}.conv1_down", f"{prefix}/conv1_down", "conv")]
+        + _unet_conv_entries(f"{prefix}.conv2", f"{prefix}/conv2", se=True)
+        + [(f"{prefix}.conv2_down", f"{prefix}/conv2_down", "conv")]
+        + _unet_conv_entries(f"{prefix}.conv3", f"{prefix}/conv3", se=True)
+        + [(f"{prefix}.conv3_up", f"{prefix}/conv3_up", "deconv")]
+        + _unet_conv_entries(f"{prefix}.conv4", f"{prefix}/conv4", se=True)
+        + [
+            (f"{prefix}.conv4_up", f"{prefix}/conv4_up", "deconv"),
+            (f"{prefix}.conv5", f"{prefix}/conv5", "conv"),
+        ]
+    )
+
+
+def cunet_mapping(scale: int) -> list[tuple[str, str, str]]:
+    """(torch_prefix, flax_path, kind) triples for CUNet (1x) / UpCUNet (2x).
+
+    kind: conv | deconv | dense; the UNet1 conv_bottom is a deconv for the
+    2x model (k4s2p3 head) and a conv for 1x.
+    """
+    entries = _unet1_entries("unet1")
+    entries.append(
+        ("unet1.conv_bottom", "unet1/conv_bottom",
+         "deconv" if scale == 2 else "conv")
+    )
+    entries += _unet2_entries("unet2")
+    entries.append(("unet2.conv_bottom", "unet2/conv_bottom", "conv"))
+    return entries
+
+
+_KIND_TRANSFORM = {
+    "conv": conv_weight,
+    "deconv": conv_transpose_weight,
+    "dense": dense_weight,
+}
+
+
+def cunet_from_torch(state_dict: Mapping[str, "object"], scale: int) -> dict:
+    """Convert a torch CUNet/UpCUNet state_dict to a flax param tree."""
+    flat: dict[str, np.ndarray] = {}
+    for src, dst, kind in cunet_mapping(scale):
+        w = _to_np(state_dict[f"{src}.weight"])
+        flat[f"{dst}/kernel"] = _KIND_TRANSFORM[kind](w).astype(np.float32)
+        bias_key = f"{src}.bias"
+        if bias_key in state_dict:
+            flat[f"{dst}/bias"] = _to_np(state_dict[bias_key]).astype(np.float32)
+    from waifu2x_tensorrt_tpu.models.registry import _unflatten
+
+    return _unflatten(flat)
+
+
+def cunet_from_onnx(path: str | Path, scale: int) -> dict:
+    """Convert the reference's ONNX export (initializer names follow the
+    torch module paths) to a flax param tree."""
+    from waifu2x_tensorrt_tpu.models.onnx_reader import read_initializers
+
+    return cunet_from_torch(read_initializers(path), scale)
+
+
+def _to_np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    # torch tensor without importing torch at module scope
+    return t.detach().cpu().numpy()

@@ -1,0 +1,124 @@
+"""Minimal self-contained ONNX initializer reader (no ``onnx`` package).
+
+The reference's model artifacts are ONNX files (README.md:11-12); to
+convert their weights in environments without the onnx/protobuf python
+packages, this walks the protobuf wire format directly and extracts the
+graph initializers (name -> ndarray). Only the fields needed for weight
+extraction are implemented:
+
+  ModelProto.graph = 7 (message GraphProto)
+  GraphProto.initializer = 5 (repeated message TensorProto)
+  TensorProto.dims = 1 (repeated int64), .data_type = 2 (enum),
+  .name = 8 (string), .float_data = 4, .int64_data = 7, .raw_data = 9
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+# ONNX TensorProto.DataType -> numpy dtype
+_DTYPES = {
+    1: np.float32,
+    2: np.uint8,
+    3: np.int8,
+    6: np.int32,
+    7: np.int64,
+    9: np.bool_,
+    10: np.float16,
+    11: np.float64,
+}
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a protobuf message."""
+    pos = 0
+    end = len(buf)
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:  # varint
+            value, pos = _read_varint(buf, pos)
+        elif wire == 1:  # 64-bit
+            value = buf[pos : pos + 8]
+            pos += 8
+        elif wire == 2:  # length-delimited
+            length, pos = _read_varint(buf, pos)
+            value = buf[pos : pos + length]
+            pos += length
+        elif wire == 5:  # 32-bit
+            value = buf[pos : pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire} (field {field})")
+        yield field, wire, value
+
+
+def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
+    dims: list[int] = []
+    dtype_code = 1
+    name = ""
+    raw = None
+    floats: list[float] = []
+    int64s: list[int] = []
+    for field, wire, value in _iter_fields(buf):
+        if field == 1 and wire == 0:
+            dims.append(value)
+        elif field == 2 and wire == 0:
+            dtype_code = value
+        elif field == 8 and wire == 2:
+            name = value.decode()
+        elif field == 9 and wire == 2:
+            raw = value
+        elif field == 4:
+            if wire == 2:  # packed floats
+                floats.extend(struct.unpack(f"<{len(value) // 4}f", value))
+            elif wire == 5:
+                floats.append(struct.unpack("<f", value)[0])
+        elif field == 7:
+            if wire == 2:
+                pos = 0
+                while pos < len(value):
+                    v, pos = _read_varint(value, pos)
+                    int64s.append(v)
+            elif wire == 0:
+                int64s.append(value)
+    dtype = _DTYPES.get(dtype_code)
+    if dtype is None:
+        raise ValueError(f"unsupported ONNX dtype {dtype_code} for {name!r}")
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=dtype)
+    elif floats:
+        arr = np.asarray(floats, dtype=np.float32)
+    elif int64s:
+        arr = np.asarray(int64s, dtype=np.int64)
+    else:
+        arr = np.zeros(0, dtype=dtype)
+    return name, arr.reshape(dims) if dims else arr
+
+
+def read_initializers(path: str | Path) -> dict[str, np.ndarray]:
+    """All graph initializers of an ONNX model as {name: array}."""
+    data = Path(path).read_bytes()
+    out: dict[str, np.ndarray] = {}
+    for field, wire, value in _iter_fields(data):
+        if field == 7 and wire == 2:  # ModelProto.graph
+            for gfield, gwire, gvalue in _iter_fields(value):
+                if gfield == 5 and gwire == 2:  # GraphProto.initializer
+                    name, arr = _parse_tensor(gvalue)
+                    out[name] = arr
+    return out

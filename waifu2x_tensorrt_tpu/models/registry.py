@@ -1,0 +1,190 @@
+"""Model registry: families, scale/noise validation, weight-file naming.
+
+Mirrors the reference's model-choice surface (src/main.cpp:26-53: families
+cunet/art, swin_unet/{art,art_scan,photo}; scales {1,2,4}; noise {-1..3})
+and its weight-path convention (src/main.cpp:201-204:
+``models/{family}/[noise{N}_][scale{S}x].onnx`` — here ``.npz``).
+Validation parity: cunet/art forbids scale 4; noise -1 forbids scale 1
+(src/main.cpp:142-145).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from waifu2x_tensorrt_tpu.models import cunet as _cunet
+from waifu2x_tensorrt_tpu.models import swin_unet as _swin
+
+MODEL_FAMILIES = (
+    "cunet/art",
+    "swin_unet/art",
+    "swin_unet/art_scan",
+    "swin_unet/photo",
+)
+
+NOISE_LEVELS = (-1, 0, 1, 2, 3)
+SCALES = (1, 2, 4)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Static geometry contract between a model and the tiler."""
+
+    family: str
+    scale: int
+    noise: int
+    offset: int  # per-side output-space context shrink (0 for swin_unet)
+    tile_divisor: int  # input tile size must be a multiple of this
+
+    def output_tile(self, input_tile: int) -> int:
+        """Model output spatial size for a given input tile."""
+        return input_tile * self.scale - 2 * self.offset
+
+    @property
+    def arch(self) -> str:
+        return self.family.split("/")[0]
+
+
+def validate(family: str, scale: int, noise: int) -> None:
+    """CLI-parity semantic validation (src/main.cpp:142-145)."""
+    if family not in MODEL_FAMILIES:
+        raise ValueError(f"unknown model {family!r}; choices: {MODEL_FAMILIES}")
+    if scale not in SCALES:
+        raise ValueError(f"scale must be one of {SCALES}, got {scale}")
+    if noise not in NOISE_LEVELS:
+        raise ValueError(f"noise must be one of {NOISE_LEVELS}, got {noise}")
+    if family == "cunet/art" and scale == 4:
+        raise ValueError("cunet/art does not support scale factor 4.")
+    if noise == -1 and scale == 1:
+        raise ValueError("Noise level -1 does not support scale factor 1.")
+
+
+def get_spec(family: str, scale: int, noise: int = -1) -> ModelSpec:
+    validate(family, scale, noise)
+    arch = family.split("/")[0]
+    if arch == "cunet":
+        offset = {1: 28, 2: 36}[scale]
+        # valid convs need enough context; all CLI tile sizes are /4-able
+        return ModelSpec(family, scale, noise, offset=offset, tile_divisor=4)
+    # swin_unet pads internally to /32; any tile size works, offset 0
+    return ModelSpec(family, scale, noise, offset=0, tile_divisor=1)
+
+
+def model_file_stem(scale: int, noise: int) -> str:
+    """Weight-file stem: ``[noise{N}_][scale{S}x]`` (src/main.cpp:201-204)."""
+    stem = ""
+    if noise != -1:
+        stem += f"noise{noise}_"
+    if scale != 1:
+        stem += f"scale{scale}x"
+    return stem.rstrip("_") if stem else "noise-1"  # unreachable fallback
+
+
+def create_model(
+    family: str,
+    scale: int,
+    noise: int = -1,
+    dtype: Any = None,
+    clamp: bool = True,
+    use_pallas: bool = False,
+):
+    """Build the Flax module + spec for a (family, scale, noise) choice.
+
+    ``use_pallas`` routes swin_unet attention through the fused Pallas TPU
+    kernel (ops/window_attention.py); ignored for cunet.
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    spec = get_spec(family, scale, noise)
+    if spec.arch == "cunet":
+        if scale == 1:
+            module = _cunet.CUNet(dtype=dtype, clamp=clamp)
+        else:
+            module = _cunet.UpCUNet(dtype=dtype, clamp=clamp)
+    else:
+        module = _swin.SwinUNet(scale=scale, dtype=dtype, clamp=clamp,
+                                use_pallas=use_pallas)
+    return module, spec
+
+
+def init_params(module, tile: int = 64, seed: int = 0):
+    """Random-init parameters (used when no converted weights exist)."""
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, tile, tile, 3), jnp.float32)
+    return module.init(jax.random.PRNGKey(seed), x)["params"]
+
+
+# ---------------------------------------------------------------------------
+# Weight store: flat .npz of float32 arrays keyed by '/'-joined pytree paths.
+# ---------------------------------------------------------------------------
+
+
+def _flatten(params) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(
+            p.key if hasattr(p, "key") else str(p.idx) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten(flat: dict[str, np.ndarray]):
+    tree: dict = {}
+    for key, value in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def save_params(path: str | Path, params) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **_flatten(params))
+
+
+def load_params(path: str | Path):
+    with np.load(Path(path)) as data:
+        return _unflatten({k: data[k] for k in data.files})
+
+
+def weights_path(models_dir: str | Path, family: str, scale: int, noise: int) -> Path:
+    return Path(models_dir) / family / f"{model_file_stem(scale, noise)}.npz"
+
+
+def load_or_init_params(
+    module,
+    models_dir: Optional[str | Path],
+    family: str,
+    scale: int,
+    noise: int,
+    tile: int = 64,
+    warn=None,
+):
+    """Load converted weights if present, else random-init (with a warning).
+
+    The reference hard-fails without its ONNX artifact; here random init
+    keeps the full pipeline exercisable in environments without weights
+    (correctness of tiling/blending/TTA is weight-independent).
+    """
+    if models_dir is not None:
+        p = weights_path(models_dir, family, scale, noise)
+        if p.exists():
+            return load_params(p), True
+    if warn is not None:
+        warn(
+            f"no weights at "
+            f"{weights_path(models_dir or 'models', family, scale, noise)}; "
+            "using random initialization"
+        )
+    return init_params(module, tile=tile), False

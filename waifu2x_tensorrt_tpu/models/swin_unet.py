@@ -1,0 +1,306 @@
+"""SwinUNet family: shifted-window-attention U-Net for 1x/2x/4x upscaling.
+
+TPU-native reconstruction of upstream waifu2x ``swin_unet``
+(nagadomi/nunif; the reference consumes its ONNX exports for the art,
+art_scan and photo weight sets, src/main.cpp:26-31). Architecture follows
+the published upstream design — conv stem at full resolution, Swin
+transformer blocks at 1/2 and 1/4 resolution (base_dim 96, window 8,
+head_dim 32, shifted windows on alternating blocks, relative position
+bias), pixel-shuffle decoder and scale-specific pixel-shuffle head — laid
+out NHWC with float32 LayerNorm/softmax and bfloat16-friendly matmuls.
+
+Unlike cunet, output size is exactly ``input * scale`` (offset 0): the
+model pads internally to a multiple of 32 (two stride-2 stages x window 8)
+with edge replication and crops after decoding, so every CLI tile size
+{64, 128, 256, 400, 640} is valid (400 -> padded 416).
+
+Checkpoint compatibility: this is a reconstruction, not a translation; the
+weight converter (models/convert.py) maps upstream checkpoints by name
+table and must be validated against real files before fidelity claims.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG_SLOPE = 0.1
+WINDOW = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _relative_position_index(ws: int) -> np.ndarray:
+    """(ws*ws, ws*ws) index into the (2*ws-1)^2 relative-bias table."""
+    coords = np.stack(np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"))
+    coords = coords.reshape(2, -1)  # (2, ws*ws)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0) + (ws - 1)  # to [0, 2*ws-2]
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
+    """Additive attention mask (nW, N, N) for cyclic-shifted windows.
+
+    Standard Swin construction: windows straddling the roll boundary get
+    -inf between tokens originating from different image regions.
+    """
+    img = np.zeros((h, w), dtype=np.int32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for ws_ in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[hs, ws_] = cnt
+            cnt += 1
+    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)  # (nW, N)
+    diff = win[:, :, None] - win[:, None, :]
+    return np.where(diff == 0, 0.0, -1e9).astype(np.float32)
+
+
+def _window_split(x, ws: int):
+    """(B, H, W, C) -> (B, nH*nW, ws*ws, C)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // ws) * (w // ws), ws * ws, c)
+
+
+def _window_merge(x, h: int, w: int, ws: int):
+    """Inverse of _window_split."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    x = x.reshape(b, h // ws, w // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, c)
+
+
+def _shift_flags(n_wy: int, n_wx: int) -> np.ndarray:
+    """Per-window boundary flags for the analytic shift mask: bit0 = window
+    is in the last (rolled) row, bit1 = last column."""
+    flags = np.zeros((n_wy, n_wx), dtype=np.int32)
+    flags[-1, :] |= 1
+    flags[:, -1] |= 2
+    return flags.reshape(-1)
+
+
+class WindowAttention(nn.Module):
+    """Multi-head self-attention within (shifted) windows + relative bias."""
+
+    dim: int
+    num_heads: int
+    window: int = WINDOW
+    shift: int = 0
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        ws = self.window
+        nh = self.num_heads
+        hd = c // nh
+
+        if self.shift:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+
+        xw = _window_split(x, ws)  # (B, nW, N, C)
+        n_windows, n_tok = xw.shape[1], xw.shape[2]
+
+        qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xw)
+        qkv = qkv.reshape(b, n_windows, n_tok, 3, nh, hd)
+        q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,nh,hd)
+        q = q.transpose(0, 1, 3, 2, 4)  # (B,nW,nh,N,hd)
+        k = k.transpose(0, 1, 3, 2, 4)
+        v = v.transpose(0, 1, 3, 2, 4)
+
+        bias_table = self.param(
+            "relative_position_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * ws - 1) ** 2, nh),
+            jnp.float32,
+        )
+        idx = jnp.asarray(_relative_position_index(ws))
+        bias = bias_table[idx.reshape(-1)].reshape(n_tok, n_tok, nh)
+        bias = bias.transpose(2, 0, 1)  # (nh, N, N)
+
+        if self.use_pallas:
+            from waifu2x_tensorrt_tpu.ops.window_attention import (
+                fused_window_attention,
+            )
+
+            flags = jnp.asarray(
+                np.tile(_shift_flags(h // ws, w // ws), b)
+            )
+            out = fused_window_attention(
+                q.reshape(b * n_windows, nh, n_tok, hd),
+                k.reshape(b * n_windows, nh, n_tok, hd),
+                v.reshape(b * n_windows, nh, n_tok, hd),
+                bias,
+                flags,
+                shift=self.shift,
+                ws=ws,
+            ).reshape(b, n_windows, nh, n_tok, hd)
+        else:
+            scale = hd ** -0.5
+            attn = jnp.einsum(
+                "bwhnd,bwhmd->bwhnm", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )  # (B,nW,nh,N,N) fp32
+            attn = attn + bias[None, None]
+            if self.shift:
+                mask = jnp.asarray(_shift_attn_mask(h, w, ws, self.shift))
+                attn = attn + mask[None, :, None, :, :]
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            attn = attn.astype(self.dtype)
+            out = jnp.einsum(
+                "bwhnm,bwhmd->bwhnd", attn, v.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(b, n_windows, n_tok, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = _window_merge(out, h, w, ws)
+
+        if self.shift:
+            out = jnp.roll(out, (self.shift, self.shift), axis=(1, 2))
+        return out
+
+
+class SwinBlock(nn.Module):
+    """Pre-norm transformer block: W-MSA/SW-MSA + 2x-expansion GELU MLP."""
+
+    dim: int
+    num_heads: int
+    shift: int = 0
+    mlp_ratio: int = 2
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = x + WindowAttention(
+            self.dim, self.num_heads, shift=self.shift, dtype=self.dtype,
+            use_pallas=self.use_pallas, name="attn")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
+                     name="mlp_fc1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
+        return x + y
+
+
+class SwinStage(nn.Module):
+    """``depth`` blocks alternating no-shift / shift-by-window//2."""
+
+    dim: int
+    num_heads: int
+    depth: int
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.depth):
+            x = SwinBlock(
+                self.dim,
+                self.num_heads,
+                shift=0 if i % 2 == 0 else WINDOW // 2,
+                dtype=self.dtype,
+                use_pallas=self.use_pallas,
+                name=f"block{i}",
+            )(x)
+        return x
+
+
+def _pixel_shuffle(x, r: int):
+    """Depth-to-space: (B, H, W, C*r*r) -> (B, H*r, W*r, C)."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    # channel layout matches torch.nn.PixelShuffle: (C, r, r) fastest-last
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c)
+
+
+class SwinUNet(nn.Module):
+    """U-Net over Swin stages; output is input*scale exactly (offset 0)."""
+
+    scale: int = 4
+    out_channels: int = 3
+    base_dim: int = 96
+    depths: tuple = (2, 2, 6, 2, 2)  # swin1, (unused enc slot), bottleneck, dec2, dec1
+    clamp: bool = True
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    offset: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        if self.scale not in (1, 2, 4):
+            raise ValueError(f"unsupported scale {self.scale}")
+        x = x.astype(self.dtype)
+        b, h, w, _ = x.shape
+        c = self.base_dim
+        half = c // 2
+
+        # Internal pad to a multiple of 32 (2 stride-2 stages x window 8).
+        mult = 32
+        ph = (-h) % mult
+        pw = (-w) % mult
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+        hp, wp = h + ph, w + pw
+
+        # Full-res conv stem.
+        s = nn.Conv(half, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="patch_conv1")(x)
+        s = nn.leaky_relu(s, negative_slope=_NEG_SLOPE)
+        s = nn.Conv(half, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="patch_conv2")(s)
+        s = nn.leaky_relu(s, negative_slope=_NEG_SLOPE)
+
+        # Encoder.
+        e1 = nn.Conv(c, (2, 2), strides=(2, 2), padding="VALID",
+                     dtype=self.dtype, name="down1")(s)
+        e1 = SwinStage(c, c // 32, self.depths[0], dtype=self.dtype,
+                       use_pallas=self.use_pallas, name="swin1")(e1)
+
+        e2 = nn.Conv(2 * c, (2, 2), strides=(2, 2), padding="VALID",
+                     dtype=self.dtype, name="down2")(e1)
+        e2 = SwinStage(2 * c, (2 * c) // 32, self.depths[2],
+                       dtype=self.dtype, use_pallas=self.use_pallas,
+                       name="swin2")(e2)
+
+        # Decoder with skip connections.
+        d2 = nn.Dense(4 * c, dtype=self.dtype, name="up2")(e2)
+        d2 = _pixel_shuffle(d2, 2)  # (hp/2, wp/2, C)
+        d2 = d2 + e1
+        d2 = SwinStage(c, c // 32, self.depths[3], dtype=self.dtype,
+                       use_pallas=self.use_pallas, name="swin3")(d2)
+
+        d1 = nn.Dense(4 * half, dtype=self.dtype, name="up1")(d2)
+        d1 = _pixel_shuffle(d1, 2)  # full res, C/2
+        d1 = d1 + s
+
+        # Head.
+        if self.scale == 1:
+            z = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                        dtype=self.dtype, name="to_image")(d1)
+        else:
+            r = self.scale
+            z = nn.Conv(self.out_channels * r * r, (3, 3), padding="SAME",
+                        dtype=self.dtype, name="to_image")(d1)
+            z = _pixel_shuffle(z, r)
+
+        # Crop internal padding (output space).
+        if ph or pw:
+            z = z[:, : h * self.scale, : w * self.scale, :]
+        if self.clamp:
+            z = jnp.clip(z, 0.0, 1.0)
+        return z

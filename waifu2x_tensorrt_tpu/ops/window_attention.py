@@ -1,0 +1,158 @@
+"""Fused shifted-window attention Pallas kernel.
+
+For swin_unet, attention runs on many independent 64-token windows
+(8x8, head_dim 32). The XLA lowering materializes the (nW, heads, 64, 64)
+attention tensor in HBM between the QK^T, softmax and PV steps; this kernel
+keeps everything in VMEM per block of windows, halving attention HBM
+traffic. Windows are blocked WB at a time so DMA transfers are large.
+
+Shift masking is computed *inside* the kernel from two per-window flag bits
+(window touches the rolled bottom / right boundary) instead of streaming an
+(nW, 64, 64) additive mask from HBM — the Swin cyclic-shift mask is
+analytic in the token coordinates:
+
+  row_region(t) = (t // ws) >= ws - shift     (bottom-edge windows)
+  col_region(t) = (t %  ws) >= ws - shift     (right-edge windows)
+  masked(n, m)  = bottom & (row_region(n) != row_region(m))
+                | right  & (col_region(n) != col_region(m))
+
+Flags ride as scalar-prefetch data (SMEM), per PrefetchScalarGridSpec.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def window_attention_reference(q, k, v, bias, flags, shift: int):
+    """Pure-jnp reference. q/k/v: (BW, nh, N, hd); bias: (nh, N, N) fp32;
+    flags: (BW,) int32 bitfield (bit0 = bottom-edge, bit1 = right-edge);
+    returns (BW, nh, N, hd) in q.dtype."""
+    BW, nh, N, hd = q.shape
+    ws = int(np.sqrt(N))
+    scale = hd ** -0.5
+    attn = jnp.einsum(
+        "whnd,whmd->whnm", q * scale, k, preferred_element_type=jnp.float32
+    )
+    attn = attn + bias[None]
+    attn = attn + _mask_from_flags(flags, ws, shift)[:, None, :, :]
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jnp.einsum(
+        "whnm,whmd->whnd", attn.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def _mask_from_flags(flags, ws: int, shift: int):
+    """(BW, N, N) additive mask from per-window flag bits (jnp)."""
+    N = ws * ws
+    t = jnp.arange(N)
+    row_region = (t // ws) >= (ws - shift)
+    col_region = (t % ws) >= (ws - shift)
+    row_cross = row_region[:, None] != row_region[None, :]
+    col_cross = col_region[:, None] != col_region[None, :]
+    bottom = ((flags & 1) > 0)[:, None, None]
+    right = ((flags & 2) > 0)[:, None, None]
+    crossing = (bottom & row_cross[None]) | (right & col_cross[None])
+    return jnp.where(crossing, -1e9, 0.0).astype(jnp.float32)
+
+
+def _kernel(flags_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, ws, shift, wb):
+    N = ws * ws
+    blk = pl.program_id(0)
+
+    q = q_ref[:]  # (WB, nh, N, hd)
+    k = k_ref[:]
+    v = v_ref[:]
+    hd = q.shape[-1]
+    scale = jnp.asarray(hd ** -0.5, q.dtype)
+
+    attn = jax.lax.dot_general(
+        q * scale, k,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )  # (WB, nh, N, N) fp32
+    attn = attn + bias_ref[:][None].astype(jnp.float32)
+
+    if shift:
+        # analytic shift mask from per-window flags (see module docstring)
+        tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        tok_m = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        row_r = (tok // ws) >= (ws - shift)
+        row_rm = (tok_m // ws) >= (ws - shift)
+        col_r = (tok % ws) >= (ws - shift)
+        col_rm = (tok_m % ws) >= (ws - shift)
+        row_cross = row_r != row_rm  # (N, N)
+        col_cross = col_r != col_rm
+
+        def per_window(w, a):
+            f = flags_ref[blk * wb + w]
+            bottom = (f & 1) > 0
+            right = (f & 2) > 0
+            crossing = (bottom & row_cross) | (right & col_cross)
+            aw = a[w] + jnp.where(crossing, -1e9, 0.0)[None]
+            return a.at[w].set(aw)
+
+        attn = jax.lax.fori_loop(0, wb, per_window, attn)
+
+    attn = jax.nn.softmax(attn, axis=-1)
+    out = jax.lax.dot_general(
+        attn.astype(v.dtype), v,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "ws", "block_windows",
+                                             "interpret"))
+def fused_window_attention(q, k, v, bias, flags, *, shift: int = 0,
+                           ws: int = 8, block_windows: int = 16,
+                           interpret: bool = False):
+    """Pallas-fused window attention.
+
+    Args:
+      q, k, v: (BW, nh, N, hd) — BW total windows (padded to a multiple of
+        ``block_windows`` by the caller or here), N = ws*ws tokens.
+      bias: (nh, N, N) float32 relative-position bias.
+      flags: (BW,) int32 shift-boundary bitfield (ignored when shift == 0).
+      shift: cyclic shift amount (0 or ws//2).
+    Returns:
+      (BW, nh, N, hd) in q.dtype.
+    """
+    BW, nh, N, hd = q.shape
+    wb = min(block_windows, BW)
+    pad = (-BW) % wb
+    if pad:
+        padding = [(0, pad), (0, 0), (0, 0), (0, 0)]
+        q = jnp.pad(q, padding)
+        k = jnp.pad(k, padding)
+        v = jnp.pad(v, padding)
+        flags = jnp.pad(flags, (0, pad))
+    n_blocks = (BW + pad) // wb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((wb, nh, N, hd), lambda i, flags: (i, 0, 0, 0)),
+            pl.BlockSpec((wb, nh, N, hd), lambda i, flags: (i, 0, 0, 0)),
+            pl.BlockSpec((wb, nh, N, hd), lambda i, flags: (i, 0, 0, 0)),
+            pl.BlockSpec((nh, N, N), lambda i, flags: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((wb, nh, N, hd), lambda i, flags: (i, 0, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, ws=ws, shift=shift, wb=wb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(flags, q, k, v, bias)
+    return out[:BW] if pad else out
