@@ -50,8 +50,11 @@ def main() -> None:
     module, spec = create_model(
         "swin_unet/art", scale, 3, dtype=config.precision.dtype
     )
-    params = init_params(module, tile=64)
+    t0 = time.perf_counter()
+    params = init_params(module, tile=32)
     params = jax.device_put(params)
+    print(f"[bench] params init {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr, flush=True)
 
     fn = make_render_fn(module, spec, config, frame_hw)
     prog = jax.jit(fn)
@@ -65,6 +68,9 @@ def main() -> None:
     out = prog(params, frame_dev)
     out.block_until_ready()
     compile_s = time.perf_counter() - t0
+    print(f"[bench] render program compile+first-run {compile_s:.1f}s "
+          f"({fn.plan.tile_count} tiles, {fn.n_chunks} chunks)",
+          file=sys.stderr, flush=True)
     prog(params, frame_dev).block_until_ready()
 
     iters = 5
