@@ -183,3 +183,57 @@ class TestMultihost:
         assert total == 100
         for (a1, b1), (a2, b2) in zip(ranges, ranges[1:]):
             assert b1 == a2
+
+
+class TestRenderLoopHelpers:
+    def test_resume_skips_existing_output(self, tmp_path):
+        """--resume: existing outputs are skipped before any model work."""
+        import argparse
+        from waifu2x_tensorrt_tpu.cli import _render_one, output_suffix
+        from waifu2x_tensorrt_tpu.io.image import write_image
+        from waifu2x_tensorrt_tpu.io.video import VideoCapture
+
+        img = np.random.default_rng(0).integers(0, 256, (8, 8, 3), np.uint8)
+        src = tmp_path / "a.png"
+        write_image(src, img)
+        suffix = output_suffix("swin_unet/art", 1, 2, False)
+        out = tmp_path / f"a{suffix}.png"
+        write_image(out, img)  # pre-existing output
+
+        class ExplodingEngine:
+            def render(self, frame):
+                raise AssertionError("render must not be called on resume")
+
+        args = argparse.Namespace(resume=True, scale=2, crf=23,
+                                  pix_fmt="yuv420p", codec="libx264",
+                                  nosuffix=False)
+        messages = []
+        state = {"frames": 0, "frame": 0}
+        rc = _render_one(args, ExplodingEngine(), VideoCapture(), src, None,
+                         suffix, state, lambda s, m: messages.append(m))
+        assert rc == 0
+        assert any("Skipping" in m for m in messages)
+
+    def test_render_one_reports_failure(self, tmp_path):
+        import argparse
+        from waifu2x_tensorrt_tpu.cli import _render_one
+        from waifu2x_tensorrt_tpu.io.image import write_image
+        from waifu2x_tensorrt_tpu.io.video import VideoCapture
+
+        img = np.random.default_rng(0).integers(0, 256, (8, 8, 3), np.uint8)
+        src = tmp_path / "a.png"
+        write_image(src, img)
+
+        class FailingEngine:
+            def render(self, frame):
+                raise RuntimeError("boom")
+
+        args = argparse.Namespace(resume=False, scale=2, crf=23,
+                                  pix_fmt="yuv420p", codec="libx264",
+                                  nosuffix=True)
+        messages = []
+        rc = _render_one(args, FailingEngine(), VideoCapture(), src, None,
+                         "", {"frames": 0, "frame": 0},
+                         lambda s, m: messages.append(m))
+        assert rc == -1
+        assert any("boom" in m for m in messages)

@@ -1,0 +1,126 @@
+"""Video pipeline round-trip tests.
+
+ffmpeg/ffprobe binaries don't exist in this environment (the reference has
+the same external dependency, README install notes), so these tests install
+fake ffmpeg/ffprobe shims on PATH that speak the same pipe protocol:
+ffprobe prints key=value stream fields (capture.cpp:65-93 semantics) and
+ffmpeg streams/accepts raw rgb24 frames. This exercises VideoCapture /
+VideoWriter command construction, probe parsing, the reader thread, and
+frame framing end-to-end. With a real ffmpeg on PATH the same classes run
+unchanged.
+"""
+
+import os
+import stat
+import numpy as np
+import pytest
+
+from waifu2x_tensorrt_tpu.io.video import VideoCapture, VideoWriter
+
+H, W, N = 10, 12, 6
+
+
+@pytest.fixture()
+def fake_ffmpeg(tmp_path, monkeypatch):
+    """Install fake ffmpeg/ffprobe; returns dict with fixture paths."""
+    frames = np.random.default_rng(0).integers(0, 256, (N, H, W, 3), np.uint8)
+    raw = tmp_path / "fixture.raw"
+    raw.write_bytes(frames.tobytes())
+    out_raw = tmp_path / "written.raw"
+    meta = tmp_path / "writer_args.txt"
+
+    ffprobe = tmp_path / "bin" / "ffprobe"
+    ffmpeg = tmp_path / "bin" / "ffmpeg"
+    ffprobe.parent.mkdir(exist_ok=True)
+    ffprobe.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "if '-count_frames' in sys.argv:\n"
+        f"    print({N})\n"
+        "else:\n"
+        f"    print('width={W}')\n"
+        f"    print('height={H}')\n"
+        "    print('r_frame_rate=30000/1001')\n"
+        f"    print('nb_frames={N}')\n"
+    )
+    ffmpeg.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, shutil, pathlib\n"
+        "argv = sys.argv[1:]\n"
+        "pathlib.Path(r'%s').write_text(' '.join(argv))\n"
+        "if '-i' in argv and argv[argv.index('-i') + 1] == '-':\n"
+        "    # writer mode: stdin -> last arg file\n"
+        "    data = sys.stdin.buffer.read()\n"
+        "    pathlib.Path(argv[-1]).write_bytes(data)\n"
+        "else:\n"
+        "    # reader mode: fixture -> stdout\n"
+        "    sys.stdout.buffer.write(pathlib.Path(r'%s').read_bytes())\n"
+        % (meta, raw)
+    )
+    for p in (ffprobe, ffmpeg):
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{ffprobe.parent}:{os.environ['PATH']}")
+    return {"frames": frames, "out_raw": out_raw, "meta": meta,
+            "video": tmp_path / "clip.mp4"}
+
+
+def test_capture_video_roundtrip(fake_ffmpeg, tmp_path):
+    video = fake_ffmpeg["video"]
+    video.touch()  # existence check only; content served by fake ffmpeg
+    cap = VideoCapture()
+    cap.open(video)
+    assert (cap.frame_width, cap.frame_height) == (W, H)
+    assert cap.frame_rate == pytest.approx(29.97, 0.001)
+    assert cap.frame_count == N
+    got = []
+    for _ in range(N):
+        f = cap.read()
+        assert f is not None
+        got.append(f.copy())
+    assert cap.read() is None
+    cap.release()
+    np.testing.assert_array_equal(np.stack(got), fake_ffmpeg["frames"])
+
+
+def test_writer_video_pipe(fake_ffmpeg, tmp_path):
+    frames = fake_ffmpeg["frames"]
+    out = tmp_path / "out.mp4"
+    w = (VideoWriter().set_frame_size(W, H).set_frame_rate(29.97)
+         .set_codec("libx264").set_pixel_format("yuv420p")
+         .set_constant_rate_factor(23).set_output_file(out))
+    w.open()
+    for f in frames:
+        w.write(f)
+    w.release()
+    got = np.frombuffer(out.read_bytes(), np.uint8).reshape(N, H, W, 3)
+    np.testing.assert_array_equal(got, frames)
+    # command construction parity (writer.cpp:24-38): rawvideo in, codec,
+    # pix_fmt, crf present
+    args = fake_ffmpeg["meta"].read_text()
+    for token in ["-f rawvideo", f"-s {W}x{H}", "-pix_fmt rgb24",
+                  "-vcodec libx264", "-pix_fmt yuv420p", "-crf 23",
+                  "-r 29.97"]:
+        assert token in args, args
+
+
+def test_capture_image_without_ffmpeg(tmp_path, monkeypatch):
+    """Image files must not require ffmpeg at all."""
+    from waifu2x_tensorrt_tpu.io.image import write_image
+
+    monkeypatch.setenv("PATH", "/nonexistent")
+    img = np.random.default_rng(1).integers(0, 256, (H, W, 3), np.uint8)
+    write_image(tmp_path / "x.png", img)
+    cap = VideoCapture()
+    cap.open(tmp_path / "x.png")
+    assert cap.frame_count == 1
+    np.testing.assert_array_equal(cap.read(), img)
+    assert cap.read() is None
+    cap.release()
+
+
+def test_video_without_ffmpeg_raises(tmp_path, monkeypatch):
+    monkeypatch.setenv("PATH", "/nonexistent")
+    (tmp_path / "v.mp4").touch()
+    cap = VideoCapture()
+    with pytest.raises(RuntimeError, match="ffmpeg"):
+        cap.open(tmp_path / "v.mp4")

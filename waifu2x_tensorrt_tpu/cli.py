@@ -87,6 +87,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Set the pixel format (video only)")
     render.add_argument("--crf", type=int, default=23,
                         help="Set the constant rate factor (video only)")
+    render.add_argument("--resume", action="store_true",
+                        help="Skip inputs whose output file already exists")
+    render.add_argument("--continue-on-error", action="store_true",
+                        dest="continue_on_error",
+                        help="Keep rendering remaining files after a failure "
+                             "(reference exits on first error)")
+    render.add_argument("--profile", default=None, metavar="DIR",
+                        help="Capture a jax.profiler trace into DIR")
 
     sub.add_parser("build", help="Build model")
     return p
@@ -223,45 +231,64 @@ def main(argv=None) -> int:
     suffix = output_suffix(args.model, args.noise, args.scale, args.tta)
     out_dir = Path(args.output) if args.output else None
 
-    capture = VideoCapture()
-    for file_index, file in enumerate(files):
-        state["file"] = file_index + 1
-        try:
-            capture.open(file)
-        except Exception as e:
-            message_cb(Severity.error, f"Failed to open {file}: {e}.")
-            return -1
-        is_image = capture.frame_count == 1
-        out_path = resolve_output_path(file, out_dir, suffix, args.nosuffix,
-                                       is_image)
-        writer = VideoWriter()
-        writer.set_constant_rate_factor(args.crf)
-        if is_image:
-            writer.set_frame_rate(1).set_pixel_format("").set_codec("")
-        else:
-            writer.set_frame_rate(capture.frame_rate) \
-                  .set_pixel_format(args.pix_fmt).set_codec(args.codec)
-        writer.set_frame_size(capture.frame_width * args.scale,
-                              capture.frame_height * args.scale)
-        writer.set_output_file(out_path)
-        state["frames"] = capture.frame_count
+    from waifu2x_tensorrt_tpu.utils.profiling import trace
 
-        try:
-            writer.open()
-            for frame_index in range(capture.frame_count):
-                state["frame"] = frame_index + 1
-                frame = capture.read()
-                if frame is None:
-                    raise RuntimeError("decoder ended early")
-                out = engine.render(frame)
-                writer.write(out)
-        except Exception as e:
-            message_cb(Severity.error, f"Render failed: {e}.")
-            return -1
-        finally:
-            capture.release()
-            writer.release()
-        message_cb(Severity.info, f"Wrote {out_path}")
+    exit_code = 0
+    capture = VideoCapture()
+    with trace(args.profile):
+        for file_index, file in enumerate(files):
+            state["file"] = file_index + 1
+            rc = _render_one(args, engine, capture, file, out_dir, suffix,
+                             state, message_cb)
+            if rc != 0:
+                if not args.continue_on_error:
+                    return rc
+                exit_code = rc
+    return exit_code
+
+
+def _render_one(args, engine, capture, file, out_dir, suffix, state,
+                message_cb) -> int:
+    try:
+        capture.open(file)
+    except Exception as e:
+        message_cb(Severity.error, f"Failed to open {file}: {e}.")
+        return -1
+    is_image = capture.frame_count == 1
+    out_path = resolve_output_path(file, out_dir, suffix, args.nosuffix,
+                                   is_image)
+    if getattr(args, "resume", False) and out_path.exists():
+        message_cb(Severity.info, f"Skipping {file} (output exists)")
+        capture.release()
+        return 0
+    writer = VideoWriter()
+    writer.set_constant_rate_factor(args.crf)
+    if is_image:
+        writer.set_frame_rate(1).set_pixel_format("").set_codec("")
+    else:
+        writer.set_frame_rate(capture.frame_rate) \
+              .set_pixel_format(args.pix_fmt).set_codec(args.codec)
+    writer.set_frame_size(capture.frame_width * args.scale,
+                          capture.frame_height * args.scale)
+    writer.set_output_file(out_path)
+    state["frames"] = capture.frame_count
+
+    try:
+        writer.open()
+        for frame_index in range(capture.frame_count):
+            state["frame"] = frame_index + 1
+            frame = capture.read()
+            if frame is None:
+                raise RuntimeError("decoder ended early")
+            out = engine.render(frame)
+            writer.write(out)
+    except Exception as e:
+        message_cb(Severity.error, f"Render failed: {e}.")
+        return -1
+    finally:
+        capture.release()
+        writer.release()
+    message_cb(Severity.info, f"Wrote {out_path}")
     return 0
 
 

@@ -86,7 +86,8 @@ class Upscaler:
     # -- load: engine select + weights + renderer (img2img_load.cpp) -------
     def load(self, family: str, scale: int, noise: int,
              config: RenderConfig, sharding=None,
-             require_engine: bool = False) -> None:
+             require_engine: bool = False,
+             use_pallas: Optional[bool] = None) -> None:
         registry.validate(family, scale, noise)
         engine_cache.enable_persistent_cache(self.models_dir)
         stem = registry.weights_path(self.models_dir, family, scale, noise)
@@ -102,8 +103,12 @@ class Upscaler:
         else:
             self.logger.log(Severity.info, f"Using engine {found[0].name}")
 
+        if use_pallas is None:
+            # fused Pallas attention is TPU-only; dense XLA path elsewhere
+            use_pallas = jax.default_backend() not in ("cpu", "gpu")
         module, spec = registry.create_model(
-            family, scale, noise, dtype=config.precision.dtype
+            family, scale, noise, dtype=config.precision.dtype,
+            use_pallas=use_pallas,
         )
         params, from_file = registry.load_or_init_params(
             module, self.models_dir, family, scale, noise, tile=config.height,

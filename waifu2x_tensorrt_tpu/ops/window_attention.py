@@ -16,7 +16,10 @@ analytic in the token coordinates:
   masked(n, m)  = bottom & (row_region(n) != row_region(m))
                 | right  & (col_region(n) != col_region(m))
 
-Flags ride as scalar-prefetch data (SMEM), per PrefetchScalarGridSpec.
+Flags ride as a tiny (BW, 1) int32 VMEM block per grid step and the mask is
+built with pure broadcasting (Mosaic supports neither dynamic VMEM indexing
+nor >1 matmul batch dim, so the (WB, nh) batch is folded to one axis and the
+per-window loop is vectorized away).
 """
 
 from __future__ import annotations
@@ -64,51 +67,48 @@ def _mask_from_flags(flags, ws: int, shift: int):
     return jnp.where(crossing, -1e9, 0.0).astype(jnp.float32)
 
 
-def _kernel(flags_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *, ws, shift, wb):
+def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
+            wb, nh):
+    # Mosaic's tpu.matmul supports at most ONE batch dim: fold (WB, nh)
+    # into a single leading batch axis for both dots.
     N = ws * ws
-    blk = pl.program_id(0)
 
-    q = q_ref[:]  # (WB, nh, N, hd)
-    k = k_ref[:]
-    v = v_ref[:]
-    hd = q.shape[-1]
+    hd = q_ref.shape[-1]
+    q = q_ref[:].reshape(wb * nh, N, hd)
+    k = k_ref[:].reshape(wb * nh, N, hd)
+    v = v_ref[:].reshape(wb * nh, N, hd)
     scale = jnp.asarray(hd ** -0.5, q.dtype)
 
     attn = jax.lax.dot_general(
         q * scale, k,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (WB, nh, N, N) fp32
-    attn = attn + bias_ref[:][None].astype(jnp.float32)
+    )  # (WB*nh, N, N) fp32
+    attn = attn.reshape(wb, nh, N, N) + bias_ref[:][None].astype(jnp.float32)
 
     if shift:
-        # analytic shift mask from per-window flags (see module docstring)
+        # analytic shift mask from per-window flags (see module docstring),
+        # fully vectorized: no dynamic indexing (unsupported in Mosaic).
         tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
         tok_m = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        row_r = (tok // ws) >= (ws - shift)
-        row_rm = (tok_m // ws) >= (ws - shift)
-        col_r = (tok % ws) >= (ws - shift)
-        col_rm = (tok_m % ws) >= (ws - shift)
-        row_cross = row_r != row_rm  # (N, N)
-        col_cross = col_r != col_rm
-
-        def per_window(w, a):
-            f = flags_ref[blk * wb + w]
-            bottom = (f & 1) > 0
-            right = (f & 2) > 0
-            crossing = (bottom & row_cross) | (right & col_cross)
-            aw = a[w] + jnp.where(crossing, -1e9, 0.0)[None]
-            return a.at[w].set(aw)
-
-        attn = jax.lax.fori_loop(0, wb, per_window, attn)
+        row_cross = ((tok // ws) >= (ws - shift)) != (
+            (tok_m // ws) >= (ws - shift))
+        col_cross = ((tok % ws) >= (ws - shift)) != (
+            (tok_m % ws) >= (ws - shift))
+        flags = flags_ref[:]  # (wb, 1) int32 block
+        bottom = ((flags & 1) > 0)[:, :, None, None]  # (wb, 1, 1, 1)
+        right = ((flags & 2) > 0)[:, :, None, None]
+        crossing = (bottom & row_cross[None, None]) | (
+            right & col_cross[None, None])  # (wb, 1, N, N)
+        attn = attn + jnp.where(crossing, -1e9, 0.0)
 
     attn = jax.nn.softmax(attn, axis=-1)
     out = jax.lax.dot_general(
-        attn.astype(v.dtype), v,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        attn.reshape(wb * nh, N, N).astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = out.astype(o_ref.dtype)
+    o_ref[:] = out.reshape(wb, nh, N, hd).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "ws", "block_windows",
@@ -138,21 +138,27 @@ def fused_window_attention(q, k, v, bias, flags, *, shift: int = 0,
         flags = jnp.pad(flags, (0, pad))
     n_blocks = (BW + pad) // wb
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((wb, nh, N, hd), lambda i, flags: (i, 0, 0, 0)),
-            pl.BlockSpec((wb, nh, N, hd), lambda i, flags: (i, 0, 0, 0)),
-            pl.BlockSpec((wb, nh, N, hd), lambda i, flags: (i, 0, 0, 0)),
-            pl.BlockSpec((nh, N, N), lambda i, flags: (0, 0, 0)),
+            pl.BlockSpec((wb, nh, N, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, nh, N, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, nh, N, hd), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((wb, nh, N, hd), lambda i, flags: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((wb, nh, N, hd), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, ws=ws, shift=shift, wb=wb),
+        functools.partial(_kernel, ws=ws, shift=shift, wb=wb, nh=nh),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(flags, q, k, v, bias)
+    )(q, k, v, bias, flags.reshape(-1, 1).astype(jnp.int32))
     return out[:BW] if pad else out
