@@ -1,0 +1,121 @@
+"""Engine cache tests: hashing, sidecar roundtrip, selection semantics."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from waifu2x_tensorrt_tpu.engine.cache import (
+    deserialize_config,
+    engine_sidecar_path,
+    find_engine,
+    serialize_config,
+    write_engine_sidecar,
+)
+from waifu2x_tensorrt_tpu.engine.config import (
+    BuildConfig,
+    Precision,
+    RenderConfig,
+    is_compatible,
+    is_optimized,
+)
+from waifu2x_tensorrt_tpu.utils.hashing import config_hash, short_hash
+
+
+def _build(opt_batch=4, opt_tile=256, prec=Precision.FP16, span=True):
+    return BuildConfig(
+        precision=prec,
+        min_batch_size=1 if span else opt_batch,
+        opt_batch_size=opt_batch,
+        max_batch_size=8 if span else opt_batch,
+        min_width=64 if span else opt_tile,
+        opt_width=opt_tile,
+        max_width=640 if span else opt_tile,
+        min_height=64 if span else opt_tile,
+        opt_height=opt_tile,
+        max_height=640 if span else opt_tile,
+    )
+
+
+def _render(batch=4, tile=256, prec=Precision.FP16):
+    return RenderConfig(precision=prec, batch_size=batch, height=tile,
+                        width=tile)
+
+
+class TestHash:
+    def test_layout_and_stability(self):
+        cfg = _build()
+        h = config_hash(cfg, device_name="TPU v5 lite")
+        # whitespace stripped from device name, like the reference
+        assert h == config_hash(cfg, device_name="TPUv5lite")
+        assert len(short_hash(cfg, "x")) == 16
+        assert short_hash(cfg, "a") != short_hash(cfg, "b")
+        cfg2 = _build(opt_batch=5)
+        assert short_hash(cfg, "a") != short_hash(cfg2, "a")
+
+
+class TestSidecar:
+    def test_roundtrip(self, tmp_path):
+        cfg = _build()
+        stem = tmp_path / "noise1_scale2x.npz"
+        path = write_engine_sidecar(stem, cfg, device_name="TestChip")
+        assert path.name.startswith("noise1_scale2x_")
+        assert path.name.endswith(".engine.json")
+        back, dev = deserialize_config(path)
+        assert dev == "TestChip"
+        assert back.precision == cfg.precision
+        assert back.opt_width == cfg.opt_width
+        assert back.min_batch_size == cfg.min_batch_size
+        # serialized field names match the reference sidecar format
+        j = json.loads(path.read_text())
+        assert set(j) == {
+            "deviceName", "precision", "minBatchSize", "optBatchSize",
+            "maxBatchSize", "minChannels", "optChannels", "maxChannels",
+            "minWidth", "optWidth", "maxWidth", "minHeight", "optHeight",
+            "maxHeight",
+        }
+
+
+class TestSelection:
+    def test_compat_and_opt_predicates(self):
+        b = _build(opt_batch=4, opt_tile=256)
+        assert is_compatible(_render(4, 256), b)
+        assert is_optimized(_render(4, 256), b)
+        assert is_compatible(_render(2, 128), b)
+        assert not is_optimized(_render(2, 128), b)
+        assert not is_compatible(_render(16, 256), b)  # batch > max
+        assert not is_compatible(_render(4, 1024), b)  # tile > max
+        assert not is_compatible(
+            _render(4, 256, prec=Precision.TF32), b)  # precision mismatch
+
+    def test_optimized_beats_first_compatible(self, tmp_path):
+        stem = tmp_path / "scale2x.npz"
+        # compatible-range engine written first (alphabetically earlier too)
+        write_engine_sidecar(stem, _build(opt_batch=1, opt_tile=64),
+                             device_name="Chip")
+        exact = write_engine_sidecar(stem, _build(opt_batch=4, opt_tile=256,
+                                                  span=False),
+                                     device_name="Chip")
+        got = find_engine(stem, _render(4, 256), device_name="Chip")
+        assert got is not None and got[0] == exact
+
+    def test_falls_back_to_compatible(self, tmp_path):
+        stem = tmp_path / "scale2x.npz"
+        p = write_engine_sidecar(stem, _build(opt_batch=1, opt_tile=64),
+                                 device_name="Chip")
+        got = find_engine(stem, _render(4, 256), device_name="Chip")
+        assert got is not None and got[0] == p
+
+    def test_device_mismatch_rejected(self, tmp_path):
+        stem = tmp_path / "scale2x.npz"
+        write_engine_sidecar(stem, _build(), device_name="OtherChip")
+        assert find_engine(stem, _render(), device_name="Chip") is None
+
+    def test_ignores_other_stems_and_garbage(self, tmp_path):
+        stem = tmp_path / "scale2x.npz"
+        write_engine_sidecar(tmp_path / "noise1_scale2x.npz", _build(),
+                             device_name="Chip")
+        # note: "noise1_scale2x" does NOT start with "scale2x"... but
+        # "scale2x_xxx" DOES start with "scale2x" — garbage sidecar:
+        (tmp_path / "scale2x_garbage.engine.json").write_text("not json")
+        assert find_engine(stem, _render(), device_name="Chip") is None
