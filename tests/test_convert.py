@@ -208,3 +208,91 @@ def test_onnx_reader_roundtrip(tmp_path):
     inits = read_initializers(p)
     assert list(inits) == ["w1"]
     np.testing.assert_array_equal(inits["w1"], arr)
+
+
+class TorchSwinBlockMirror(tnn.Module):
+    """Torch mirror of one no-shift SwinBlock on a single 8x8 window —
+    numerically validates every swin converter transform (LN scale/bias,
+    qkv/proj/mlp Linear transpose, relative-position-bias table)."""
+
+    class _Attn(tnn.Module):
+        def __init__(self, dim, heads, ws):
+            super().__init__()
+            self.qkv = tnn.Linear(dim, 3 * dim)
+            self.proj = tnn.Linear(dim, dim)
+            self.relative_position_bias_table = tnn.Parameter(
+                torch.randn((2 * ws - 1) ** 2, heads) * 0.02
+            )
+
+    def __init__(self, dim=96, heads=3, ws=8):
+        super().__init__()
+        self.dim, self.heads, self.ws = dim, heads, ws
+        self.norm1 = tnn.LayerNorm(dim)
+        self.attn = self._Attn(dim, heads, ws)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.mlp_fc1 = tnn.Linear(dim, dim * 2)
+        self.mlp_fc2 = tnn.Linear(dim * 2, dim)
+
+    def forward(self, x):  # x: (1, ws, ws, dim)
+        from waifu2x_tensorrt_tpu.models.swin_unet import (
+            _relative_position_index,
+        )
+
+        ws, nh = self.ws, self.heads
+        hd = self.dim // nh
+        n = ws * ws
+        y = self.norm1(x).reshape(1, n, self.dim)
+        qkv = self.attn.qkv(y).reshape(1, n, 3, nh, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (1, nh, n, hd)
+        attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+        idx = torch.from_numpy(_relative_position_index(ws)).long()
+        bias = self.attn.relative_position_bias_table[idx.reshape(-1)]
+        bias = bias.reshape(n, n, nh).permute(2, 0, 1)
+        attn = torch.softmax(attn + bias[None], dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(1, n, self.dim)
+        x = x + self.attn.proj(out).reshape(1, ws, ws, self.dim)
+        y = self.norm2(x)
+        y = self.mlp_fc2(torch.nn.functional.gelu(self.mlp_fc1(y)))
+        return x + y
+
+
+def test_swin_block_converter_equivalence():
+    from waifu2x_tensorrt_tpu.models.convert import swin_from_torch
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinBlock
+    import jax.numpy as jnp
+
+    torch.manual_seed(0)
+    tblock = TorchSwinBlockMirror().eval()
+    sd = {f"swin1.block0.{k}": v for k, v in tblock.state_dict().items()}
+    # reuse the full-mapping converter, then pull the one block out
+    params = swin_from_torch(sd, 2, depths=(1, 0, 0, 0, 0), strict=False)
+    block_params = params["swin1"]["block0"]
+
+    x = np.random.default_rng(0).random((1, 8, 8, 96)).astype(np.float32)
+    with torch.no_grad():
+        ref = tblock(torch.from_numpy(x)).numpy()
+    fblock = SwinBlock(96, 3, shift=0)
+    got = np.asarray(fblock.apply({"params": block_params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=3e-5)
+
+
+def test_swin_full_mapping_is_structurally_complete():
+    """The converter's flax paths must exactly cover a real init tree."""
+    from waifu2x_tensorrt_tpu.models.convert import swin_mapping
+    from waifu2x_tensorrt_tpu.models.registry import (
+        _flatten,
+        create_model,
+        init_params,
+    )
+
+    module, _ = create_model("swin_unet/art", 2, -1)
+    flat = _flatten(init_params(module, tile=32))
+    expected_prefixes = set()
+    for _, dst, kind in swin_mapping(2):
+        if kind == "table":
+            expected_prefixes.add(dst)
+        elif kind == "norm":
+            expected_prefixes.update({f"{dst}/scale", f"{dst}/bias"})
+        else:
+            expected_prefixes.update({f"{dst}/kernel", f"{dst}/bias"})
+    assert set(flat) == expected_prefixes

@@ -124,3 +124,39 @@ def test_video_without_ffmpeg_raises(tmp_path, monkeypatch):
     cap = VideoCapture()
     with pytest.raises(RuntimeError, match="ffmpeg"):
         cap.open(tmp_path / "v.mp4")
+
+
+def test_cv2_fallback_roundtrip(tmp_path, monkeypatch):
+    """Without ffmpeg on PATH, video encode+decode falls back to OpenCV's
+    bundled codecs (capability the reference lacks)."""
+    monkeypatch.setenv("PATH", "/usr/bin:/bin")  # has no ffmpeg here
+    from waifu2x_tensorrt_tpu.io.video import have_ffmpeg
+
+    assert not have_ffmpeg()
+    # smooth gradient frames (random noise is incompressible for a lossy
+    # codec and inflates reconstruction error)
+    yy, xx = np.mgrid[0:48, 0:64]
+    frames = np.stack(
+        [np.stack([(xx * 4 + i * 16) % 256, (yy * 5) % 256,
+                   np.full_like(xx, i * 30)], -1) for i in range(8)]
+    ).astype(np.uint8)
+    out = tmp_path / "clip.mp4"
+    w = (VideoWriter().set_frame_size(64, 48).set_frame_rate(24)
+         .set_codec("libx264").set_pixel_format("yuv420p")
+         .set_constant_rate_factor(23).set_output_file(out))
+    w.open()
+    for f in frames:
+        w.write(f)
+    w.release()
+    assert out.exists() and out.stat().st_size > 0
+
+    cap = VideoCapture()
+    cap.open(out)
+    assert (cap.frame_width, cap.frame_height) == (64, 48)
+    assert cap.frame_count == 8
+    got = [cap.read() for _ in range(8)]
+    assert cap.read() is None
+    cap.release()
+    # lossy codec: just require gross similarity
+    err = np.mean(np.abs(np.stack(got).astype(int) - frames.astype(int)))
+    assert err < 40

@@ -275,13 +275,28 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
 
     try:
         writer.open()
-        for frame_index in range(capture.frame_count):
-            state["frame"] = frame_index + 1
+        if capture.frame_count == 1:
             frame = capture.read()
             if frame is None:
                 raise RuntimeError("decoder ended early")
-            out = engine.render(frame)
-            writer.write(out)
+            state["frame"] = 1
+            writer.write(engine.render(frame))
+        else:
+            # Double-buffered video loop: dispatch frame k+1 to the device
+            # before fetching/encoding frame k, so decode+encode overlap
+            # accelerator compute (the design goal the reference's single
+            # synchronous stream lacks, SURVEY.md §2 item 3).
+            pending = None
+            for frame_index in range(capture.frame_count):
+                state["frame"] = frame_index + 1
+                frame = capture.read()
+                if frame is None:
+                    raise RuntimeError("decoder ended early")
+                fut = engine.render_async(frame)
+                if pending is not None:
+                    writer.write(np.asarray(pending))
+                pending = fut
+            writer.write(np.asarray(pending))
     except Exception as e:
         message_cb(Severity.error, f"Render failed: {e}.")
         return -1

@@ -83,8 +83,16 @@ def make_render_fn(
             sharding.mesh.shape[a] for a in sharding.spec if a is not None
         ]))
     chunk = batch * n_dp
-    n_chunks = -(-n_steps // chunk)
-    padded_steps = n_chunks * chunk
+    # Full chunks via lax.map plus ONE exact-size remainder chunk: the
+    # reference pads the last partial batch with zero tiles and runs the
+    # model on them (img2img_render.cpp:281) — here the remainder runs at
+    # its true size instead, so no FLOPs are wasted (e.g. 18 tiles at
+    # batch 8 = 2 full chunks + a 2-tile chunk, not 24 tiles).
+    n_full = n_steps // chunk
+    rem = n_steps - n_full * chunk
+    # remainder still padded up to the dp-shard multiple when sharded
+    rem_padded = -(-rem // n_dp) * n_dp if rem else 0
+    n_chunks = n_full + (1 if rem else 0)
 
     in_origins = jnp.asarray(plan.input_origins)  # (T, 2) (y, x)
     out_origins = jnp.asarray(plan.output_origins)
@@ -116,17 +124,6 @@ def make_render_fn(
             # layout: aug-major (aug i block holds all tiles); remembered
             # below when inverting.
 
-        if padded_steps != n_steps:
-            tiles = jnp.concatenate(
-                [
-                    tiles,
-                    jnp.zeros((padded_steps - n_steps, th, tw, 3), tiles.dtype),
-                ],
-                0,
-            )
-
-        chunks = tiles.reshape(n_chunks, chunk, th, tw, 3)
-
         def apply_chunk(c):
             c = c.astype(compute_dtype)
             if sharding is not None:
@@ -134,11 +131,23 @@ def make_render_fn(
             y = module.apply({"params": params}, c)
             return y.astype(jnp.float32)
 
-        if n_chunks == 1:
-            outs = apply_chunk(chunks[0])[None]
-        else:
-            outs = jax.lax.map(apply_chunk, chunks)
-        outs = outs.reshape(padded_steps, oh, ow, 3)[:n_steps]
+        pieces = []
+        if n_full:
+            chunks = tiles[: n_full * chunk].reshape(n_full, chunk, th, tw, 3)
+            if n_full == 1:
+                full_out = apply_chunk(chunks[0])[None]
+            else:
+                full_out = jax.lax.map(apply_chunk, chunks)
+            pieces.append(full_out.reshape(n_full * chunk, oh, ow, 3))
+        if rem:
+            rem_tiles = tiles[n_full * chunk:]
+            if rem_padded != rem:
+                rem_tiles = jnp.concatenate(
+                    [rem_tiles,
+                     jnp.zeros((rem_padded - rem, th, tw, 3), tiles.dtype)], 0
+                )
+            pieces.append(apply_chunk(rem_tiles)[:rem])
+        outs = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
 
         if config.tta:
             outs = outs.reshape(DIHEDRAL_SIZE, plan.tile_count, oh, ow, 3)

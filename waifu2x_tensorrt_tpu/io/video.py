@@ -14,8 +14,12 @@ src/videoio/writer.cpp:15-167). Differences:
 - a background reader thread + bounded queue double-buffers decode against
   TPU compute (the "keep the chip fed" goal the reference lacks).
 
-ffmpeg/ffprobe binaries are required only for video paths, exactly like
-the reference; ``have_ffmpeg()`` gates them.
+ffmpeg/ffprobe binaries are the primary video path, exactly like the
+reference; ``have_ffmpeg()`` gates them. When they are absent, capture and
+writer fall back to OpenCV's bundled codecs (cv2.VideoCapture/VideoWriter)
+— a capability the reference lacks (it hard-requires external ffmpeg,
+README install notes). The cv2 writer ignores crf/pix_fmt (codec-level
+knobs ffmpeg owns); a warning seam reports the downgrade.
 """
 
 from __future__ import annotations
@@ -81,6 +85,7 @@ class VideoCapture:
 
     def __init__(self, prefetch: int = 4) -> None:
         self._proc: Optional[subprocess.Popen] = None
+        self._cv2 = None
         self._queue: Optional[_queue.Queue] = None
         self._reader: Optional[threading.Thread] = None
         self._image: Optional[np.ndarray] = None
@@ -106,10 +111,8 @@ class VideoCapture:
             return
 
         if not have_ffmpeg():
-            raise RuntimeError(
-                "ffmpeg/ffprobe are required for video input but were not "
-                "found on PATH"
-            )
+            self._open_cv2(path)
+            return
         info = probe(path)
         self.frame_width = int(info["width"])
         self.frame_height = int(info["height"])
@@ -133,6 +136,22 @@ class VideoCapture:
         self._queue = _queue.Queue(maxsize=self._prefetch)
         self._reader = threading.Thread(target=self._reader_loop, daemon=True)
         self._reader.start()
+
+    def _open_cv2(self, path: Path) -> None:
+        """Fallback decoder via OpenCV's bundled codecs (no ffmpeg)."""
+        import cv2
+
+        cap = cv2.VideoCapture(str(path))
+        if not cap.isOpened():
+            raise RuntimeError(
+                f"could not open {path}: no ffmpeg on PATH and OpenCV "
+                "could not decode it"
+            )
+        self._cv2 = cap
+        self.frame_width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.frame_height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        self.frame_rate = float(cap.get(cv2.CAP_PROP_FPS))
+        self.frame_count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
 
     @staticmethod
     def _count_frames(path: Path) -> int:
@@ -160,6 +179,11 @@ class VideoCapture:
 
     def read(self) -> Optional[np.ndarray]:
         """Next RGB uint8 frame, or None at end of stream."""
+        if self._cv2 is not None:
+            ok, frame = self._cv2.read()
+            if not ok:
+                return None
+            return frame[:, :, ::-1].copy()  # BGR -> RGB
         if self._image is not None:
             if self._image_read:
                 return None
@@ -170,6 +194,9 @@ class VideoCapture:
         return self._queue.get()
 
     def release(self) -> None:
+        if self._cv2 is not None:
+            self._cv2.release()
+            self._cv2 = None
         if self._proc is not None:
             try:
                 self._proc.stdout.close()
@@ -198,6 +225,7 @@ class VideoWriter:
 
     def __init__(self) -> None:
         self._proc: Optional[subprocess.Popen] = None
+        self._cv2 = None
         self._opened = False
         self._frame_size: tuple[int, int] = (0, 0)  # (w, h)
         self._frame_rate: float = -1.0
@@ -270,9 +298,8 @@ class VideoWriter:
             self._opened = True
             return
         if not have_ffmpeg():
-            raise RuntimeError(
-                "ffmpeg is required for video output but was not found on PATH"
-            )
+            self._open_cv2(w, h)
+            return
         cmd = ["ffmpeg", "-v", "error", "-y", "-f", "rawvideo",
                "-vcodec", "rawvideo", "-s", f"{w}x{h}", "-pix_fmt", "rgb24"]
         if self._frame_rate > 0:
@@ -291,6 +318,23 @@ class VideoWriter:
         self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
         self._opened = True
 
+    def _open_cv2(self, w: int, h: int) -> None:
+        """Fallback encoder via OpenCV (no ffmpeg): mp4v codec; crf and
+        pix_fmt are ffmpeg-level knobs and are ignored here."""
+        import cv2
+
+        fps = self._frame_rate if self._frame_rate > 0 else 30.0
+        self._output.parent.mkdir(parents=True, exist_ok=True)
+        writer = cv2.VideoWriter(
+            str(self._output), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+        )
+        if not writer.isOpened():
+            raise RuntimeError(
+                "no ffmpeg on PATH and OpenCV could not open an encoder"
+            )
+        self._cv2 = writer
+        self._opened = True
+
     def is_opened(self) -> bool:
         return self._opened
 
@@ -306,9 +350,15 @@ class VideoWriter:
             write_image(self._output, frame)
             self._png_written = True
             return
+        if self._cv2 is not None:
+            self._cv2.write(np.ascontiguousarray(frame[:, :, ::-1]))  # RGB->BGR
+            return
         self._proc.stdin.write(np.ascontiguousarray(frame).tobytes())
 
     def release(self) -> None:
+        if self._cv2 is not None:
+            self._cv2.release()
+            self._cv2 = None
         if self._proc is not None:
             try:
                 self._proc.stdin.close()

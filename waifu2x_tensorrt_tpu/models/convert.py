@@ -39,6 +39,8 @@ __all__ = [
     "dense_weight",
     "cunet_from_torch",
     "cunet_from_onnx",
+    "swin_from_torch",
+    "swin_mapping",
 ]
 
 
@@ -145,6 +147,73 @@ def cunet_from_onnx(path: str | Path, scale: int) -> dict:
     from waifu2x_tensorrt_tpu.models.onnx_reader import read_initializers
 
     return cunet_from_torch(read_initializers(path), scale)
+
+
+def swin_mapping(scale: int, depths=(2, 2, 6, 2, 2)) -> list[tuple[str, str, str]]:
+    """(torch_path, flax_path, kind) for the SwinUNet reconstruction
+    (models/swin_unet.py). kind: conv | dense | norm | table.
+
+    Torch-side names follow the canonical mirror used by
+    tests/test_convert.py; for real upstream checkpoints the left column
+    is the seam to adapt (rename upstream keys to this scheme, then the
+    layout transforms below are proven exact).
+    """
+    entries: list[tuple[str, str, str]] = [
+        ("patch_conv1", "patch_conv1", "conv"),
+        ("patch_conv2", "patch_conv2", "conv"),
+        ("down1", "down1", "conv"),
+        ("down2", "down2", "conv"),
+        ("up2", "up2", "dense"),
+        ("up1", "up1", "dense"),
+        ("to_image", "to_image", "conv"),
+    ]
+    for stage, depth in (("swin1", depths[0]), ("swin2", depths[2]),
+                         ("swin3", depths[3])):
+        for i in range(depth):
+            b = f"{stage}.block{i}"
+            fb = f"{stage}/block{i}"
+            entries += [
+                (f"{b}.norm1", f"{fb}/norm1", "norm"),
+                (f"{b}.attn.qkv", f"{fb}/attn/qkv", "dense"),
+                (f"{b}.attn.proj", f"{fb}/attn/proj", "dense"),
+                (f"{b}.attn.relative_position_bias_table",
+                 f"{fb}/attn/relative_position_bias", "table"),
+                (f"{b}.norm2", f"{fb}/norm2", "norm"),
+                (f"{b}.mlp_fc1", f"{fb}/mlp_fc1", "dense"),
+                (f"{b}.mlp_fc2", f"{fb}/mlp_fc2", "dense"),
+            ]
+    return entries
+
+
+def swin_from_torch(state_dict: Mapping[str, "object"], scale: int,
+                    depths=(2, 2, 6, 2, 2), strict: bool = True) -> dict:
+    """Convert a torch SwinUNet-mirror state_dict to a flax param tree.
+
+    strict=False skips mapping entries absent from the state_dict (useful
+    for partial/per-module conversion)."""
+    flat: dict[str, np.ndarray] = {}
+    for src, dst, kind in swin_mapping(scale, depths):
+        probe_key = src if kind == "table" else f"{src}.weight"
+        if probe_key not in state_dict:
+            if strict:
+                raise KeyError(f"missing source weight {probe_key!r}")
+            continue
+        if kind == "table":
+            flat[dst] = _to_np(state_dict[src]).astype(np.float32)
+            continue
+        w = _to_np(state_dict[f"{src}.weight"]).astype(np.float32)
+        if kind == "conv":
+            flat[f"{dst}/kernel"] = conv_weight(w)
+        elif kind == "dense":
+            flat[f"{dst}/kernel"] = dense_weight(w)
+        elif kind == "norm":
+            flat[f"{dst}/scale"] = w
+        bias_key = f"{src}.bias"
+        if bias_key in state_dict:
+            flat[f"{dst}/bias"] = _to_np(state_dict[bias_key]).astype(np.float32)
+    from waifu2x_tensorrt_tpu.models.registry import _unflatten
+
+    return _unflatten(flat)
 
 
 def _to_np(t) -> np.ndarray:

@@ -182,14 +182,14 @@ class SwinBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + WindowAttention(
             self.dim, self.num_heads, shift=self.shift, dtype=self.dtype,
             use_pallas=self.use_pallas, name="attn")(y)
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
                      name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # exact erf, matching torch nn.GELU
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
