@@ -67,13 +67,13 @@ def test_swin_pallas_path_matches_dense():
     import waifu2x_tensorrt_tpu.ops.window_attention as wa
     import functools
 
-    orig = wa.fused_window_attention
+    orig = wa.fused_window_attention_qkv
 
     def interp(*a, **kw):
         kw["interpret"] = True
         return orig(*a, **kw)
 
-    wa.fused_window_attention = interp
+    wa.fused_window_attention_qkv = interp
     try:
         m_dense = SwinUNet(scale=2, use_pallas=False)
         m_pallas = SwinUNet(scale=2, use_pallas=True)
@@ -87,4 +87,36 @@ def test_swin_pallas_path_matches_dense():
             np.asarray(y0), np.asarray(y1), atol=2e-5
         )
     finally:
-        wa.fused_window_attention = orig
+        wa.fused_window_attention_qkv = orig
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_qkv_kernel_matches_reference(shift):
+    """Packed-qkv kernel (v2 layout) == reference attention."""
+    from waifu2x_tensorrt_tpu.ops.window_attention import (
+        fused_window_attention_qkv,
+    )
+
+    bw, nh, n, hd = 12, 3, 64, 32
+    c = nh * hd
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.standard_normal((bw, n, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((nh, n, n)), jnp.float32) * 0.1
+    flags = jnp.asarray(np.tile(_shift_flags(2, 2), 3))
+
+    # unpack to reference layout (BW, nh, N, hd)
+    def unpack(off):
+        parts = [qkv[:, :, off * c + h * hd:off * c + (h + 1) * hd]
+                 for h in range(nh)]
+        return jnp.stack(parts, axis=1)  # (BW, nh, N, hd)
+
+    q, k, v = unpack(0), unpack(1), unpack(2)
+    ref = window_attention_reference(q, k, v, bias, flags, shift)
+    got = fused_window_attention_qkv(
+        qkv, bias, flags, num_heads=nh, shift=shift, block_windows=4,
+        interpret=True,
+    )
+    # repack reference (BW, nh, N, hd) -> (BW, N, C)
+    ref_packed = ref.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_packed),
+                               atol=2e-5)

@@ -1,0 +1,87 @@
+"""Upscaler facade integration tests: load -> render against a per-tile
+numpy oracle running the same flax model (golden-path check of the whole
+engine: plan, pad, gather, batch chunking, blend, scatter, u8 cast)."""
+
+import numpy as np
+import pytest
+
+from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+from waifu2x_tensorrt_tpu.tiling import plan_tiles
+from waifu2x_tensorrt_tpu.utils.logging import Severity
+
+
+def test_upscaler_end_to_end_matches_per_tile_oracle(tmp_path):
+    import jax.numpy as jnp
+
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=4, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16), tta=False,
+    )
+    engine = Upscaler(models_dir=tmp_path / "models")
+    messages = []
+    engine.set_message_callback(lambda s, m: messages.append((s, m)))
+    engine.load("cunet/art", 2, 1, config)
+    assert any("random init" in m for _, m in messages)  # no weights
+
+    rng = np.random.default_rng(0)
+    frame = rng.integers(0, 256, (60, 40, 3), np.uint8)
+    out = engine.render(frame)
+    assert out.shape == (120, 80, 3) and out.dtype == np.uint8
+
+    # ---- per-tile oracle with the same params/model ----
+    module, spec = engine._module, engine.spec
+    params = engine.params
+    out_tile = spec.output_tile(64)
+    plan = plan_tiles((60, 40), (64, 64), (out_tile, out_tile), 2,
+                      config.overlap)
+    x = frame.astype(np.float32) / 255.0
+    pt, pb, pl, pr = plan.pad
+    padded = np.pad(x, ((pt, pb), (pl, pr), (0, 0)), mode="edge")
+    canvas = np.zeros((*plan.canvas_size, 3), np.float32)
+    for t in range(plan.tile_count):
+        iy, ix = plan.input_origins[t]
+        tile = padded[iy:iy + 64, ix:ix + 64]
+        pred = np.asarray(
+            module.apply({"params": params}, jnp.asarray(tile[None]))
+        )[0]
+        pred = pred * plan.row_weights[t][:, None, None]
+        pred = pred * plan.col_weights[t][None, :, None]
+        oy, ox = plan.output_origins[t]
+        canvas[oy:oy + out_tile, ox:ox + out_tile] += pred
+    ref = canvas[:120, :80]
+    ref_u8 = np.clip(np.round(ref * 255.0), 0, 255).astype(np.uint8)
+
+    diff = np.abs(out.astype(int) - ref_u8.astype(int))
+    assert diff.max() <= 1  # batch-vs-single fp association
+    assert (diff > 0).mean() < 0.005
+
+    # progress callback fired
+    engine.set_progress_callback(lambda c, t, s: messages.append(("p", c)))
+    engine.render(frame)
+    assert ("p", plan.tile_count) in messages
+
+
+def test_upscaler_require_engine_parity(tmp_path):
+    """require_engine=True reproduces the reference's hard failure when no
+    matching engine exists (img2img_load.cpp:111-113)."""
+    engine = Upscaler(models_dir=tmp_path / "models")
+    config = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
+                          width=64, scaling=2)
+    with pytest.raises(FileNotFoundError, match="could not satisfy render"):
+        engine.load("cunet/art", 2, 1, config, require_engine=True)
+
+
+def test_upscaler_render_before_load():
+    engine = Upscaler()
+    with pytest.raises(RuntimeError, match="load"):
+        engine.render(np.zeros((8, 8, 3), np.uint8))
+
+
+def test_upscaler_rejects_bad_frames(tmp_path):
+    engine = Upscaler(models_dir=tmp_path)
+    config = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
+                          width=64, scaling=2)
+    engine.load("cunet/art", 2, 1, config)
+    with pytest.raises(ValueError, match="expected"):
+        engine.render(np.zeros((8, 8), np.uint8))

@@ -112,11 +112,6 @@ class WindowAttention(nn.Module):
         n_windows, n_tok = xw.shape[1], xw.shape[2]
 
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(xw)
-        qkv = qkv.reshape(b, n_windows, n_tok, 3, nh, hd)
-        q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,nh,hd)
-        q = q.transpose(0, 1, 3, 2, 4)  # (B,nW,nh,N,hd)
-        k = k.transpose(0, 1, 3, 2, 4)
-        v = v.transpose(0, 1, 3, 2, 4)
 
         bias_table = self.param(
             "relative_position_bias",
@@ -129,23 +124,29 @@ class WindowAttention(nn.Module):
         bias = bias.transpose(2, 0, 1)  # (nh, N, N)
 
         if self.use_pallas:
+            # packed-qkv kernel: no (3, nh, hd) split/transpose ever leaves
+            # VMEM (ops/window_attention.py::fused_window_attention_qkv)
             from waifu2x_tensorrt_tpu.ops.window_attention import (
-                fused_window_attention,
+                fused_window_attention_qkv,
             )
 
             flags = jnp.asarray(
                 np.tile(_shift_flags(h // ws, w // ws), b)
             )
-            out = fused_window_attention(
-                q.reshape(b * n_windows, nh, n_tok, hd),
-                k.reshape(b * n_windows, nh, n_tok, hd),
-                v.reshape(b * n_windows, nh, n_tok, hd),
+            out = fused_window_attention_qkv(
+                qkv.reshape(b * n_windows, n_tok, 3 * c),
                 bias,
                 flags,
+                num_heads=nh,
                 shift=self.shift,
                 ws=ws,
-            ).reshape(b, n_windows, nh, n_tok, hd)
+            ).reshape(b, n_windows, n_tok, c)
         else:
+            qkv = qkv.reshape(b, n_windows, n_tok, 3, nh, hd)
+            q, k, v = (qkv[..., i, :, :] for i in range(3))  # (B,nW,N,nh,hd)
+            q = q.transpose(0, 1, 3, 2, 4)  # (B,nW,nh,N,hd)
+            k = k.transpose(0, 1, 3, 2, 4)
+            v = v.transpose(0, 1, 3, 2, 4)
             scale = hd ** -0.5
             attn = jnp.einsum(
                 "bwhnd,bwhmd->bwhnm", q * scale, k,
@@ -161,7 +162,8 @@ class WindowAttention(nn.Module):
                 "bwhnm,bwhmd->bwhnd", attn, v.astype(self.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(self.dtype)
-        out = out.transpose(0, 1, 3, 2, 4).reshape(b, n_windows, n_tok, c)
+            out = out.transpose(0, 1, 3, 2, 4).reshape(
+                b, n_windows, n_tok, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         out = _window_merge(out, h, w, ws)
 

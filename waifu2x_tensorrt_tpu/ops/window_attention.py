@@ -111,6 +111,106 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
     o_ref[:] = out.reshape(wb, nh, N, hd).astype(o_ref.dtype)
 
 
+def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
+                hd):
+    """Packed-layout kernel: qkv (wb, N, 3C) in, attention out (wb, N, C).
+
+    Consumes the Dense(3C) output directly — no (3, nh, hd) reshapes or
+    transposes ever materialize in HBM (those layout ops dominate the XLA
+    dense path's time; the minor dim stays a lane-rich 3C/C). Heads are
+    unrolled as static C-slices inside VMEM.
+    """
+    N = ws * ws
+    C = nh * hd
+    qkv = qkv_ref[:]  # (wb, N, 3C)
+    scale = jnp.asarray(hd ** -0.5, qkv.dtype)
+
+    if shift:
+        tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        tok_m = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        row_cross = ((tok // ws) >= (ws - shift)) != (
+            (tok_m // ws) >= (ws - shift))
+        col_cross = ((tok % ws) >= (ws - shift)) != (
+            (tok_m % ws) >= (ws - shift))
+        flags = flags_ref[:]  # (wb, 1)
+        bottom = ((flags & 1) > 0)[:, :, None]
+        right = ((flags & 2) > 0)[:, :, None]
+        crossing = (bottom & row_cross[None]) | (right & col_cross[None])
+        shift_mask = jnp.where(crossing, -1e9, 0.0)  # (wb, N, N) fp32
+    else:
+        shift_mask = None
+
+    outs = []
+    for h in range(nh):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        attn = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (wb, N, N)
+        attn = attn + bias_ref[h][None].astype(jnp.float32)
+        if shift_mask is not None:
+            attn = attn + shift_mask
+        attn = jax.nn.softmax(attn, axis=-1)
+        outs.append(jax.lax.dot_general(
+            attn.astype(v.dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ))
+    o_ref[:] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("shift", "ws", "num_heads",
+                                             "block_windows", "interpret"))
+def fused_window_attention_qkv(qkv, bias, flags, *, num_heads: int,
+                               shift: int = 0, ws: int = 8,
+                               block_windows: int = 16,
+                               interpret: bool = False):
+    """Pallas window attention over the packed qkv layout.
+
+    Args:
+      qkv: (BW, N, 3C) — the qkv projection output, heads interleaved as
+        [q_0..q_{nh-1} | k_0.. | v_0..] along the last dim.
+      bias: (nh, N, N) float32 relative-position bias.
+      flags: (BW,) int32 shift-boundary bitfield.
+    Returns:
+      (BW, N, C) attention output in qkv.dtype.
+    """
+    BW, N, threeC = qkv.shape
+    C = threeC // 3
+    hd = C // num_heads
+    wb = min(block_windows, BW)
+    pad = (-BW) % wb
+    if pad:
+        qkv = jnp.pad(qkv, [(0, pad), (0, 0), (0, 0)])
+        flags = jnp.pad(flags, (0, pad))
+    n_blocks = (BW + pad) // wb
+
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((wb, N, threeC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((wb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel_qkv, ws=ws, shift=shift, wb=wb,
+                          nh=num_heads, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BW + pad, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, bias, flags.reshape(-1, 1).astype(jnp.int32))
+    return out[:BW] if pad else out
+
+
 @functools.partial(jax.jit, static_argnames=("shift", "ws", "block_windows",
                                              "interpret"))
 def fused_window_attention(q, k, v, bias, flags, *, shift: int = 0,
