@@ -65,6 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model weight directory (default: models)")
     p.add_argument("--dp", type=int, default=1,
                    help="Data-parallel chips for the tile batch (0 = all)")
+    p.add_argument("--multihost", action="store_true",
+                   help="Shard input files across JAX processes "
+                        "(round-robin by process_index; run one process "
+                        "per host with jax.distributed initialized)")
 
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -184,6 +188,10 @@ def main(argv=None) -> int:
     # ---- render ----
     files = find_files_by_extension(args.inputs, DEFAULT_EXTENSIONS,
                                     args.recursive)
+    if args.multihost:
+        from waifu2x_tensorrt_tpu.parallel import shard_files
+
+        files = shard_files(files)
     if not files:
         message_cb(Severity.error, "No input files found.")
         return -1
