@@ -58,38 +58,6 @@ def test_fused_pads_ragged_window_count():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
 
-def test_swin_pallas_path_matches_dense():
-    """Full model: use_pallas=True (interpret via CPU) == dense einsum path."""
-    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
-    from waifu2x_tensorrt_tpu.models.registry import init_params
-
-    # interpret mode so it runs on CPU
-    import waifu2x_tensorrt_tpu.ops.window_attention as wa
-    import functools
-
-    orig = wa.fused_window_attention_qkv
-
-    def interp(*a, **kw):
-        kw["interpret"] = True
-        return orig(*a, **kw)
-
-    wa.fused_window_attention_qkv = interp
-    try:
-        m_dense = SwinUNet(scale=2, use_pallas=False)
-        m_pallas = SwinUNet(scale=2, use_pallas=True)
-        params = init_params(m_dense, tile=32)
-        x = jnp.asarray(
-            np.random.default_rng(0).random((1, 32, 32, 3)), jnp.float32
-        )
-        y0 = m_dense.apply({"params": params}, x)
-        y1 = m_pallas.apply({"params": params}, x)
-        np.testing.assert_allclose(
-            np.asarray(y0), np.asarray(y1), atol=2e-5
-        )
-    finally:
-        wa.fused_window_attention_qkv = orig
-
-
 @pytest.mark.parametrize("shift", [0, 4])
 def test_qkv_kernel_matches_reference(shift):
     """Packed-qkv kernel (v2 layout) == reference attention."""
@@ -120,3 +88,88 @@ def test_qkv_kernel_matches_reference(shift):
     ref_packed = ref.transpose(0, 2, 1, 3).reshape(bw, n, c)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref_packed),
                                atol=2e-5)
+
+
+class TestFusedBlock:
+    def _patch_interpret(self):
+        import waifu2x_tensorrt_tpu.ops.swin_block as sb
+
+        orig = sb.fused_swin_block
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        sb.fused_swin_block = interp
+        return sb, orig
+
+    @pytest.mark.parametrize("shift", [0, 4])
+    def test_fused_block_matches_dense(self, shift):
+        """Whole-block fusion == dense SwinBlock (same params)."""
+        from waifu2x_tensorrt_tpu.models.swin_unet import SwinBlock
+
+        sb, orig = self._patch_interpret()
+        try:
+            dense = SwinBlock(96, 3, shift=shift)
+            fused = SwinBlock(96, 3, shift=shift, fused_block=True)
+            x = jnp.asarray(
+                np.random.default_rng(0).random((2, 16, 16, 96)), jnp.float32
+            )
+            params = dense.init(jax.random.PRNGKey(0), x)["params"]
+            y0 = dense.apply({"params": params}, x)
+            y1 = fused.apply({"params": params}, x)
+            np.testing.assert_allclose(
+                np.asarray(y0), np.asarray(y1), atol=3e-5
+            )
+        finally:
+            sb.fused_swin_block = orig
+
+    def test_param_trees_identical(self):
+        """use_pallas=True and False must init IDENTICAL param trees
+        (checkpoints interchange freely)."""
+        from waifu2x_tensorrt_tpu.models.swin_unet import SwinBlock
+        from waifu2x_tensorrt_tpu.models.registry import _flatten
+
+        sb, orig = self._patch_interpret()
+        try:
+            x = jnp.zeros((1, 16, 16, 96), jnp.float32)
+            pd = SwinBlock(96, 3).init(
+                jax.random.PRNGKey(0), x)["params"]
+            pp = SwinBlock(96, 3, fused_block=True).init(
+                jax.random.PRNGKey(0), x)["params"]
+            fd, fp = _flatten(pd), _flatten(pp)
+            assert sorted(fd) == sorted(fp)
+            for k in fd:
+                assert fd[k].shape == fp[k].shape, k
+                np.testing.assert_array_equal(fd[k], fp[k])  # same seed
+        finally:
+            sb.fused_swin_block = orig
+
+    def test_full_model_fused_matches_dense(self):
+        from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+        from waifu2x_tensorrt_tpu.models.registry import init_params
+        import waifu2x_tensorrt_tpu.ops.window_attention as wa
+
+        sb, orig = self._patch_interpret()
+        worig = wa.fused_window_attention_qkv
+
+        def winterp(*a, **kw):
+            kw["interpret"] = True
+            return worig(*a, **kw)
+
+        wa.fused_window_attention_qkv = winterp
+        try:
+            m_dense = SwinUNet(scale=2, use_pallas=False)
+            m_fused = SwinUNet(scale=2, use_pallas=True)
+            params = init_params(m_dense, tile=32)
+            x = jnp.asarray(
+                np.random.default_rng(1).random((1, 32, 32, 3)), jnp.float32
+            )
+            y0 = m_dense.apply({"params": params}, x)
+            y1 = m_fused.apply({"params": params}, x)
+            np.testing.assert_allclose(
+                np.asarray(y0), np.asarray(y1), atol=3e-5
+            )
+        finally:
+            sb.fused_swin_block = orig
+            wa.fused_window_attention_qkv = worig

@@ -172,8 +172,69 @@ class WindowAttention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Declares kernel/bias with nn.Dense's names/inits, without computing —
+    lets the fused-block kernel own the math while keeping the parameter
+    tree identical to the dense path."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "kernel": self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.fin, self.fout), jnp.float32),
+            "bias": self.param("bias", nn.initializers.zeros,
+                               (self.fout,), jnp.float32),
+        }
+
+
+class _NormParams(nn.Module):
+    """LayerNorm scale/bias params (names/inits matching nn.LayerNorm)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "scale": self.param("scale", nn.initializers.ones,
+                                (self.dim,), jnp.float32),
+            "bias": self.param("bias", nn.initializers.zeros,
+                               (self.dim,), jnp.float32),
+        }
+
+
+class _AttnParams(nn.Module):
+    """WindowAttention's parameters (scope-compatible with the module)."""
+
+    dim: int
+    num_heads: int
+    window: int = WINDOW
+
+    @nn.compact
+    def __call__(self):
+        qkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        proj = _DenseParams(self.dim, self.dim, name="proj")()
+        table = self.param(
+            "relative_position_bias",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+            jnp.float32,
+        )
+        return qkv, proj, table
+
+
 class SwinBlock(nn.Module):
-    """Pre-norm transformer block: W-MSA/SW-MSA + 2x-expansion GELU MLP."""
+    """Pre-norm transformer block: W-MSA/SW-MSA + 2x-expansion GELU MLP.
+
+    With ``use_pallas`` the whole block runs as ONE fused TPU kernel
+    (ops/swin_block.py): LN1 -> qkv -> attention -> proj -> residual ->
+    LN2 -> MLP -> residual, with activations touching HBM once per block.
+    Cyclic shift commutes with the (pointwise) LayerNorms, so rolling the
+    raw input first is exactly equivalent to the dense path's
+    LN-then-roll ordering.
+    """
 
     dim: int
     num_heads: int
@@ -181,9 +242,17 @@ class SwinBlock(nn.Module):
     mlp_ratio: int = 2
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # EXPERIMENTAL whole-block fusion (ops/swin_block.py): numerically
+    # validated in interpret mode, but the compiled Mosaic lowering is
+    # currently pathological (~250x slower than the attention-only kernel
+    # on v5e — the in-kernel (wb,N,C)->(wb*N,C) flatten forces relayouts)
+    # and drifts in bf16. Kept for continued kernel work; NOT the default.
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fused_block:
+            return self._fused(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + WindowAttention(
             self.dim, self.num_heads, shift=self.shift, dtype=self.dtype,
@@ -194,6 +263,46 @@ class SwinBlock(nn.Module):
         y = nn.gelu(y, approximate=False)  # exact erf, matching torch nn.GELU
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
+
+    def _fused(self, x):
+        from waifu2x_tensorrt_tpu.ops.swin_block import fused_swin_block
+
+        b, h, w, c = x.shape
+        ws = WINDOW
+        n1 = _NormParams(c, name="norm1")()
+        qkv, proj, table = _AttnParams(c, self.num_heads, name="attn")()
+        n2 = _NormParams(c, name="norm2")()
+        fc1 = _DenseParams(c, c * self.mlp_ratio, name="mlp_fc1")()
+        fc2 = _DenseParams(c * self.mlp_ratio, c, name="mlp_fc2")()
+
+        idx = jnp.asarray(_relative_position_index(ws))
+        n_tok = ws * ws
+        bias = table[idx.reshape(-1)].reshape(n_tok, n_tok, self.num_heads)
+        bias = bias.transpose(2, 0, 1)  # (nh, N, N)
+
+        if self.shift:
+            x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
+        xw = _window_split(x, ws)  # (B, nW, N, C)
+        n_windows = xw.shape[1]
+        flags = jnp.asarray(np.tile(_shift_flags(h // ws, w // ws), b))
+
+        kparams = {
+            "n1_scale": n1["scale"], "n1_bias": n1["bias"],
+            "qkv_kernel": qkv["kernel"], "qkv_bias": qkv["bias"],
+            "proj_kernel": proj["kernel"], "proj_bias": proj["bias"],
+            "n2_scale": n2["scale"], "n2_bias": n2["bias"],
+            "fc1_kernel": fc1["kernel"], "fc1_bias": fc1["bias"],
+            "fc2_kernel": fc2["kernel"], "fc2_bias": fc2["bias"],
+        }
+        out = fused_swin_block(
+            xw.reshape(b * n_windows, n_tok, c).astype(self.dtype),
+            kparams, bias, flags,
+            num_heads=self.num_heads, shift=self.shift, ws=ws,
+        ).reshape(b, n_windows, n_tok, c)
+        out = _window_merge(out, h, w, ws)
+        if self.shift:
+            out = jnp.roll(out, (self.shift, self.shift), axis=(1, 2))
+        return out
 
 
 class SwinStage(nn.Module):

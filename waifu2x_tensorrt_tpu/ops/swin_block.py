@@ -1,0 +1,209 @@
+"""Fully fused Swin transformer block as a single Pallas TPU kernel.
+
+One kernel computes, per block of windows, the ENTIRE pre-norm transformer
+block:
+
+    LN1 -> qkv GEMM -> per-head window attention (+rel bias, +shift mask)
+        -> proj GEMM -> residual -> LN2 -> fc1 GEMM -> erf GELU
+        -> fc2 GEMM -> residual
+
+so activations touch HBM exactly twice (read x, write out) instead of the
+~10 round-trips of the op-by-op XLA lowering. All weights fit VMEM
+(C<=192: qkv 0.11 MB + proj 0.07 + mlp 0.3 MB in bf16). The GEMMs flatten
+windows to (wb*64, C) so the MXU sees well-shaped matrices; attention
+follows the packed-qkv head-slicing scheme of
+ops/window_attention.py::fused_window_attention_qkv (see there for the
+analytic shift-mask derivation).
+
+The caller supplies window-partitioned inputs (BW, N, C); cyclic shift and
+window partition/merge stay in XLA (cheap strided copies).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LN_EPS = 1e-5
+
+
+def _erf(z):
+    """erf for Mosaic (no erf primitive): Abramowitz-Stegun 7.1.26
+    rational approximation, |abs err| <= 1.5e-7 — far inside the bf16
+    activation noise floor. fp32 in/out."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(z)
+    za = jnp.abs(z)
+    t = 1.0 / (1.0 + p * za)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-za * za))
+
+
+def _layernorm(x, scale, bias):
+    """Fast-variance LayerNorm in fp32 (matches nn.LayerNorm defaults)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    mean2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+
+
+def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
+              flags_ref, projk_ref, projb_ref, n2s_ref, n2b_ref,
+              fc1k_ref, fc1b_ref, fc2k_ref, fc2b_ref, o_ref,
+              *, ws, shift, wb, nh, hd):
+    N = ws * ws
+    C = nh * hd
+    dtype = x_ref.dtype
+
+    x = x_ref[:]  # (wb, N, C)
+
+    h = _layernorm(x, n1s_ref[0], n1b_ref[0]).astype(dtype)
+    h2d = h.reshape(wb * N, C)
+    qkv = jax.lax.dot_general(
+        h2d, qkvk_ref[:].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(dtype)
+    qkv = qkv.reshape(wb, N, 3 * C)
+
+    if shift:
+        tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        tok_m = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        row_cross = ((tok // ws) >= (ws - shift)) != (
+            (tok_m // ws) >= (ws - shift))
+        col_cross = ((tok % ws) >= (ws - shift)) != (
+            (tok_m % ws) >= (ws - shift))
+        flags = flags_ref[:]
+        bottom = ((flags & 1) > 0)[:, :, None]
+        right = ((flags & 2) > 0)[:, :, None]
+        crossing = (bottom & row_cross[None]) | (right & col_cross[None])
+        shift_mask = jnp.where(crossing, -1e9, 0.0)
+    else:
+        shift_mask = None
+
+    scale = jnp.asarray(hd ** -0.5, dtype)
+    head_outs = []
+    for head in range(nh):
+        q = qkv[:, :, head * hd:(head + 1) * hd]
+        k = qkv[:, :, C + head * hd:C + (head + 1) * hd]
+        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
+        attn = jax.lax.dot_general(
+            q * scale, k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        attn = attn + bias_ref[head][None].astype(jnp.float32)
+        if shift_mask is not None:
+            attn = attn + shift_mask
+        attn = jax.nn.softmax(attn, axis=-1)
+        head_outs.append(jax.lax.dot_general(
+            attn.astype(dtype), v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(dtype))
+    a = jnp.concatenate(head_outs, axis=-1).reshape(wb * N, C)
+
+    a = jax.lax.dot_general(
+        a, projk_ref[:].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a = a + projb_ref[0].astype(jnp.float32)
+    x1 = x + a.astype(dtype).reshape(wb, N, C)
+
+    m = _layernorm(x1, n2s_ref[0], n2b_ref[0]).astype(dtype)
+    z = jax.lax.dot_general(
+        m.reshape(wb * N, C), fc1k_ref[:].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    z = z + fc1b_ref[0].astype(jnp.float32)
+    # erf GELU matching jax.nn.gelu(approximate=False) to ~1e-7
+    g = 0.5 * z * (1.0 + _erf(z * jnp.float32(0.7071067811865476)))
+    g = g.astype(dtype)
+    out = jax.lax.dot_general(
+        g, fc2k_ref[:].astype(dtype),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + fc2b_ref[0].astype(jnp.float32)
+    o_ref[:] = x1 + out.astype(dtype).reshape(wb, N, C)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_heads", "shift", "ws", "block_windows", "interpret"))
+def fused_swin_block(x, params, bias, flags, *, num_heads: int,
+                     shift: int = 0, ws: int = 8, block_windows: int = 16,
+                     interpret: bool = False):
+    """Run one full Swin block over window-partitioned tokens.
+
+    Args:
+      x: (BW, N, C) window tokens.
+      params: dict with n1_scale, n1_bias, qkv_kernel (C,3C), qkv_bias,
+        proj_kernel (C,C), proj_bias, n2_scale, n2_bias, fc1_kernel (C,2C),
+        fc1_bias, fc2_kernel (2C,C), fc2_bias — float32.
+      bias: (nh, N, N) float32 relative-position bias (pre-gathered).
+      flags: (BW,) int32 shift-boundary bits.
+    Returns:
+      (BW, N, C) in x.dtype.
+    """
+    BW, N, C = x.shape
+    hd = C // num_heads
+    wb = min(block_windows, BW)
+    pad = (-BW) % wb
+    if pad:
+        x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
+        flags = jnp.pad(flags, (0, pad))
+    n_blocks = (BW + pad) // wb
+
+    def vec(name, dim):
+        return params[name].reshape(1, dim)
+
+    mlp_dim = params["fc1_kernel"].shape[1]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
+                                      memory_space=pltpu.VMEM)
+    blocked3 = pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(n_blocks,),
+        in_specs=[
+            blocked3,                                   # x
+            full((1, C)), full((1, C)),                 # n1 scale/bias
+            full((C, 3 * C)), full((1, 3 * C)),         # qkv
+            full((num_heads, N, N)),                    # rel bias
+            pl.BlockSpec((wb, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),      # flags
+            full((C, C)), full((1, C)),                 # proj
+            full((1, C)), full((1, C)),                 # n2 scale/bias
+            full((C, mlp_dim)), full((1, mlp_dim)),     # fc1
+            full((mlp_dim, C)), full((1, C)),           # fc2
+        ],
+        out_specs=blocked3,
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, ws=ws, shift=shift, wb=wb,
+                          nh=num_heads, hd=hd),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((BW + pad, N, C), x.dtype),
+        interpret=interpret,
+    )(
+        x,
+        vec("n1_scale", C), vec("n1_bias", C),
+        params["qkv_kernel"], vec("qkv_bias", 3 * C),
+        bias,
+        flags.reshape(-1, 1).astype(jnp.int32),
+        params["proj_kernel"], vec("proj_bias", C),
+        vec("n2_scale", C), vec("n2_bias", C),
+        params["fc1_kernel"], vec("fc1_bias", mlp_dim),
+        params["fc2_kernel"], vec("fc2_bias", C),
+    )
+    return out[:BW] if pad else out
