@@ -30,8 +30,7 @@ into the (replicated) canvas accumulator.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,14 +12,14 @@ from __future__ import annotations
 
 import time
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np
 
 from waifu2x_tensorrt_tpu.engine import cache as engine_cache
 from waifu2x_tensorrt_tpu.engine.config import BuildConfig, RenderConfig
-from waifu2x_tensorrt_tpu.engine.renderer import RendererCache, make_render_fn
+from waifu2x_tensorrt_tpu.engine.renderer import RendererCache
 from waifu2x_tensorrt_tpu.models import registry
 from waifu2x_tensorrt_tpu.utils.logging import Logger, Severity
 
@@ -45,8 +45,6 @@ class Upscaler:
     # -- build: AOT compile + sidecar (img2img_build.cpp:54-173) -----------
     def build(self, family: str, scale: int, noise: int,
               config: BuildConfig) -> None:
-        import jax.numpy as jnp
-
         registry.validate(family, scale, noise)
         engine_cache.enable_persistent_cache(self.models_dir)
         module, spec = registry.create_model(

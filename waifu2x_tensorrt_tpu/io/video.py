@@ -28,7 +28,6 @@ import shutil
 import subprocess
 import threading
 import queue as _queue
-from fractions import Fraction
 from pathlib import Path
 from typing import Optional
 

@@ -22,7 +22,7 @@ table and must be validated against real files before fidelity claims.
 from __future__ import annotations
 
 import functools
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
