@@ -85,3 +85,32 @@ def test_upscaler_rejects_bad_frames(tmp_path):
     engine.load("cunet/art", 2, 1, config)
     with pytest.raises(ValueError, match="expected"):
         engine.render(np.zeros((8, 8), np.uint8))
+
+
+def test_bucketed_render(tmp_path):
+    """--bucket pads frames up to a size class; exact-multiple frames are
+    untouched and odd sizes produce correctly cropped outputs with one
+    shared program."""
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=4, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16), tta=False,
+    )
+    engine = Upscaler(models_dir=tmp_path / "models")
+    engine.load("cunet/art", 2, 1, config, bucket=64)
+    rng = np.random.default_rng(2)
+
+    # exact multiple: identical to unbucketed
+    f64 = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    out_b = engine.render(f64)
+    engine2 = Upscaler(models_dir=tmp_path / "models")
+    engine2.load("cunet/art", 2, 1, config, bucket=0)
+    np.testing.assert_array_equal(out_b, engine2.render(f64))
+
+    # odd sizes share the (64, 128) program and crop correctly
+    progs = engine._renderers._programs
+    n0 = len(progs)
+    for hw in ((50, 70), (60, 65), (33, 100)):
+        frame = rng.integers(0, 256, (*hw, 3), np.uint8)
+        out = engine.render(frame)
+        assert out.shape == (hw[0] * 2, hw[1] * 2, 3)
+    assert len(progs) == n0 + 1  # all three bucketed to (64, 128)

@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "(reference exits on first error)")
     render.add_argument("--profile", default=None, metavar="DIR",
                         help="Capture a jax.profiler trace into DIR")
+    render.add_argument("--bucket", type=int, default=0, metavar="N",
+                        help="Pad frames up to multiples of N before "
+                             "rendering (bounds recompilations for "
+                             "mixed-size inputs; blend near padded edges "
+                             "uses replicated content)")
 
     sub.add_parser("build", help="Build model")
     return p
@@ -231,7 +236,7 @@ def main(argv=None) -> int:
     engine.set_progress_callback(progress_cb)
     try:
         engine.load(args.model, args.scale, args.noise, config,
-                    sharding=sharding)
+                    sharding=sharding, bucket=getattr(args, "bucket", 0))
     except Exception as e:
         message_cb(Severity.error, f"Engine load failed: {e}.")
         return -1

@@ -215,3 +215,23 @@ class RendererCache:
         """Render one frame (synchronous convenience wrapper)."""
         prog = self.get(frame_u8.shape[:2])
         return np.asarray(prog(params, jnp.asarray(frame_u8)))
+
+
+def bucket_frame(frame_u8: np.ndarray, bucket: int) -> tuple[np.ndarray, tuple[int, int]]:
+    """Edge-pad a frame up to the next (bucket x bucket) size class.
+
+    Mixed-size directory renders compile one XLA program per distinct frame
+    geometry (SURVEY.md §7 hard part (c)); bucketing trades a thin strip of
+    blend-boundary pixels near the padded right/bottom edges (they blend
+    with replicated-edge content) for a bounded number of compilations.
+    Returns (padded_frame, original_hw).
+    """
+    h, w = frame_u8.shape[:2]
+    if bucket <= 1:
+        return frame_u8, (h, w)
+    ph = (-h) % bucket
+    pw = (-w) % bucket
+    if not (ph or pw):
+        return frame_u8, (h, w)
+    padded = np.pad(frame_u8, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    return padded, (h, w)

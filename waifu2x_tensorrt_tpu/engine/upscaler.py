@@ -19,7 +19,7 @@ import numpy as np
 
 from waifu2x_tensorrt_tpu.engine import cache as engine_cache
 from waifu2x_tensorrt_tpu.engine.config import BuildConfig, RenderConfig
-from waifu2x_tensorrt_tpu.engine.renderer import RendererCache
+from waifu2x_tensorrt_tpu.engine.renderer import RendererCache, bucket_frame
 from waifu2x_tensorrt_tpu.models import registry
 from waifu2x_tensorrt_tpu.utils.logging import Logger, Severity
 
@@ -34,6 +34,7 @@ class Upscaler:
         self._renderers: Optional[RendererCache] = None
         self._render_config: Optional[RenderConfig] = None
         self._sharding = None
+        self._bucket = 0
 
     # -- callback seams (img2img_base.cpp:12-18) ---------------------------
     def set_message_callback(self, cb) -> None:
@@ -44,11 +45,17 @@ class Upscaler:
 
     # -- build: AOT compile + sidecar (img2img_build.cpp:54-173) -----------
     def build(self, family: str, scale: int, noise: int,
-              config: BuildConfig) -> None:
+              config: BuildConfig,
+              use_pallas: Optional[bool] = None) -> None:
         registry.validate(family, scale, noise)
         engine_cache.enable_persistent_cache(self.models_dir)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        # must match load()'s model so the persistent-cache entry is the
+        # one render() will look up
         module, spec = registry.create_model(
-            family, scale, noise, dtype=config.precision.dtype
+            family, scale, noise, dtype=config.precision.dtype,
+            use_pallas=use_pallas,
         )
         params, loaded = registry.load_or_init_params(
             module, self.models_dir, family, scale, noise,
@@ -85,7 +92,8 @@ class Upscaler:
     def load(self, family: str, scale: int, noise: int,
              config: RenderConfig, sharding=None,
              require_engine: bool = False,
-             use_pallas: Optional[bool] = None) -> None:
+             use_pallas: Optional[bool] = None,
+             bucket: int = 0) -> None:
         registry.validate(family, scale, noise)
         engine_cache.enable_persistent_cache(self.models_dir)
         stem = registry.weights_path(self.models_dir, family, scale, noise)
@@ -120,6 +128,7 @@ class Upscaler:
         self._params = jax.device_put(params)
         self._render_config = config
         self._sharding = sharding
+        self._bucket = bucket
         self._renderers = RendererCache(module, spec, config, sharding)
 
     # -- render (img2img_render.cpp:224-352) -------------------------------
@@ -130,9 +139,14 @@ class Upscaler:
         if frame_u8.ndim != 3 or frame_u8.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) frame, got {frame_u8.shape}")
         t0 = time.perf_counter()
+        frame_u8, (oh, ow) = bucket_frame(np.ascontiguousarray(frame_u8),
+                                          self._bucket)
         prog = self._renderers.get(frame_u8.shape[:2])
-        out_dev = prog(self._params, np.ascontiguousarray(frame_u8))
+        out_dev = prog(self._params, frame_u8)
         out = np.asarray(out_dev)
+        s = self._spec.scale
+        if out.shape[:2] != (oh * s, ow * s):
+            out = out[: oh * s, : ow * s]
         dt = time.perf_counter() - t0
         n_batches = prog.plan.tile_count  # progress granularity: tiles
         self.logger.progress(n_batches, n_batches, n_batches / max(dt, 1e-9))
@@ -141,7 +155,8 @@ class Upscaler:
     def render_async(self, frame_u8: np.ndarray):
         """Dispatch a frame render without blocking; returns the device
         array future (JAX async dispatch — the double-buffering seam the
-        reference approximates with its single CUDA stream)."""
+        reference approximates with its single CUDA stream). Bucketing is
+        not applied here: video frames share one geometry."""
         prog = self._renderers.get(frame_u8.shape[:2])
         return prog(self._params, np.ascontiguousarray(frame_u8))
 
