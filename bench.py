@@ -47,10 +47,10 @@ def main() -> None:
         overlap=(1 / 16, 1 / 16),
         tta=False,
     )
-    use_pallas = jax.default_backend() not in ("cpu", "gpu")
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
     module, spec = create_model(
         "swin_unet/art", scale, 3, dtype=config.precision.dtype,
-        use_pallas=use_pallas,
+        use_pallas=on_tpu, fused_block=on_tpu,
     )
     t0 = time.perf_counter()
     params = init_params(module, tile=32)

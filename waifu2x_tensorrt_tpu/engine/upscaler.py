@@ -49,13 +49,14 @@ class Upscaler:
               use_pallas: Optional[bool] = None) -> None:
         registry.validate(family, scale, noise)
         engine_cache.enable_persistent_cache(self.models_dir)
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use_pallas is None:
-            use_pallas = jax.default_backend() not in ("cpu", "gpu")
+            use_pallas = on_tpu
         # must match load()'s model so the persistent-cache entry is the
         # one render() will look up
         module, spec = registry.create_model(
             family, scale, noise, dtype=config.precision.dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
         )
         params, loaded = registry.load_or_init_params(
             module, self.models_dir, family, scale, noise,
@@ -109,15 +110,16 @@ class Upscaler:
         else:
             self.logger.log(Severity.info, f"Using engine {found[0].name}")
 
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use_pallas is None:
-            # Measured on v5e: the packed-qkv Pallas kernel is bit-identical
-            # to the XLA dense path and ~26% faster end-to-end (379 vs 301
-            # MP/s pure-model at batch 8) — default on for TPU backends,
-            # dense XLA elsewhere (cpu/gpu have no Mosaic).
-            use_pallas = jax.default_backend() not in ("cpu", "gpu")
+            # v5e measurements (pure model, batch 8): dense XLA 301 MP/s;
+            # fused attention (bit-exact) 379; whole-block fusion 465 and
+            # no further from fp32 truth than the dense bf16 path
+            # (BENCH_NOTES.md). Whole-block fusion is the TPU default.
+            use_pallas = on_tpu
         module, spec = registry.create_model(
             family, scale, noise, dtype=config.precision.dtype,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
         )
         params, from_file = registry.load_or_init_params(
             module, self.models_dir, family, scale, noise, tile=config.height,

@@ -92,11 +92,15 @@ def create_model(
     dtype: Any = None,
     clamp: bool = True,
     use_pallas: bool = False,
+    fused_block: bool = False,
 ):
     """Build the Flax module + spec for a (family, scale, noise) choice.
 
-    ``use_pallas`` routes swin_unet attention through the fused Pallas TPU
-    kernel (ops/window_attention.py); ignored for cunet.
+    swin_unet kernel selection (ignored for cunet):
+      ``fused_block``  — whole-transformer-block Pallas kernel
+                         (ops/swin_block.py, fastest measured on v5e);
+      ``use_pallas``   — fused attention only
+                         (ops/window_attention.py, bit-exact vs dense).
     """
     import jax.numpy as jnp
 
@@ -109,7 +113,8 @@ def create_model(
             module = _cunet.UpCUNet(dtype=dtype, clamp=clamp)
     else:
         module = _swin.SwinUNet(scale=scale, dtype=dtype, clamp=clamp,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas,
+                                fused_block=fused_block)
     return module, spec
 
 

@@ -313,6 +313,7 @@ class SwinStage(nn.Module):
     depth: int
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -323,6 +324,7 @@ class SwinStage(nn.Module):
                 shift=0 if i % 2 == 0 else WINDOW // 2,
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
+                fused_block=self.fused_block,
                 name=f"block{i}",
             )(x)
         return x
@@ -348,6 +350,7 @@ class SwinUNet(nn.Module):
     clamp: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    fused_block: bool = False
 
     offset: int = 0
 
@@ -380,20 +383,22 @@ class SwinUNet(nn.Module):
         e1 = nn.Conv(c, (2, 2), strides=(2, 2), padding="VALID",
                      dtype=self.dtype, name="down1")(s)
         e1 = SwinStage(c, c // 32, self.depths[0], dtype=self.dtype,
-                       use_pallas=self.use_pallas, name="swin1")(e1)
+                       use_pallas=self.use_pallas,
+                       fused_block=self.fused_block, name="swin1")(e1)
 
         e2 = nn.Conv(2 * c, (2, 2), strides=(2, 2), padding="VALID",
                      dtype=self.dtype, name="down2")(e1)
         e2 = SwinStage(2 * c, (2 * c) // 32, self.depths[2],
                        dtype=self.dtype, use_pallas=self.use_pallas,
-                       name="swin2")(e2)
+                       fused_block=self.fused_block, name="swin2")(e2)
 
         # Decoder with skip connections.
         d2 = nn.Dense(4 * c, dtype=self.dtype, name="up2")(e2)
         d2 = _pixel_shuffle(d2, 2)  # (hp/2, wp/2, C)
         d2 = d2 + e1
         d2 = SwinStage(c, c // 32, self.depths[3], dtype=self.dtype,
-                       use_pallas=self.use_pallas, name="swin3")(d2)
+                       use_pallas=self.use_pallas,
+                       fused_block=self.fused_block, name="swin3")(d2)
 
         d1 = nn.Dense(4 * half, dtype=self.dtype, name="up1")(d2)
         d1 = _pixel_shuffle(d1, 2)  # full res, C/2

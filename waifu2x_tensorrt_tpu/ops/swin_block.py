@@ -66,14 +66,12 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
     x = x_ref[:]  # (wb, N, C)
 
     h = _layernorm(x, n1s_ref[0], n1b_ref[0]).astype(dtype)
-    h2d = h.reshape(wb * N, C)
     qkv = jax.lax.dot_general(
-        h2d, qkvk_ref[:].astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        h, qkvk_ref[:].astype(dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (wb, N, 3C)
     qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(dtype)
-    qkv = qkv.reshape(wb, N, 3 * C)
 
     if shift:
         tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
@@ -110,20 +108,20 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).astype(dtype))
-    a = jnp.concatenate(head_outs, axis=-1).reshape(wb * N, C)
+    a = jnp.concatenate(head_outs, axis=-1)  # (wb, N, C)
 
     a = jax.lax.dot_general(
         a, projk_ref[:].astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     a = a + projb_ref[0].astype(jnp.float32)
-    x1 = x + a.astype(dtype).reshape(wb, N, C)
+    x1 = x + a.astype(dtype)
 
     m = _layernorm(x1, n2s_ref[0], n2b_ref[0]).astype(dtype)
     z = jax.lax.dot_general(
-        m.reshape(wb * N, C), fc1k_ref[:].astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        m, fc1k_ref[:].astype(dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     z = z + fc1b_ref[0].astype(jnp.float32)
@@ -132,11 +130,11 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
     g = g.astype(dtype)
     out = jax.lax.dot_general(
         g, fc2k_ref[:].astype(dtype),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     out = out + fc2b_ref[0].astype(jnp.float32)
-    o_ref[:] = x1 + out.astype(dtype).reshape(wb, N, C)
+    o_ref[:] = x1 + out.astype(dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
