@@ -176,3 +176,25 @@ def test_renderer_cache_reuses_programs():
     assert p1 is p2
     p3 = cache.get((64, 64))
     assert p3 is not p1
+
+
+def test_tta_with_sharding_combo():
+    """TTA (8x step expansion) + dp sharding in one program — the combo
+    exercises remainder padding to the dp multiple."""
+    from waifu2x_tensorrt_tpu.parallel import data_parallel_mesh, tile_sharding
+
+    mesh = data_parallel_mesh(8)
+    sharding = tile_sharding(mesh)
+    module = NearestUp(scale=2)
+    hw = (70, 90)
+    frame = np.random.default_rng(6).integers(0, 256, (*hw, 3), np.uint8)
+    cfg = _cfg(64, 3, 2, blend=0.0625, tta=True)
+    out_plain = np.asarray(
+        jax.jit(make_render_fn(module, _spec(2), _cfg(64, 3, 2, 0.0625), hw))(
+            {}, jnp.asarray(frame))
+    )
+    fn = make_render_fn(module, _spec(2), cfg, hw, sharding=sharding)
+    with mesh:
+        out_tta_sharded = np.asarray(jax.jit(fn)({}, jnp.asarray(frame)))
+    # equivariant model: TTA+sharding must equal the plain render
+    np.testing.assert_array_equal(out_plain, out_tta_sharded)
