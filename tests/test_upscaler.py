@@ -114,3 +114,44 @@ def test_bucketed_render(tmp_path):
         out = engine.render(frame)
         assert out.shape == (hw[0] * 2, hw[1] * 2, 3)
     assert len(progs) == n0 + 1  # all three bucketed to (64, 128)
+
+
+def test_fused_fallback_on_compile_failure(tmp_path, monkeypatch):
+    """If the fused-block program fails, render falls back to the
+    attention-only kernels and still produces output."""
+    import waifu2x_tensorrt_tpu.engine.upscaler as up
+
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=2, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16),
+    )
+    engine = Upscaler(models_dir=tmp_path / "models")
+    messages = []
+    engine.set_message_callback(lambda s, m: messages.append(m))
+    # cunet so the fallback path compiles fast; force the "fused" state and
+    # make the first program explode
+    engine.load("cunet/art", 2, 1, config)
+    engine._fused = True
+    engine._load_args = ("cunet/art", 2, 1, config, None, False)
+
+    real_get = engine._renderers.get
+    calls = {"n": 0}
+
+    class Exploding:
+        plan = type("P", (), {"tile_count": 1})
+
+        def __call__(self, *a):
+            raise RuntimeError("scoped vmem boom")
+
+    def fake_get(hw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return Exploding()
+        return real_get(hw)
+
+    engine._renderers.get = fake_get
+    frame = np.random.default_rng(0).integers(0, 256, (40, 40, 3), np.uint8)
+    out = engine.render(frame)
+    assert out.shape == (80, 80, 3)
+    assert any("falling back" in m for m in messages)
+    assert engine._fused is False

@@ -132,6 +132,9 @@ class Upscaler:
         self._sharding = sharding
         self._bucket = bucket
         self._renderers = RendererCache(module, spec, config, sharding)
+        self._load_args = (family, scale, noise, config, sharding,
+                           use_pallas)
+        self._fused = use_pallas and on_tpu
 
     # -- render (img2img_render.cpp:224-352) -------------------------------
     def render(self, frame_u8: np.ndarray) -> np.ndarray:
@@ -144,7 +147,29 @@ class Upscaler:
         frame_u8, (oh, ow) = bucket_frame(np.ascontiguousarray(frame_u8),
                                           self._bucket)
         prog = self._renderers.get(frame_u8.shape[:2])
-        out_dev = prog(self._params, frame_u8)
+        try:
+            out_dev = prog(self._params, frame_u8)
+        except Exception as e:
+            if not self._fused:
+                raise
+            # XLA occasionally scoped-vmem-OOMs compiling the whole-block
+            # fused kernel (NEXT_STEPS.md); fall back to the bit-exact
+            # attention-only kernel and retry once.
+            self.logger.log(
+                Severity.warn,
+                f"fused-block program failed ({type(e).__name__}); "
+                "falling back to attention-only kernels",
+            )
+            family, scale, noise, config, sharding, use_pallas =                 self._load_args
+            module, spec = registry.create_model(
+                family, scale, noise, dtype=config.precision.dtype,
+                use_pallas=use_pallas, fused_block=False,
+            )
+            self._module = module
+            self._fused = False
+            self._renderers = RendererCache(module, spec, config, sharding)
+            prog = self._renderers.get(frame_u8.shape[:2])
+            out_dev = prog(self._params, frame_u8)
         out = np.asarray(out_dev)
         s = self._spec.scale
         if out.shape[:2] != (oh * s, ow * s):
