@@ -58,9 +58,6 @@ def main() -> None:
     print(f"[bench] params init {time.perf_counter() - t0:.1f}s",
           file=sys.stderr, flush=True)
 
-    fn = make_render_fn(module, spec, config, frame_hw)
-    prog = jax.jit(fn)
-
     rng = np.random.default_rng(0)
     frame = rng.integers(0, 256, (*frame_hw, 3), np.uint8)
     frame_dev = jax.device_put(jnp.asarray(frame))
@@ -76,7 +73,24 @@ def main() -> None:
         return float(jnp.sum(o[::512, ::512].astype(jnp.int32)))
 
     t0 = time.perf_counter()
-    force(prog(params, frame_dev))
+    try:
+        fn = make_render_fn(module, spec, config, frame_hw)
+        prog = jax.jit(fn)
+        force(prog(params, frame_dev))
+    except Exception as e:
+        # whole-block kernel can flake at compile time (scoped-vmem,
+        # NEXT_STEPS.md); fall back to the attention-only kernel so the
+        # bench records a number instead of a crash.
+        print(f"[bench] fused-block compile failed ({type(e).__name__}); "
+              "falling back to attention-only kernels",
+              file=sys.stderr, flush=True)
+        module, spec = create_model(
+            "swin_unet/art", scale, 3, dtype=config.precision.dtype,
+            use_pallas=on_tpu, fused_block=False,
+        )
+        fn = make_render_fn(module, spec, config, frame_hw)
+        prog = jax.jit(fn)
+        force(prog(params, frame_dev))
     compile_s = time.perf_counter() - t0
     print(f"[bench] render program compile+first-run {compile_s:.1f}s "
           f"({fn.plan.tile_count} tiles, {fn.n_chunks} chunks)",
