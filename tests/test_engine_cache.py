@@ -99,11 +99,49 @@ class TestSelection:
         got = find_engine(stem, _render(4, 256), device_name="Chip")
         assert got is not None and got[0] == exact
 
-    def test_falls_back_to_compatible(self, tmp_path):
+    def test_falls_back_to_compatible_corner(self, tmp_path):
         stem = tmp_path / "scale2x.npz"
+        # span engine: min=(1,64,64) opt=(1,64,64) max=(8,640,640)
         p = write_engine_sidecar(stem, _build(opt_batch=1, opt_tile=64),
                                  device_name="Chip")
-        got = find_engine(stem, _render(4, 256), device_name="Chip")
+        # the max corner was AOT-compiled by build() -> claimable
+        got = find_engine(stem, _render(8, 640), device_name="Chip")
+        assert got is not None and got[0] == p
+
+    def test_in_range_but_uncompiled_not_claimed(self, tmp_path):
+        # XLA honesty rule: a TensorRT profile executes any in-range shape,
+        # but an XLA engine exists only for the compiled min/opt/max
+        # corners — claiming (4, 256) here would promise a warm engine and
+        # then compile from scratch at first render.
+        stem = tmp_path / "scale2x.npz"
+        write_engine_sidecar(stem, _build(opt_batch=1, opt_tile=64),
+                             device_name="Chip")
+        assert find_engine(stem, _render(4, 256), device_name="Chip") is None
+
+    def test_compiled_shapes_dedup_and_warm(self):
+        from waifu2x_tensorrt_tpu.engine.config import compiled_shapes, is_warm
+
+        b = _build(opt_batch=4, opt_tile=256)  # min (1,64), max (8,640)
+        assert compiled_shapes(b) == (
+            (1, 64, 64), (4, 256, 256), (8, 640, 640))
+        exact = _build(span=False)
+        assert compiled_shapes(exact) == ((4, 256, 256),)
+        assert is_warm(_render(8, 640), b)
+        assert not is_warm(_render(2, 128), b)
+
+    def test_device_id_does_not_block_match(self, tmp_path):
+        # A sidecar built at --device 0 must match a render at --device 1:
+        # device identity is keyed by the device-kind string, not the id
+        # (a deserialized sidecar cannot know the original id).
+        stem = tmp_path / "scale2x.npz"
+        built = BuildConfig(device_id=0, min_batch_size=4, opt_batch_size=4,
+                            max_batch_size=4, min_width=256, opt_width=256,
+                            max_width=256, min_height=256, opt_height=256,
+                            max_height=256)
+        p = write_engine_sidecar(stem, built, device_name="Chip")
+        render = RenderConfig(device_id=1, batch_size=4, height=256,
+                              width=256)
+        got = find_engine(stem, render, device_name="Chip")
         assert got is not None and got[0] == p
 
     def test_device_mismatch_rejected(self, tmp_path):

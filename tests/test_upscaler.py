@@ -87,6 +87,64 @@ def test_upscaler_rejects_bad_frames(tmp_path):
         engine.render(np.zeros((8, 8), np.uint8))
 
 
+def test_build_compiles_corners_and_load_matches(tmp_path):
+    """build() AOT-compiles every min/opt/max corner geometry and writes a
+    sidecar; a later load at any corner finds the engine, while an in-range
+    uncompiled geometry is honestly not claimed (no warm engine exists)."""
+    from waifu2x_tensorrt_tpu.engine.config import BuildConfig
+
+    build_cfg = BuildConfig(
+        precision=Precision.TF32,
+        min_batch_size=1, opt_batch_size=1, max_batch_size=2,
+        min_width=64, opt_width=64, max_width=128,
+        min_height=64, opt_height=64, max_height=128,
+    )
+    engine = Upscaler(models_dir=tmp_path / "models")
+    messages = []
+    engine.set_message_callback(lambda s, m: messages.append(m))
+    engine.build("cunet/art", 2, 1, build_cfg)
+    sidecars = list((tmp_path / "models" / "cunet" / "art").glob(
+        "*.engine.json"))
+    assert len(sidecars) == 1
+    assert any("geometries=((1, 64, 64), (2, 128, 128))" in m
+               for m in messages)
+
+    # corner geometry -> engine found; require_engine load succeeds
+    corner = RenderConfig(precision=Precision.TF32, batch_size=2, height=128,
+                          width=128, scaling=2)
+    engine2 = Upscaler(models_dir=tmp_path / "models")
+    engine2.load("cunet/art", 2, 1, corner, require_engine=True)
+
+    # in-range but uncompiled -> hard failure under require_engine
+    mid = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
+                       width=64, scaling=2)
+    with pytest.raises(FileNotFoundError):
+        Upscaler(models_dir=tmp_path / "models").load(
+            "cunet/art", 2, 1, mid, require_engine=True)
+
+
+def test_device_selection_is_real(tmp_path):
+    """--device N commits params (and therefore execution) to device N —
+    the cudaSetDevice analogue (img2img_load.cpp:129). Out-of-range ids
+    fail loudly."""
+    import jax
+
+    config = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
+                          width=64, scaling=2, device_id=1)
+    engine = Upscaler(models_dir=tmp_path / "models")
+    engine.load("cunet/art", 2, 1, config)
+    leaf = jax.tree_util.tree_leaves(engine.params)[0]
+    assert set(leaf.devices()) == {jax.devices()[1]}
+    frame = np.random.default_rng(0).integers(0, 256, (40, 40, 3), np.uint8)
+    out = engine.render(frame)
+    assert out.shape == (80, 80, 3)
+
+    bad = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
+                       width=64, scaling=2, device_id=99)
+    with pytest.raises(ValueError, match="out of range"):
+        Upscaler(models_dir=tmp_path / "models").load("cunet/art", 2, 1, bad)
+
+
 def test_bucketed_render(tmp_path):
     """--bucket pads frames up to a size class; exact-multiple frames are
     untouched and odd sizes produce correctly cropped outputs with one

@@ -28,6 +28,7 @@ from waifu2x_tensorrt_tpu.engine.config import (
     RenderConfig,
     is_compatible,
     is_optimized,
+    is_warm,
 )
 from waifu2x_tensorrt_tpu.utils.hashing import device_kind, short_hash
 
@@ -141,7 +142,14 @@ def find_engine(
             continue
         if dev != want_device:
             continue
-        if is_compatible(render_config, build_cfg):
+        # Range-compatible is necessary but not sufficient: an XLA engine
+        # only "exists" for geometries build() actually compiled (the
+        # min/opt/max corners), unlike a TensorRT profile which executes
+        # any in-range shape. Claiming an in-range-but-uncompiled match
+        # would promise a warm engine and then compile from scratch.
+        if is_compatible(render_config, build_cfg) and is_warm(
+            render_config, build_cfg
+        ):
             if is_optimized(render_config, build_cfg):
                 return path, build_cfg
             if best is None:

@@ -65,15 +65,51 @@ class RenderConfig:
 
 
 def is_compatible(render: RenderConfig, build: BuildConfig) -> bool:
-    """Range-compatibility check (reference img2img_load.cpp:9-20)."""
+    """Range-compatibility check (reference img2img_load.cpp:9-20).
+
+    Device identity is intentionally NOT compared here: the reference keys
+    engines on the CUDA device *name* (img2img_build.cpp:12) and
+    ``find_engine`` matches the recorded device-kind string, so comparing
+    the render-time ``device_id`` against a deserialized sidecar (which
+    cannot know the original id) would make ``--device N>0`` unmatchable.
+    """
     return (
-        render.device_id == build.device_id
-        and render.precision == build.precision
+        render.precision == build.precision
         and build.min_batch_size <= render.batch_size <= build.max_batch_size
         and build.min_channels <= render.channels <= build.max_channels
         and build.min_width <= render.width <= build.max_width
         and build.min_height <= render.height <= build.max_height
     )
+
+
+def compiled_shapes(build: BuildConfig) -> tuple[tuple[int, int, int], ...]:
+    """Distinct (batch, height, width) geometries that ``build()``
+    AOT-compiles for this config.
+
+    A TensorRT optimization profile executes *any* shape inside its
+    min..max range (img2img_load.cpp:9-27); an XLA executable is
+    shape-specialized, so the honest TPU equivalent is to compile the
+    min/opt/max corner geometries and let the engine cache claim a match
+    only for shapes that are actually warm.
+    """
+    shapes: list[tuple[int, int, int]] = []
+    for b, h, w in (
+        (build.min_batch_size, build.min_height, build.min_width),
+        (build.opt_batch_size, build.opt_height, build.opt_width),
+        (build.max_batch_size, build.max_height, build.max_width),
+    ):
+        if (b, h, w) not in shapes:
+            shapes.append((b, h, w))
+    return tuple(shapes)
+
+
+def is_warm(render: RenderConfig, build: BuildConfig) -> bool:
+    """True iff the render geometry is one the build actually compiled."""
+    return (
+        render.batch_size,
+        render.height,
+        render.width,
+    ) in compiled_shapes(build)
 
 
 def is_optimized(render: RenderConfig, build: BuildConfig) -> bool:

@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from waifu2x_tensorrt_tpu.engine import cache as engine_cache
+from waifu2x_tensorrt_tpu.engine import config as engine_config
 from waifu2x_tensorrt_tpu.engine.config import BuildConfig, RenderConfig
 from waifu2x_tensorrt_tpu.engine.renderer import RendererCache, bucket_frame
 from waifu2x_tensorrt_tpu.models import registry
@@ -35,6 +36,20 @@ class Upscaler:
         self._render_config: Optional[RenderConfig] = None
         self._sharding = None
         self._bucket = 0
+        self._device = None
+
+    def _select_device(self, device_id: int):
+        """Bind this engine to one accelerator (reference cudaSetDevice,
+        img2img_build.cpp:57 / img2img_load.cpp:129). Params and frames are
+        committed to the chosen device; jit follows input placement."""
+        devices = jax.devices()
+        if not (0 <= device_id < len(devices)):
+            raise ValueError(
+                f"--device {device_id} out of range: "
+                f"{len(devices)} device(s) available"
+            )
+        self._device = devices[device_id]
+        return self._device
 
     # -- callback seams (img2img_base.cpp:12-18) ---------------------------
     def set_message_callback(self, cb) -> None:
@@ -48,6 +63,7 @@ class Upscaler:
               config: BuildConfig,
               use_pallas: Optional[bool] = None) -> None:
         registry.validate(family, scale, noise)
+        self._select_device(config.device_id)
         engine_cache.enable_persistent_cache(self.models_dir)
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use_pallas is None:
@@ -63,29 +79,32 @@ class Upscaler:
             tile=config.opt_height,
             warn=lambda m: self.logger.log(Severity.warn, m),
         )
+        shapes = engine_config.compiled_shapes(config)
         self.logger.log(
             Severity.info,
             f"Building engine for {family} scale={scale} noise={noise} "
-            f"opt=({config.opt_batch_size},3,{config.opt_height},{config.opt_width}) "
+            f"geometries={shapes} "
             f"precision={config.precision.cache_tag}",
         )
         t0 = time.perf_counter()
-
-        def apply_tiles(p, x):
-            return module.apply({"params": p}, x)
-
-        shape = (config.opt_batch_size, config.opt_height, config.opt_width, 3)
-        x = jax.ShapeDtypeStruct(shape, config.precision.dtype)
-        lowered = jax.jit(apply_tiles).lower(params, x)
-        compiled = lowered.compile()
+        # AOT-compile every corner geometry of the profile so any shape
+        # find_engine() will later claim as a match is actually warm in the
+        # persistent cache (the TensorRT profile executes any in-range
+        # shape, img2img_build.cpp:101-120; XLA executables are
+        # shape-specialized, so warm == compiled).
+        apply_tiles = registry.tile_apply_fn(module)
+        flops = 0.0
+        for b, h, w in shapes:
+            x = jax.ShapeDtypeStruct((b, h, w, 3), config.precision.dtype)
+            compiled = jax.jit(apply_tiles).lower(params, x).compile()
+            flops = max(flops, compiled.cost_analysis().get("flops", 0.0))
         dt = time.perf_counter() - t0
         stem = registry.weights_path(self.models_dir, family, scale, noise)
         sidecar = engine_cache.write_engine_sidecar(stem, config)
-        flops = compiled.cost_analysis().get("flops", 0.0)
         self.logger.log(
             Severity.info,
-            f"Engine built in {dt:.1f}s ({flops / 1e9:.1f} GFLOP/step); "
-            f"sidecar {sidecar.name}; persistent cache at "
+            f"Engine built in {dt:.1f}s ({flops / 1e9:.1f} GFLOP/step at "
+            f"opt); sidecar {sidecar.name}; persistent cache at "
             f"{engine_cache.compilation_cache_dir(self.models_dir)}",
         )
 
@@ -96,6 +115,7 @@ class Upscaler:
              use_pallas: Optional[bool] = None,
              bucket: int = 0) -> None:
         registry.validate(family, scale, noise)
+        device = self._select_device(config.device_id)
         engine_cache.enable_persistent_cache(self.models_dir)
         stem = registry.weights_path(self.models_dir, family, scale, noise)
         found = engine_cache.find_engine(stem, config)
@@ -127,7 +147,11 @@ class Upscaler:
         )
         self._module = module
         self._spec = spec
-        self._params = jax.device_put(params)
+        # Committed placement: with a mesh sharding the mesh governs
+        # placement; otherwise params live on the selected device and jit
+        # executes there (the cudaSetDevice analogue).
+        self._params = (jax.device_put(params) if sharding is not None
+                        else jax.device_put(params, device))
         self._render_config = config
         self._sharding = sharding
         self._bucket = bucket

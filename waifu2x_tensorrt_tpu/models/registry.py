@@ -118,6 +118,18 @@ def create_model(
     return module, spec
 
 
+def tile_apply_fn(module):
+    """The (params, tile_batch) -> tile_batch forward shared by build()
+    (AOT warm-up) and the chunked render path. Both must trace the same
+    graph so the persistent-cache entry written at build time is exactly
+    the executable a later render looks up."""
+
+    def apply_tiles(p, x):
+        return module.apply({"params": p}, x)
+
+    return apply_tiles
+
+
 def init_params(module, tile: int = 64, seed: int = 0):
     """Random-init parameters (used when no converted weights exist)."""
     import jax.numpy as jnp
