@@ -5,7 +5,11 @@ engine: plan, pad, gather, batch chunking, blend, scatter, u8 cast)."""
 import numpy as np
 import pytest
 
-from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+from waifu2x_tensorrt_tpu.engine.config import (
+    BuildConfig,
+    Precision,
+    RenderConfig,
+)
 from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
 from waifu2x_tensorrt_tpu.tiling import plan_tiles
 from waifu2x_tensorrt_tpu.utils.logging import Severity
@@ -56,10 +60,12 @@ def test_upscaler_end_to_end_matches_per_tile_oracle(tmp_path):
     assert diff.max() <= 1  # batch-vs-single fp association
     assert (diff > 0).mean() < 0.005
 
-    # progress callback fired
-    engine.set_progress_callback(lambda c, t, s: messages.append(("p", c)))
+    # progress fires once per model chunk, 1-based, ending at n/n
+    prog_calls = []
+    engine.set_progress_callback(lambda c, t, s: prog_calls.append((c, t)))
     engine.render(frame)
-    assert ("p", plan.tile_count) in messages
+    n_chunks = -(-plan.tile_count // config.batch_size)
+    assert prog_calls == [(i + 1, n_chunks) for i in range(n_chunks)]
 
 
 def test_upscaler_require_engine_parity(tmp_path):
@@ -91,8 +97,6 @@ def test_build_compiles_corners_and_load_matches(tmp_path):
     """build() AOT-compiles every min/opt/max corner geometry and writes a
     sidecar; a later load at any corner finds the engine, while an in-range
     uncompiled geometry is honestly not claimed (no warm engine exists)."""
-    from waifu2x_tensorrt_tpu.engine.config import BuildConfig
-
     build_cfg = BuildConfig(
         precision=Precision.TF32,
         min_batch_size=1, opt_batch_size=1, max_batch_size=2,
@@ -121,6 +125,84 @@ def test_build_compiles_corners_and_load_matches(tmp_path):
     with pytest.raises(FileNotFoundError):
         Upscaler(models_dir=tmp_path / "models").load(
             "cunet/art", 2, 1, mid, require_engine=True)
+
+
+def test_chunked_matches_monolithic(tmp_path):
+    """The chunked pipeline (default) and the monolithic fused-frame
+    program must agree to <=1 LSB (fp association: the chunked remainder is
+    zero-padded to the chunk size, the monolithic one runs exact-size)."""
+    rng = np.random.default_rng(7)
+    frame = rng.integers(0, 256, (90, 130, 3), np.uint8)
+    for tta in (False, True):
+        config = RenderConfig(
+            precision=Precision.TF32, batch_size=4, height=64, width=64,
+            scaling=2, overlap=(1 / 16, 1 / 16), tta=tta,
+        )
+        mono = Upscaler(models_dir=tmp_path / "models")
+        mono.load("cunet/art", 2, 1, config, fuse_frame=True)
+        chunked = Upscaler(models_dir=tmp_path / "models")
+        chunked.load("cunet/art", 2, 1, config)
+        a = mono.render(frame)
+        b = chunked.render(frame)
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1, (tta, diff.max())
+
+
+def test_chunked_sharded_matches_unsharded(tmp_path):
+    """--dp sharding through the chunked pipeline (prepare out_shardings)
+    equals the single-device render."""
+    from waifu2x_tensorrt_tpu.parallel import data_parallel_mesh, tile_sharding
+
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=1, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16),
+    )
+    frame = np.random.default_rng(8).integers(0, 256, (100, 150, 3), np.uint8)
+    plain = Upscaler(models_dir=tmp_path / "models")
+    plain.load("cunet/art", 2, 1, config)
+    sharded = Upscaler(models_dir=tmp_path / "models")
+    sharded.load("cunet/art", 2, 1, config,
+                 sharding=tile_sharding(data_parallel_mesh(8)))
+    np.testing.assert_array_equal(plain.render(frame), sharded.render(frame))
+
+
+def test_build_warms_the_render_model_program(tmp_path):
+    """build() then load()+render() at a built geometry must NOT recompile
+    the model: the chunked pipeline's model program is exactly the
+    executable build() wrote to the persistent cache. Telemetry: the only
+    new persistent-cache entries the first render may write are the cheap
+    per-geometry prepare/finalize programs."""
+    import jax
+
+    config = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
+                          width=64, scaling=2)
+    build_cfg = BuildConfig(
+        precision=Precision.TF32,
+        min_batch_size=2, opt_batch_size=2, max_batch_size=2,
+        min_width=64, opt_width=64, max_width=64,
+        min_height=64, opt_height=64, max_height=64,
+    )
+    frame = np.random.default_rng(5).integers(0, 256, (70, 70, 3), np.uint8)
+
+    def cache_files(root):
+        d = root / "models" / ".jax_cache"
+        return set(p.name for p in d.iterdir()) if d.is_dir() else set()
+
+    built = tmp_path / "built"
+    engine = Upscaler(models_dir=built / "models")
+    engine.build("cunet/art", 2, 1, build_cfg)
+    after_build = cache_files(built)
+    assert any("apply_tiles" in n for n in after_build)  # model entry written
+    jax.clear_caches()  # drop in-memory executables: force cache lookups
+    engine2 = Upscaler(models_dir=built / "models")
+    engine2.load("cunet/art", 2, 1, config, require_engine=True)
+    engine2.render(frame)
+    new_after_render = cache_files(built) - after_build
+    # model program was a cache HIT; only geometry programs (and
+    # incidental tiny library jits) compiled
+    assert not any("apply_tiles" in n for n in new_after_render)
+    assert {"jit_prepare", "jit_finalize"} <= {
+        n.split("-")[0] for n in new_after_render}
 
 
 def test_device_selection_is_real(tmp_path):
@@ -164,21 +246,31 @@ def test_bucketed_render(tmp_path):
     engine2.load("cunet/art", 2, 1, config, bucket=0)
     np.testing.assert_array_equal(out_b, engine2.render(f64))
 
-    # odd sizes share the (64, 128) program and crop correctly
-    progs = engine._renderers._programs
-    n0 = len(progs)
+    # odd sizes share the (64, 128) geometry programs and crop correctly
+    geoms = engine._renderers._geoms
+    n0 = len(geoms)
     for hw in ((50, 70), (60, 65), (33, 100)):
         frame = rng.integers(0, 256, (*hw, 3), np.uint8)
         out = engine.render(frame)
         assert out.shape == (hw[0] * 2, hw[1] * 2, 3)
-    assert len(progs) == n0 + 1  # all three bucketed to (64, 128)
+    assert len(geoms) == n0 + 1  # all three bucketed to (64, 128)
 
 
-def test_fused_fallback_on_compile_failure(tmp_path, monkeypatch):
-    """If the fused-block program fails, render falls back to the
+def _force_fused_explosion(engine, config):
+    """Arm the engine so its first model-chunk dispatch raises, simulating
+    the fused-block scoped-vmem compile flake (NEXT_STEPS.md)."""
+    engine._fused = True
+    engine._load_args = ("cunet/art", 2, 1, config, None, False)
+
+    def exploding(params, c):
+        raise RuntimeError("scoped vmem boom")
+
+    engine._renderers._model_prog = exploding
+
+
+def test_fused_fallback_on_compile_failure(tmp_path):
+    """If the fused-block model program fails, render falls back to the
     attention-only kernels and still produces output."""
-    import waifu2x_tensorrt_tpu.engine.upscaler as up
-
     config = RenderConfig(
         precision=Precision.TF32, batch_size=2, height=64, width=64,
         scaling=2, overlap=(1 / 16, 1 / 16),
@@ -186,30 +278,54 @@ def test_fused_fallback_on_compile_failure(tmp_path, monkeypatch):
     engine = Upscaler(models_dir=tmp_path / "models")
     messages = []
     engine.set_message_callback(lambda s, m: messages.append(m))
-    # cunet so the fallback path compiles fast; force the "fused" state and
-    # make the first program explode
     engine.load("cunet/art", 2, 1, config)
-    engine._fused = True
-    engine._load_args = ("cunet/art", 2, 1, config, None, False)
-
-    real_get = engine._renderers.get
-    calls = {"n": 0}
-
-    class Exploding:
-        plan = type("P", (), {"tile_count": 1})
-
-        def __call__(self, *a):
-            raise RuntimeError("scoped vmem boom")
-
-    def fake_get(hw):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            return Exploding()
-        return real_get(hw)
-
-    engine._renderers.get = fake_get
+    _force_fused_explosion(engine, config)
     frame = np.random.default_rng(0).integers(0, 256, (40, 40, 3), np.uint8)
     out = engine.render(frame)
     assert out.shape == (80, 80, 3)
     assert any("falling back" in m for m in messages)
     assert engine._fused is False
+
+
+def test_fused_fallback_covers_async_path(tmp_path):
+    """render_async (the CLI video loop) must share the fused fallback and
+    the per-chunk progress seam with render — a fused compile flake used to
+    kill video renders while image renders survived (ADVICE round 1)."""
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=2, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16),
+    )
+    engine = Upscaler(models_dir=tmp_path / "models")
+    messages, prog_calls = [], []
+    engine.set_message_callback(lambda s, m: messages.append(m))
+    engine.set_progress_callback(lambda c, t, s: prog_calls.append((c, t)))
+    engine.load("cunet/art", 2, 1, config)
+    _force_fused_explosion(engine, config)
+    frame = np.random.default_rng(1).integers(0, 256, (70, 70, 3), np.uint8)
+    fut = engine.render_async(frame)
+    out = np.asarray(fut)
+    assert out.shape == (140, 140, 3)
+    assert any("falling back" in m for m in messages)
+    # the post-fallback render reports a full ascending 1..n chunk sequence
+    n = prog_calls[-1][1]
+    assert n >= 2
+    assert prog_calls[-n:] == [(i + 1, n) for i in range(n)]
+
+
+def test_async_path_applies_bucketing(tmp_path):
+    """render_async buckets frames exactly like render (it used to skip
+    bucketing silently)."""
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=2, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16),
+    )
+    engine = Upscaler(models_dir=tmp_path / "models")
+    engine.load("cunet/art", 2, 1, config, bucket=64)
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 256, (50, 70, 3), np.uint8)
+    b = rng.integers(0, 256, (60, 65, 3), np.uint8)
+    out_a = np.asarray(engine.render_async(a))
+    out_b = np.asarray(engine.render_async(b))
+    assert out_a.shape == (100, 140, 3)
+    assert out_b.shape == (120, 130, 3)
+    assert len(engine._renderers._geoms) == 1  # both bucketed to (64, 128)

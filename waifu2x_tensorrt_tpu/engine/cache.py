@@ -46,9 +46,17 @@ def enable_persistent_cache(models_dir: str | Path) -> None:
 
     cache_dir = compilation_cache_dir(models_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
+    changed = jax.config.jax_compilation_cache_dir != str(cache_dir)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if changed:
+        # The cache object is created lazily ONCE and then ignores config
+        # changes; drop it so the new directory actually takes effect when
+        # one process serves several model dirs.
+        from jax._src import compilation_cache as _cc
+
+        _cc.reset_cache()
 
 
 def serialize_config(config: BuildConfig, device_name: Optional[str] = None) -> dict:

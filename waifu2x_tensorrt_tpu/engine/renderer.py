@@ -178,6 +178,185 @@ def make_render_fn(
     return fn
 
 
+def make_chunked_fns(
+    spec: ModelSpec,
+    config: RenderConfig,
+    frame_hw: tuple[int, int],
+    n_dp: int = 1,
+):
+    """Build the model-independent halves of the chunked render pipeline.
+
+    The monolithic ``make_render_fn`` traces the model INTO the per-frame-
+    geometry program, so every new frame size recompiles the (expensive)
+    model. The chunked pipeline splits the frame program into
+
+        prepare(frame_u8)  -> (chunk, th, tw, 3) x n_chunks   [per geometry]
+        model(params, c)   -> (chunk, oh, ow, 3)              [per tile cfg]
+        finalize(*outs)    -> (H*s, W*s, 3) u8                [per geometry]
+
+    so the expensive model executable is shared across all frame geometries
+    and is exactly the program ``Upscaler.build()`` AOT-warms
+    (registry.tile_apply_fn). The host loop over chunks restores the
+    reference's per-batch progress granularity (img2img_render.cpp:336-338)
+    and gives one seam for the fused-kernel fallback on both render paths.
+
+    The final partial chunk is zero-padded to the full chunk size so one
+    model executable serves every chunk (the reference pads with zero
+    tiles too, img2img_render.cpp:281); pad outputs are sliced off before
+    blending.
+    """
+    tile = config.height
+    assert config.width == tile, "square tiles only (CLI parity)"
+    out_tile = spec.output_tile(tile)
+    plan = plan_tiles(
+        frame_hw, (tile, tile), (out_tile, out_tile), spec.scale,
+        config.overlap,
+    )
+    compute_dtype = config.precision.dtype
+    steps_per_tile = DIHEDRAL_SIZE if config.tta else 1
+    n_steps = plan.tile_count * steps_per_tile
+    chunk = config.batch_size * n_dp
+    n_chunks = -(-n_steps // chunk)
+
+    in_origins = jnp.asarray(plan.input_origins)
+    out_origins = jnp.asarray(plan.output_origins)
+    row_w = jnp.asarray(plan.row_weights)
+    col_w = jnp.asarray(plan.col_weights)
+    pad_t, pad_b, pad_l, pad_r = plan.pad
+    th, tw = plan.input_tile
+    oh, ow = plan.output_tile
+    canvas_h, canvas_w = plan.canvas_size
+    out_h, out_w = plan.output_size
+
+    def prepare(frame_u8):
+        x = frame_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        padded = jnp.pad(
+            x, ((pad_t, pad_b), (pad_l, pad_r), (0, 0)), mode="edge"
+        )
+
+        def slice_tile(origin):
+            return jax.lax.dynamic_slice(
+                padded, (origin[0], origin[1], 0), (th, tw, 3)
+            )
+
+        tiles = jax.vmap(slice_tile)(in_origins)
+        if config.tta:
+            tiles = jnp.concatenate(
+                [dihedral_apply(tiles, i) for i in range(DIHEDRAL_SIZE)], 0
+            )
+        total = n_chunks * chunk
+        if total != n_steps:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((total - n_steps, th, tw, 3), tiles.dtype)],
+                0,
+            )
+        tiles = tiles.astype(compute_dtype)
+        return tuple(
+            jax.lax.slice_in_dim(tiles, i * chunk, (i + 1) * chunk, axis=0)
+            for i in range(n_chunks)
+        )
+
+    def finalize(*outs):
+        y = jnp.concatenate(outs, 0)[:n_steps].astype(jnp.float32)
+        if config.tta:
+            y = y.reshape(DIHEDRAL_SIZE, plan.tile_count, oh, ow, 3)
+            y = sum(
+                dihedral_inverse(y[i], i) for i in range(DIHEDRAL_SIZE)
+            ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
+        y = y * row_w[:, :, None, None] * col_w[:, None, :, None]
+        canvas = jnp.zeros((canvas_h, canvas_w, 3), jnp.float32)
+
+        def scatter(canvas, inp):
+            tile_out, origin = inp
+            yy, xx = origin[0], origin[1]
+            patch = jax.lax.dynamic_slice(canvas, (yy, xx, 0), (oh, ow, 3))
+            return (
+                jax.lax.dynamic_update_slice(
+                    canvas, patch + tile_out, (yy, xx, 0)),
+                None,
+            )
+
+        canvas, _ = jax.lax.scan(scatter, canvas, (y, out_origins))
+        out = canvas[:out_h, :out_w]
+        return jnp.clip(jnp.round(out * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+    return prepare, finalize, plan, n_chunks
+
+
+class ChunkedPipeline:
+    """Host-composed render pipeline: per-geometry prepare/finalize programs
+    around one shared per-tile-config model program.
+
+    ``render`` dispatches chunk-by-chunk, firing ``progress(i, n, it_s)``
+    after each model-chunk dispatch — the reference's "batch i/n @ it/s"
+    seam (img2img_render.cpp:336-338). All stages run on device; the
+    returned array is not fetched (async-dispatch friendly).
+    """
+
+    def __init__(
+        self,
+        module,
+        spec: ModelSpec,
+        config: RenderConfig,
+        sharding: Optional[jax.sharding.NamedSharding] = None,
+    ) -> None:
+        from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
+
+        self._spec = spec
+        self._config = config
+        self._sharding = sharding
+        self._n_dp = 1
+        if sharding is not None:
+            self._n_dp = int(np.prod([
+                sharding.mesh.shape[a] for a in sharding.spec if a is not None
+            ]))
+        self._model_prog = jax.jit(tile_apply_fn(module))
+        self._geoms: dict[tuple[int, int], tuple] = {}
+
+    def set_module(self, module) -> None:
+        """Swap the model program (fused-kernel fallback seam); the
+        per-geometry prepare/finalize programs are model-independent and
+        stay valid."""
+        from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
+
+        self._model_prog = jax.jit(tile_apply_fn(module))
+
+    def get(self, frame_hw: tuple[int, int]):
+        key = (int(frame_hw[0]), int(frame_hw[1]))
+        entry = self._geoms.get(key)
+        if entry is None:
+            prepare, finalize, plan, n_chunks = make_chunked_fns(
+                self._spec, self._config, key, self._n_dp
+            )
+            out_shardings = None
+            if self._sharding is not None:
+                out_shardings = (self._sharding,) * n_chunks
+            prep_prog = jax.jit(prepare, out_shardings=out_shardings)
+            fin_prog = jax.jit(finalize)
+            entry = (prep_prog, fin_prog, plan, n_chunks)
+            self._geoms[key] = entry
+        return entry
+
+    def render(self, params, frame_u8, progress=None):
+        """Dispatch one frame; returns the (device) u8 output array."""
+        import time as _time
+
+        prep_prog, fin_prog, plan, n_chunks = self.get(frame_u8.shape[:2])
+        chunks = prep_prog(jnp.asarray(frame_u8))
+        outs = []
+        t_prev = _time.perf_counter()
+        for i, c in enumerate(chunks):
+            outs.append(self._model_prog(params, c))
+            if progress is not None:
+                t_now = _time.perf_counter()
+                # dispatch-to-dispatch rate: at steady state XLA's queue
+                # depth throttles dispatch to completion rate (the
+                # reference's it/s also measures async enqueue time).
+                progress(i + 1, n_chunks, 1.0 / max(t_now - t_prev, 1e-9))
+                t_prev = t_now
+        return fin_prog(*outs)
+
+
 class RendererCache:
     """jit-compiled render programs keyed by frame geometry.
 
@@ -208,6 +387,7 @@ class RendererCache:
             )
             prog = jax.jit(fn)
             prog.plan = fn.plan
+            prog.n_chunks = fn.n_chunks
             self._programs[key] = prog
         return prog
 

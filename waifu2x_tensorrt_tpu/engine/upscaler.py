@@ -20,7 +20,11 @@ import numpy as np
 from waifu2x_tensorrt_tpu.engine import cache as engine_cache
 from waifu2x_tensorrt_tpu.engine import config as engine_config
 from waifu2x_tensorrt_tpu.engine.config import BuildConfig, RenderConfig
-from waifu2x_tensorrt_tpu.engine.renderer import RendererCache, bucket_frame
+from waifu2x_tensorrt_tpu.engine.renderer import (
+    ChunkedPipeline,
+    RendererCache,
+    bucket_frame,
+)
 from waifu2x_tensorrt_tpu.models import registry
 from waifu2x_tensorrt_tpu.utils.logging import Logger, Severity
 
@@ -79,6 +83,10 @@ class Upscaler:
             tile=config.opt_height,
             warn=lambda m: self.logger.log(Severity.warn, m),
         )
+        # Commit params exactly as load() will: the persistent-cache key
+        # covers input shardings, so lowering with uncommitted host arrays
+        # would write an entry render() never hits.
+        params = jax.device_put(params, self._device)
         shapes = engine_config.compiled_shapes(config)
         self.logger.log(
             Severity.info,
@@ -113,7 +121,16 @@ class Upscaler:
              config: RenderConfig, sharding=None,
              require_engine: bool = False,
              use_pallas: Optional[bool] = None,
-             bucket: int = 0) -> None:
+             bucket: int = 0,
+             fuse_frame: bool = False) -> None:
+        """Select/compile the engine and prepare render programs.
+
+        ``fuse_frame=True`` uses one monolithic XLA program per frame
+        geometry (model inlined; exact-size remainder chunk, no per-chunk
+        progress). Default is the chunked pipeline: the expensive model
+        executable is shared across frame geometries (and AOT-warmed by
+        ``build()``), with per-chunk progress callbacks.
+        """
         registry.validate(family, scale, noise)
         device = self._select_device(config.device_id)
         engine_cache.enable_persistent_cache(self.models_dir)
@@ -155,61 +172,86 @@ class Upscaler:
         self._render_config = config
         self._sharding = sharding
         self._bucket = bucket
-        self._renderers = RendererCache(module, spec, config, sharding)
+        self._fuse_frame = fuse_frame
+        if fuse_frame:
+            self._renderers = RendererCache(module, spec, config, sharding)
+        else:
+            self._renderers = ChunkedPipeline(module, spec, config, sharding)
         self._load_args = (family, scale, noise, config, sharding,
                            use_pallas)
         self._fused = use_pallas and on_tpu
 
-    # -- render (img2img_render.cpp:224-352) -------------------------------
-    def render(self, frame_u8: np.ndarray) -> np.ndarray:
-        """Upscale one RGB uint8 HWC frame; returns RGB uint8 HWC."""
+    def _fall_back_from_fused(self, exc: Exception) -> None:
+        """Swap the fused-block model for the bit-exact attention-only
+        kernels after a fused-program failure (XLA occasionally
+        scoped-vmem-OOMs compiling the whole-block kernel, NEXT_STEPS.md)."""
+        self.logger.log(
+            Severity.warn,
+            f"fused-block program failed ({type(exc).__name__}); "
+            "falling back to attention-only kernels",
+        )
+        family, scale, noise, config, sharding, use_pallas = self._load_args
+        module, spec = registry.create_model(
+            family, scale, noise, dtype=config.precision.dtype,
+            use_pallas=use_pallas, fused_block=False,
+        )
+        self._module = module
+        self._fused = False
+        if isinstance(self._renderers, ChunkedPipeline):
+            self._renderers.set_module(module)
+        else:
+            self._renderers = RendererCache(module, spec, config, sharding)
+
+    def _dispatch(self, frame_u8: np.ndarray, progress=None):
+        """Shared render path (both sync and async): bucket, run the
+        pipeline with fused-kernel fallback, crop. Returns an un-fetched
+        device array."""
         if self._renderers is None:
             raise RuntimeError("load() must be called before render()")
         if frame_u8.ndim != 3 or frame_u8.shape[2] != 3:
             raise ValueError(f"expected (H, W, 3) frame, got {frame_u8.shape}")
-        t0 = time.perf_counter()
         frame_u8, (oh, ow) = bucket_frame(np.ascontiguousarray(frame_u8),
                                           self._bucket)
-        prog = self._renderers.get(frame_u8.shape[:2])
+
+        def run():
+            if isinstance(self._renderers, ChunkedPipeline):
+                return self._renderers.render(self._params, frame_u8,
+                                              progress=progress)
+            prog = self._renderers.get(frame_u8.shape[:2])
+            out = prog(self._params, frame_u8)
+            if progress is not None:
+                n = prog.n_chunks
+                progress(n, n, 0.0)
+            return out
+
         try:
-            out_dev = prog(self._params, frame_u8)
+            out = run()
         except Exception as e:
             if not self._fused:
                 raise
-            # XLA occasionally scoped-vmem-OOMs compiling the whole-block
-            # fused kernel (NEXT_STEPS.md); fall back to the bit-exact
-            # attention-only kernel and retry once.
-            self.logger.log(
-                Severity.warn,
-                f"fused-block program failed ({type(e).__name__}); "
-                "falling back to attention-only kernels",
-            )
-            family, scale, noise, config, sharding, use_pallas =                 self._load_args
-            module, spec = registry.create_model(
-                family, scale, noise, dtype=config.precision.dtype,
-                use_pallas=use_pallas, fused_block=False,
-            )
-            self._module = module
-            self._fused = False
-            self._renderers = RendererCache(module, spec, config, sharding)
-            prog = self._renderers.get(frame_u8.shape[:2])
-            out_dev = prog(self._params, frame_u8)
-        out = np.asarray(out_dev)
+            self._fall_back_from_fused(e)
+            out = run()
         s = self._spec.scale
         if out.shape[:2] != (oh * s, ow * s):
             out = out[: oh * s, : ow * s]
-        dt = time.perf_counter() - t0
-        n_batches = prog.plan.tile_count  # progress granularity: tiles
-        self.logger.progress(n_batches, n_batches, n_batches / max(dt, 1e-9))
         return out
+
+    # -- render (img2img_render.cpp:224-352) -------------------------------
+    def render(self, frame_u8: np.ndarray) -> np.ndarray:
+        """Upscale one RGB uint8 HWC frame; returns RGB uint8 HWC.
+
+        Fires the progress callback per model chunk ("batch i/n @ it/s",
+        reference img2img_render.cpp:336-338)."""
+        return np.asarray(self._dispatch(frame_u8,
+                                         progress=self.logger.progress))
 
     def render_async(self, frame_u8: np.ndarray):
         """Dispatch a frame render without blocking; returns the device
         array future (JAX async dispatch — the double-buffering seam the
-        reference approximates with its single CUDA stream). Bucketing is
-        not applied here: video frames share one geometry."""
-        prog = self._renderers.get(frame_u8.shape[:2])
-        return prog(self._params, np.ascontiguousarray(frame_u8))
+        reference approximates with its single CUDA stream). Same
+        bucketing, fused-kernel fallback, and per-chunk progress as
+        ``render``; only the host fetch is deferred to the caller."""
+        return self._dispatch(frame_u8, progress=self.logger.progress)
 
     @property
     def spec(self) -> Optional[registry.ModelSpec]:
