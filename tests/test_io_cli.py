@@ -96,6 +96,7 @@ class TestWriterValidation:
             w.write(np.zeros((5, 8, 3), np.uint8))
         with pytest.raises(ValueError, match="dtype"):
             w.write(np.zeros((6, 8, 3), np.float32))
+        w.write(np.zeros((6, 8, 3), np.uint8))  # release() checks >=1 write
         w.release()
         with pytest.raises(RuntimeError, match="not opened"):
             w.write(np.zeros((6, 8, 3), np.uint8))
@@ -106,6 +107,7 @@ class TestWriterValidation:
         w.open()
         with pytest.raises(RuntimeError, match="while writer is open"):
             w.set_codec("libx264")
+        w.write(np.zeros((6, 8, 3), np.uint8))  # release() checks >=1 write
         w.release()
 
 

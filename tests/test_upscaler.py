@@ -22,7 +22,7 @@ def test_upscaler_end_to_end_matches_per_tile_oracle(tmp_path):
         precision=Precision.TF32, batch_size=4, height=64, width=64,
         scaling=2, overlap=(1 / 16, 1 / 16), tta=False,
     )
-    engine = Upscaler(models_dir=tmp_path / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     messages = []
     engine.set_message_callback(lambda s, m: messages.append((s, m)))
     engine.load("cunet/art", 2, 1, config)
@@ -71,11 +71,22 @@ def test_upscaler_end_to_end_matches_per_tile_oracle(tmp_path):
 def test_upscaler_require_engine_parity(tmp_path):
     """require_engine=True reproduces the reference's hard failure when no
     matching engine exists (img2img_load.cpp:111-113)."""
-    engine = Upscaler(models_dir=tmp_path / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     config = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
                           width=64, scaling=2)
     with pytest.raises(FileNotFoundError, match="could not satisfy render"):
         engine.load("cunet/art", 2, 1, config, require_engine=True)
+
+
+def test_missing_weights_hard_fail_by_default(tmp_path):
+    """Without allow_random_init, a load with no converted weights fails
+    like the reference does when its model artifact is absent — no silent
+    garbage renders with exit code 0 (ADVICE round 1)."""
+    engine = Upscaler(models_dir=tmp_path / "models")
+    config = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
+                          width=64, scaling=2)
+    with pytest.raises(FileNotFoundError, match="no model weights"):
+        engine.load("cunet/art", 2, 1, config)
 
 
 def test_upscaler_render_before_load():
@@ -85,7 +96,7 @@ def test_upscaler_render_before_load():
 
 
 def test_upscaler_rejects_bad_frames(tmp_path):
-    engine = Upscaler(models_dir=tmp_path)
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path)
     config = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
                           width=64, scaling=2)
     engine.load("cunet/art", 2, 1, config)
@@ -103,7 +114,7 @@ def test_build_compiles_corners_and_load_matches(tmp_path):
         min_width=64, opt_width=64, max_width=128,
         min_height=64, opt_height=64, max_height=128,
     )
-    engine = Upscaler(models_dir=tmp_path / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     messages = []
     engine.set_message_callback(lambda s, m: messages.append(m))
     engine.build("cunet/art", 2, 1, build_cfg)
@@ -116,14 +127,14 @@ def test_build_compiles_corners_and_load_matches(tmp_path):
     # corner geometry -> engine found; require_engine load succeeds
     corner = RenderConfig(precision=Precision.TF32, batch_size=2, height=128,
                           width=128, scaling=2)
-    engine2 = Upscaler(models_dir=tmp_path / "models")
+    engine2 = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     engine2.load("cunet/art", 2, 1, corner, require_engine=True)
 
     # in-range but uncompiled -> hard failure under require_engine
     mid = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
                        width=64, scaling=2)
     with pytest.raises(FileNotFoundError):
-        Upscaler(models_dir=tmp_path / "models").load(
+        Upscaler(allow_random_init=True, models_dir=tmp_path / "models").load(
             "cunet/art", 2, 1, mid, require_engine=True)
 
 
@@ -138,9 +149,9 @@ def test_chunked_matches_monolithic(tmp_path):
             precision=Precision.TF32, batch_size=4, height=64, width=64,
             scaling=2, overlap=(1 / 16, 1 / 16), tta=tta,
         )
-        mono = Upscaler(models_dir=tmp_path / "models")
+        mono = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
         mono.load("cunet/art", 2, 1, config, fuse_frame=True)
-        chunked = Upscaler(models_dir=tmp_path / "models")
+        chunked = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
         chunked.load("cunet/art", 2, 1, config)
         a = mono.render(frame)
         b = chunked.render(frame)
@@ -158,9 +169,9 @@ def test_chunked_sharded_matches_unsharded(tmp_path):
         scaling=2, overlap=(1 / 16, 1 / 16),
     )
     frame = np.random.default_rng(8).integers(0, 256, (100, 150, 3), np.uint8)
-    plain = Upscaler(models_dir=tmp_path / "models")
+    plain = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     plain.load("cunet/art", 2, 1, config)
-    sharded = Upscaler(models_dir=tmp_path / "models")
+    sharded = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     sharded.load("cunet/art", 2, 1, config,
                  sharding=tile_sharding(data_parallel_mesh(8)))
     np.testing.assert_array_equal(plain.render(frame), sharded.render(frame))
@@ -189,12 +200,12 @@ def test_build_warms_the_render_model_program(tmp_path):
         return set(p.name for p in d.iterdir()) if d.is_dir() else set()
 
     built = tmp_path / "built"
-    engine = Upscaler(models_dir=built / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=built / "models")
     engine.build("cunet/art", 2, 1, build_cfg)
     after_build = cache_files(built)
     assert any("apply_tiles" in n for n in after_build)  # model entry written
     jax.clear_caches()  # drop in-memory executables: force cache lookups
-    engine2 = Upscaler(models_dir=built / "models")
+    engine2 = Upscaler(allow_random_init=True, models_dir=built / "models")
     engine2.load("cunet/art", 2, 1, config, require_engine=True)
     engine2.render(frame)
     new_after_render = cache_files(built) - after_build
@@ -213,7 +224,7 @@ def test_device_selection_is_real(tmp_path):
 
     config = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
                           width=64, scaling=2, device_id=1)
-    engine = Upscaler(models_dir=tmp_path / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     engine.load("cunet/art", 2, 1, config)
     leaf = jax.tree_util.tree_leaves(engine.params)[0]
     assert set(leaf.devices()) == {jax.devices()[1]}
@@ -224,7 +235,7 @@ def test_device_selection_is_real(tmp_path):
     bad = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
                        width=64, scaling=2, device_id=99)
     with pytest.raises(ValueError, match="out of range"):
-        Upscaler(models_dir=tmp_path / "models").load("cunet/art", 2, 1, bad)
+        Upscaler(allow_random_init=True, models_dir=tmp_path / "models").load("cunet/art", 2, 1, bad)
 
 
 def test_bucketed_render(tmp_path):
@@ -235,14 +246,14 @@ def test_bucketed_render(tmp_path):
         precision=Precision.TF32, batch_size=4, height=64, width=64,
         scaling=2, overlap=(1 / 16, 1 / 16), tta=False,
     )
-    engine = Upscaler(models_dir=tmp_path / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     engine.load("cunet/art", 2, 1, config, bucket=64)
     rng = np.random.default_rng(2)
 
     # exact multiple: identical to unbucketed
     f64 = rng.integers(0, 256, (64, 64, 3), np.uint8)
     out_b = engine.render(f64)
-    engine2 = Upscaler(models_dir=tmp_path / "models")
+    engine2 = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     engine2.load("cunet/art", 2, 1, config, bucket=0)
     np.testing.assert_array_equal(out_b, engine2.render(f64))
 
@@ -275,7 +286,7 @@ def test_fused_fallback_on_compile_failure(tmp_path):
         precision=Precision.TF32, batch_size=2, height=64, width=64,
         scaling=2, overlap=(1 / 16, 1 / 16),
     )
-    engine = Upscaler(models_dir=tmp_path / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     messages = []
     engine.set_message_callback(lambda s, m: messages.append(m))
     engine.load("cunet/art", 2, 1, config)
@@ -295,7 +306,7 @@ def test_fused_fallback_covers_async_path(tmp_path):
         precision=Precision.TF32, batch_size=2, height=64, width=64,
         scaling=2, overlap=(1 / 16, 1 / 16),
     )
-    engine = Upscaler(models_dir=tmp_path / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     messages, prog_calls = [], []
     engine.set_message_callback(lambda s, m: messages.append(m))
     engine.set_progress_callback(lambda c, t, s: prog_calls.append((c, t)))
@@ -319,7 +330,7 @@ def test_async_path_applies_bucketing(tmp_path):
         precision=Precision.TF32, batch_size=2, height=64, width=64,
         scaling=2, overlap=(1 / 16, 1 / 16),
     )
-    engine = Upscaler(models_dir=tmp_path / "models")
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
     engine.load("cunet/art", 2, 1, config, bucket=64)
     rng = np.random.default_rng(3)
     a = rng.integers(0, 256, (50, 70, 3), np.uint8)

@@ -64,11 +64,27 @@ def fake_ffmpeg(tmp_path, monkeypatch):
             "video": tmp_path / "clip.mp4"}
 
 
-def test_capture_video_roundtrip(fake_ffmpeg, tmp_path):
+def _set_pipe_impl(monkeypatch, native: bool) -> None:
+    """Pin the raw-frame pipe implementation: the C++ framepipe ring
+    (native/framepipe.cpp) or the pure-Python reader thread."""
+    if native:
+        from waifu2x_tensorrt_tpu.io.native_pipe import native_available
+
+        if not native_available():
+            pytest.skip("native framepipe library unavailable")
+        monkeypatch.delenv("W2X_NO_NATIVE_PIPE", raising=False)
+    else:
+        monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_capture_video_roundtrip(fake_ffmpeg, tmp_path, monkeypatch, native):
+    _set_pipe_impl(monkeypatch, native)
     video = fake_ffmpeg["video"]
     video.touch()  # existence check only; content served by fake ffmpeg
     cap = VideoCapture()
     cap.open(video)
+    assert (cap._native is not None) == native  # wiring check
     assert (cap.frame_width, cap.frame_height) == (W, H)
     assert cap.frame_rate == pytest.approx(29.97, 0.001)
     assert cap.frame_count == N
@@ -82,13 +98,16 @@ def test_capture_video_roundtrip(fake_ffmpeg, tmp_path):
     np.testing.assert_array_equal(np.stack(got), fake_ffmpeg["frames"])
 
 
-def test_writer_video_pipe(fake_ffmpeg, tmp_path):
+@pytest.mark.parametrize("native", [False, True])
+def test_writer_video_pipe(fake_ffmpeg, tmp_path, monkeypatch, native):
+    _set_pipe_impl(monkeypatch, native)
     frames = fake_ffmpeg["frames"]
     out = tmp_path / "out.mp4"
     w = (VideoWriter().set_frame_size(W, H).set_frame_rate(29.97)
          .set_codec("libx264").set_pixel_format("yuv420p")
          .set_constant_rate_factor(23).set_output_file(out))
     w.open()
+    assert (w._native is not None) == native  # wiring check
     for f in frames:
         w.write(f)
     w.release()
@@ -101,6 +120,22 @@ def test_writer_video_pipe(fake_ffmpeg, tmp_path):
                   "-vcodec libx264", "-pix_fmt yuv420p", "-crf 23",
                   "-r 29.97"]:
         assert token in args, args
+
+
+def test_image_mode_zero_frames_is_an_error(tmp_path):
+    """Image-mode release() must fail when no frame was ever written — a
+    zero-frame image render used to 'succeed' silently."""
+    w = (VideoWriter().set_frame_size(4, 4).set_frame_rate(1)
+         .set_codec("").set_pixel_format("")
+         .set_output_file(tmp_path / "never.png"))
+    w.open()
+    with pytest.raises(RuntimeError, match="no frame was written"):
+        w.release()
+    # after a successful write, release is clean and state resets
+    w.open()
+    w.write(np.zeros((4, 4, 3), np.uint8))
+    w.release()
+    assert (tmp_path / "never.png").exists()
 
 
 def test_capture_image_without_ffmpeg(tmp_path, monkeypatch):

@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard input files across JAX processes "
                         "(round-robin by process_index; run one process "
                         "per host with jax.distributed initialized)")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   dest="allow_random_weights",
+                   help="Render with randomly initialized weights when no "
+                        "converted .npz exists (test-pattern output; "
+                        "missing weights are otherwise a hard failure, "
+                        "matching the reference)")
 
     sub = p.add_subparsers(dest="command", required=True)
 
@@ -166,7 +172,8 @@ def main(argv=None) -> int:
 
     from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
 
-    engine = Upscaler(models_dir=args.models_dir)
+    engine = Upscaler(models_dir=args.models_dir,
+                      allow_random_init=args.allow_random_weights)
     engine.set_message_callback(message_cb)
 
     if args.command == "build":
@@ -286,6 +293,7 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
     writer.set_output_file(out_path)
     state["frames"] = capture.frame_count
 
+    rc = 0
     try:
         writer.open()
         if capture.frame_count == 1:
@@ -312,10 +320,20 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
             writer.write(np.asarray(pending))
     except Exception as e:
         message_cb(Severity.error, f"Render failed: {e}.")
-        return -1
+        rc = -1
     finally:
         capture.release()
-        writer.release()
+        try:
+            # release() verifies the output was actually produced (image
+            # mode: at least one frame written; native pipe: encoder
+            # drained cleanly) and raises otherwise.
+            writer.release()
+        except Exception as e:
+            if rc == 0:
+                message_cb(Severity.error, f"Render failed: {e}.")
+                rc = -1
+    if rc != 0:
+        return rc
     message_cb(Severity.info, f"Wrote {out_path}")
     return 0
 

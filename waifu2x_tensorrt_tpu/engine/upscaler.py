@@ -30,9 +30,15 @@ from waifu2x_tensorrt_tpu.utils.logging import Logger, Severity
 
 
 class Upscaler:
-    def __init__(self, models_dir: str | Path = "models") -> None:
+    def __init__(self, models_dir: str | Path = "models",
+                 allow_random_init: bool = False) -> None:
+        """``allow_random_init=True`` lets load()/build() fall back to
+        randomly initialized weights when no converted .npz exists (tests,
+        benchmarks, pipeline bring-up). Default is the reference's
+        behavior: missing model artifacts are a hard failure."""
         self.logger = Logger()
         self.models_dir = Path(models_dir)
+        self.allow_random_init = allow_random_init
         self._module = None
         self._spec: Optional[registry.ModelSpec] = None
         self._params = None
@@ -82,6 +88,7 @@ class Upscaler:
             module, self.models_dir, family, scale, noise,
             tile=config.opt_height,
             warn=lambda m: self.logger.log(Severity.warn, m),
+            allow_random=self.allow_random_init,
         )
         # Commit params exactly as load() will: the persistent-cache key
         # covers input shardings, so lowering with uncommitted host arrays
@@ -161,7 +168,17 @@ class Upscaler:
         params, from_file = registry.load_or_init_params(
             module, self.models_dir, family, scale, noise, tile=config.height,
             warn=lambda m: self.logger.log(Severity.warn, m),
+            allow_random=self.allow_random_init,
         )
+        if from_file and spec.arch == "swin_unet":
+            # ADVICE round 1: the swin_unet architecture is a
+            # reconstruction; converted real checkpoints may not match
+            # upstream until the ONNX-executor fidelity check passes.
+            self.logger.log(
+                Severity.warn,
+                "swin_unet fidelity vs upstream is unverified for "
+                "converted checkpoints (see models/swin_unet.py docstring)",
+            )
         self._module = module
         self._spec = spec
         # Committed placement: with a mesh sharding the mesh governs

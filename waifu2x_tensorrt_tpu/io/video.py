@@ -24,6 +24,8 @@ knobs ffmpeg owns); a warning seam reports the downgrade.
 
 from __future__ import annotations
 
+import os
+import shlex
 import shutil
 import subprocess
 import threading
@@ -36,6 +38,16 @@ import numpy as np
 from waifu2x_tensorrt_tpu.io.image import image_size, read_image, write_image
 
 IMAGE_SUFFIXES = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff"}
+
+
+def use_native_pipe() -> bool:
+    """True when the C++ framepipe ring runtime should carry the raw-frame
+    pipes (native/framepipe.cpp; W2X_NO_NATIVE_PIPE=1 opts out)."""
+    if os.environ.get("W2X_NO_NATIVE_PIPE"):
+        return False
+    from waifu2x_tensorrt_tpu.io.native_pipe import native_available
+
+    return native_available()
 
 
 def have_ffmpeg() -> bool:
@@ -85,6 +97,7 @@ class VideoCapture:
     def __init__(self, prefetch: int = 4) -> None:
         self._proc: Optional[subprocess.Popen] = None
         self._cv2 = None
+        self._native = None
         self._queue: Optional[_queue.Queue] = None
         self._reader: Optional[threading.Thread] = None
         self._image: Optional[np.ndarray] = None
@@ -125,16 +138,33 @@ class VideoCapture:
         else:
             self.frame_count = int(nb)
 
-        cmd = [
-            "ffmpeg", "-v", "error", "-i", str(path),
-            "-f", "image2pipe", "-vcodec", "rawvideo", "-pix_fmt", "rgb24", "-",
-        ]
+        cmd = self._decode_cmd(path)
+        if use_native_pipe():
+            # C++ ring runtime: the decoder child is fed/drained by a
+            # native thread, so Python never blocks on pipe fread
+            # (native/framepipe.cpp rationale).
+            from waifu2x_tensorrt_tpu.io.native_pipe import NativeFrameReader
+
+            self._native = NativeFrameReader(
+                shlex.join(cmd), self.frame_height, self.frame_width,
+                depth=self._prefetch,
+            )
+            return
         self._proc = subprocess.Popen(
             cmd, stdout=subprocess.PIPE, bufsize=self.frame_width * self.frame_height * 3
         )
         self._queue = _queue.Queue(maxsize=self._prefetch)
         self._reader = threading.Thread(target=self._reader_loop, daemon=True)
         self._reader.start()
+
+    @staticmethod
+    def _decode_cmd(path: Path) -> list[str]:
+        """Raw rgb24 decode pipe command (reference capture.cpp:96-105)."""
+        return [
+            "ffmpeg", "-v", "error", "-i", str(path),
+            "-f", "image2pipe", "-vcodec", "rawvideo", "-pix_fmt", "rgb24",
+            "-",
+        ]
 
     def _open_cv2(self, path: Path) -> None:
         """Fallback decoder via OpenCV's bundled codecs (no ffmpeg)."""
@@ -178,6 +208,8 @@ class VideoCapture:
 
     def read(self) -> Optional[np.ndarray]:
         """Next RGB uint8 frame, or None at end of stream."""
+        if self._native is not None:
+            return self._native.read(copy=True)
         if self._cv2 is not None:
             ok, frame = self._cv2.read()
             if not ok:
@@ -193,6 +225,9 @@ class VideoCapture:
         return self._queue.get()
 
     def release(self) -> None:
+        if self._native is not None:
+            self._native.close()
+            self._native = None
         if self._cv2 is not None:
             self._cv2.release()
             self._cv2 = None
@@ -225,6 +260,7 @@ class VideoWriter:
     def __init__(self) -> None:
         self._proc: Optional[subprocess.Popen] = None
         self._cv2 = None
+        self._native = None
         self._opened = False
         self._frame_size: tuple[int, int] = (0, 0)  # (w, h)
         self._frame_rate: float = -1.0
@@ -299,6 +335,19 @@ class VideoWriter:
         if not have_ffmpeg():
             self._open_cv2(w, h)
             return
+        cmd = self._encode_cmd(w, h)
+        self._output.parent.mkdir(parents=True, exist_ok=True)
+        if use_native_pipe():
+            from waifu2x_tensorrt_tpu.io.native_pipe import NativeFrameWriter
+
+            self._native = NativeFrameWriter(shlex.join(cmd), h, w)
+            self._opened = True
+            return
+        self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+        self._opened = True
+
+    def _encode_cmd(self, w: int, h: int) -> list[str]:
+        """Raw rgb24 encode pipe command (reference writer.cpp:24-38)."""
         cmd = ["ffmpeg", "-v", "error", "-y", "-f", "rawvideo",
                "-vcodec", "rawvideo", "-s", f"{w}x{h}", "-pix_fmt", "rgb24"]
         if self._frame_rate > 0:
@@ -313,9 +362,7 @@ class VideoWriter:
         if self._quality >= 0:
             cmd += ["-q:v", str(self._quality)]
         cmd += [str(self._output)]
-        self._output.parent.mkdir(parents=True, exist_ok=True)
-        self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
-        self._opened = True
+        return cmd
 
     def _open_cv2(self, w: int, h: int) -> None:
         """Fallback encoder via OpenCV (no ffmpeg): mp4v codec; crf and
@@ -349,12 +396,25 @@ class VideoWriter:
             write_image(self._output, frame)
             self._png_written = True
             return
+        if self._native is not None:
+            self._native.write(np.ascontiguousarray(frame))
+            return
         if self._cv2 is not None:
             self._cv2.write(np.ascontiguousarray(frame[:, :, ::-1]))  # RGB->BGR
             return
         self._proc.stdin.write(np.ascontiguousarray(frame).tobytes())
 
     def release(self) -> None:
+        # Image mode: a zero-frame "success" is an error, not a silent
+        # no-op (the reference never checks this; a decoder that ends
+        # early would claim success with no output file).
+        image_mode_unwritten = (
+            self._opened and self.is_image_mode and not self._png_written
+        )
+        rc = 0
+        if self._native is not None:
+            rc = self._native.close()
+            self._native = None
         if self._cv2 is not None:
             self._cv2.release()
             self._cv2 = None
@@ -366,6 +426,16 @@ class VideoWriter:
             self._proc.wait()
             self._proc = None
         self._opened = False
+        self._png_written = False
+        if image_mode_unwritten:
+            raise RuntimeError(
+                f"no frame was written to {self._output}; the image render "
+                "produced no output"
+            )
+        if rc != 0:
+            raise RuntimeError(
+                f"encoder exited with status {rc} for {self._output}"
+            )
 
     def __enter__(self):
         return self

@@ -187,21 +187,23 @@ def load_or_init_params(
     noise: int,
     tile: int = 64,
     warn=None,
+    allow_random: bool = True,
 ):
-    """Load converted weights if present, else random-init (with a warning).
-
-    The reference hard-fails without its ONNX artifact; here random init
-    keeps the full pipeline exercisable in environments without weights
-    (correctness of tiling/blending/TTA is weight-independent).
+    """Load converted weights; without them fail like the reference does
+    when its ONNX artifact is absent (nvonnxparser parse failure,
+    img2img_build.cpp:88), unless ``allow_random`` explicitly opts into
+    random initialization (tests/benchmarks: tiling/blending/TTA
+    correctness is weight-independent, image quality is not).
     """
-    if models_dir is not None:
-        p = weights_path(models_dir, family, scale, noise)
-        if p.exists():
-            return load_params(p), True
-    if warn is not None:
-        warn(
-            f"no weights at "
-            f"{weights_path(models_dir or 'models', family, scale, noise)}; "
-            "using random initialization"
+    p = weights_path(models_dir or "models", family, scale, noise)
+    if models_dir is not None and p.exists():
+        return load_params(p), True
+    if not allow_random:
+        raise FileNotFoundError(
+            f"no model weights at {p}; convert upstream weights with "
+            "models/convert.py, or pass --allow-random-weights to render "
+            "with random initialization (test pattern output)"
         )
+    if warn is not None:
+        warn(f"no weights at {p}; using random initialization")
     return init_params(module, tile=tile), False
