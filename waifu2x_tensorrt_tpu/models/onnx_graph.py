@@ -1,0 +1,497 @@
+"""ONNX graph parsing + execution (no ``onnx``/``onnxruntime`` packages).
+
+The reference hands its model artifacts to nvonnxparser and TensorRT
+executes them (img2img_build.cpp:88). This module is the TPU rebuild's
+analogue of that capability, self-contained over the protobuf wire format
+(extending onnx_reader.py's initializer walker to the full GraphProto):
+
+- ``read_graph(path)``    -> OnnxGraph (nodes, initializers, graph IO)
+- ``run_graph(graph, feeds)`` -> executes the node list with numpy (plus
+  jax.lax for conv/erf) covering the op set a waifu2x cunet/swin_unet
+  export uses. This is the ground-truth executor the fidelity tests run
+  converted checkpoints against (SURVEY.md §7 step 2): a test fails if the
+  flax forward diverges from the executed graph.
+- ``summarize(graph)``    -> op histogram + parameter count, used to diff
+  a real export's topology against the reconstruction in swin_unet.py.
+
+Executor notes: single-batch inference graphs with static shapes (exactly
+what the reference consumes — its loader requires 2 IO tensors x 4 dims,
+img2img_load.cpp:175-188). Ops execute in the stored node order, which the
+ONNX spec requires to be topologically sorted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from waifu2x_tensorrt_tpu.models.onnx_reader import (
+    _DTYPES,
+    _iter_fields,
+    _parse_tensor,
+)
+
+INT64_MAX = 2**63 - 1
+
+
+def _signed(v: int) -> int:
+    """Protobuf varints are two's-complement for negative int64."""
+    return v - 2**64 if v >= 2**63 else v
+
+
+@dataclasses.dataclass
+class OnnxNode:
+    op_type: str
+    inputs: list[str]
+    outputs: list[str]
+    name: str = ""
+    attrs: dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class OnnxGraph:
+    name: str
+    nodes: list[OnnxNode]
+    initializers: dict[str, np.ndarray]
+    inputs: list[str]  # graph inputs that are NOT initializers (the feeds)
+    outputs: list[str]
+
+
+def _parse_attribute(buf: bytes) -> tuple[str, Any]:
+    """AttributeProto: name=1, f=2, i=3, s=4, t=5, floats=7, ints=8,
+    strings=9 (type tag 20 ignored: presence determines the kind)."""
+    name = ""
+    value: Any = None
+    floats: list[float] = []
+    ints: list[int] = []
+    strings: list[str] = []
+    for field, wire, v in _iter_fields(buf):
+        if field == 1 and wire == 2:
+            name = v.decode()
+        elif field == 2 and wire == 5:
+            value = struct.unpack("<f", v)[0]
+        elif field == 3 and wire == 0:
+            value = _signed(v)
+        elif field == 4 and wire == 2:
+            value = v.decode(errors="surrogateescape")
+        elif field == 5 and wire == 2:
+            value = _parse_tensor(v)[1]
+        elif field == 7:
+            if wire == 2:
+                floats.extend(struct.unpack(f"<{len(v) // 4}f", v))
+            elif wire == 5:
+                floats.append(struct.unpack("<f", v)[0])
+        elif field == 8:
+            if wire == 2:
+                pos = 0
+                while pos < len(v):
+                    iv, pos = _read_varint_local(v, pos)
+                    ints.append(_signed(iv))
+            elif wire == 0:
+                ints.append(_signed(v))
+        elif field == 9 and wire == 2:
+            strings.append(v.decode(errors="surrogateescape"))
+    if floats:
+        value = floats
+    elif ints:
+        value = ints
+    elif strings:
+        value = strings
+    return name, value
+
+
+def _read_varint_local(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _parse_node(buf: bytes) -> OnnxNode:
+    """NodeProto: input=1, output=2, name=3, op_type=4, attribute=5."""
+    node = OnnxNode(op_type="", inputs=[], outputs=[])
+    for field, wire, v in _iter_fields(buf):
+        if field == 1 and wire == 2:
+            node.inputs.append(v.decode())
+        elif field == 2 and wire == 2:
+            node.outputs.append(v.decode())
+        elif field == 3 and wire == 2:
+            node.name = v.decode()
+        elif field == 4 and wire == 2:
+            node.op_type = v.decode()
+        elif field == 5 and wire == 2:
+            k, val = _parse_attribute(v)
+            node.attrs[k] = val
+    return node
+
+
+def _value_info_name(buf: bytes) -> str:
+    for field, wire, v in _iter_fields(buf):
+        if field == 1 and wire == 2:
+            return v.decode()
+    return ""
+
+
+def read_graph(path: str | Path) -> OnnxGraph:
+    """Parse ModelProto.graph: node=1, name=2, initializer=5, input=11,
+    output=12."""
+    data = Path(path).read_bytes()
+    graph = OnnxGraph("", [], {}, [], [])
+    for field, wire, value in _iter_fields(data):
+        if field == 7 and wire == 2:  # ModelProto.graph
+            raw_inputs: list[str] = []
+            for gf, gw, gv in _iter_fields(value):
+                if gf == 1 and gw == 2:
+                    graph.nodes.append(_parse_node(gv))
+                elif gf == 2 and gw == 2:
+                    graph.name = gv.decode()
+                elif gf == 5 and gw == 2:
+                    name, arr = _parse_tensor(gv)
+                    graph.initializers[name] = arr
+                elif gf == 11 and gw == 2:
+                    raw_inputs.append(_value_info_name(gv))
+                elif gf == 12 and gw == 2:
+                    graph.outputs.append(_value_info_name(gv))
+            graph.inputs = [
+                n for n in raw_inputs if n not in graph.initializers
+            ]
+    return graph
+
+
+def summarize(graph: OnnxGraph) -> dict:
+    """Topology fingerprint for arch diffs against the reconstruction."""
+    ops: dict[str, int] = {}
+    for n in graph.nodes:
+        ops[n.op_type] = ops.get(n.op_type, 0) + 1
+    n_params = int(sum(a.size for a in graph.initializers.values()))
+    return {
+        "inputs": list(graph.inputs),
+        "outputs": list(graph.outputs),
+        "n_nodes": len(graph.nodes),
+        "op_histogram": dict(sorted(ops.items())),
+        "n_initializers": len(graph.initializers),
+        "n_parameters": n_params,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Executor
+# ---------------------------------------------------------------------------
+
+
+def _conv(x, w, b, attrs):
+    import jax.numpy as jnp
+    from jax import lax
+
+    strides = tuple(attrs.get("strides", [1, 1]))
+    dil = tuple(attrs.get("dilations", [1, 1]))
+    group = int(attrs.get("group", 1))
+    kh, kw = w.shape[2], w.shape[3]
+    pads = attrs.get("pads", [0, 0, 0, 0])
+    auto_pad = attrs.get("auto_pad", "NOTSET")
+    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+        padding = "SAME"
+    else:
+        padding = [(pads[0], pads[2]), (pads[1], pads[3])]
+    y = lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32),
+        window_strides=strides, padding=padding, rhs_dilation=dil,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=group,
+    )
+    y = np.asarray(y)
+    if b is not None:
+        y = y + b.reshape(1, -1, 1, 1)
+    return y
+
+
+def _conv_transpose(x, w, b, attrs):
+    import jax.numpy as jnp
+    from jax import lax
+
+    strides = tuple(attrs.get("strides", [1, 1]))
+    pads = attrs.get("pads", [0, 0, 0, 0])
+    out_pad = attrs.get("output_padding", [0, 0])
+    if int(attrs.get("group", 1)) != 1:
+        raise NotImplementedError("grouped ConvTranspose")
+    # ONNX weight (I, O, kH, kW); gradient-of-conv == conv with the
+    # spatially flipped, IO-swapped kernel over an lhs-dilated input.
+    w_ = np.transpose(w, (1, 0, 2, 3))[:, :, ::-1, ::-1]
+    kh, kw = w_.shape[2], w_.shape[3]
+    padding = [
+        (kh - 1 - pads[0], kh - 1 - pads[2] + out_pad[0]),
+        (kw - 1 - pads[1], kw - 1 - pads[3] + out_pad[1]),
+    ]
+    y = lax.conv_general_dilated(
+        jnp.asarray(x, jnp.float32), jnp.asarray(np.ascontiguousarray(w_),
+                                                 jnp.float32),
+        window_strides=(1, 1), padding=padding, lhs_dilation=strides,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    y = np.asarray(y)
+    if b is not None:
+        y = y + b.reshape(1, -1, 1, 1)
+    return y
+
+
+def _softmax(x, axis):
+    m = np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
+def _erf(x):
+    from jax import lax
+
+    return np.asarray(lax.erf(np.asarray(x, np.float32)))
+
+
+def _depth_to_space(x, r, mode):
+    b, c, h, w = x.shape
+    co = c // (r * r)
+    if mode == "CRD":  # torch.nn.PixelShuffle layout
+        y = x.reshape(b, co, r, r, h, w).transpose(0, 1, 4, 2, 5, 3)
+    else:  # DCR (default)
+        y = x.reshape(b, r, r, co, h, w).transpose(0, 3, 4, 1, 5, 2)
+    return y.reshape(b, co, h * r, w * r)
+
+
+def _gemm(a, b_, c, attrs):
+    alpha = attrs.get("alpha", 1.0)
+    beta = attrs.get("beta", 1.0)
+    if attrs.get("transA", 0):
+        a = a.T
+    if attrs.get("transB", 0):
+        b_ = b_.T
+    y = alpha * (a @ b_)
+    if c is not None:
+        y = y + beta * c
+    return y
+
+
+def _slice(env, node):
+    x = env[node.inputs[0]]
+    starts = env[node.inputs[1]].astype(np.int64)
+    ends = env[node.inputs[2]].astype(np.int64)
+    axes = (env[node.inputs[3]].astype(np.int64)
+            if len(node.inputs) > 3 and node.inputs[3]
+            else np.arange(len(starts)))
+    steps = (env[node.inputs[4]].astype(np.int64)
+             if len(node.inputs) > 4 and node.inputs[4]
+             else np.ones(len(starts), np.int64))
+    slices = [slice(None)] * x.ndim
+    for s, e, a, st in zip(starts, ends, axes, steps):
+        e_ = None if e >= INT64_MAX else int(e)
+        slices[int(a)] = slice(int(s), e_, int(st))
+    return x[tuple(slices)]
+
+
+def _pad(env, node):
+    x = env[node.inputs[0]]
+    pads = env[node.inputs[1]].astype(np.int64)
+    mode = node.attrs.get("mode", "constant")
+    cval = 0.0
+    if len(node.inputs) > 2 and node.inputs[2]:
+        cval = float(env[node.inputs[2]])
+    n = x.ndim
+    before, after = pads[:n], pads[n:]
+    if np.any(before < 0) or np.any(after < 0):  # negative pad == crop
+        slices = tuple(
+            slice(max(0, -int(b)), x.shape[i] - max(0, -int(a)))
+            for i, (b, a) in enumerate(zip(before, after))
+        )
+        x = x[slices]
+        before = np.maximum(before, 0)
+        after = np.maximum(after, 0)
+    widths = list(zip(before.tolist(), after.tolist()))
+    np_mode = {"constant": "constant", "edge": "edge",
+               "reflect": "reflect"}[mode]
+    if np_mode == "constant":
+        return np.pad(x, widths, mode="constant", constant_values=cval)
+    return np.pad(x, widths, mode=np_mode)
+
+
+def _reduce_mean(env, node):
+    x = env[node.inputs[0]]
+    axes = node.attrs.get("axes")
+    if axes is None and len(node.inputs) > 1 and node.inputs[1]:
+        axes = env[node.inputs[1]].astype(np.int64).tolist()
+    keepdims = bool(node.attrs.get("keepdims", 1))
+    axes_t = tuple(int(a) for a in axes) if axes is not None else None
+    return np.mean(x, axis=axes_t, keepdims=keepdims, dtype=np.float32)
+
+
+def run_graph(
+    graph: OnnxGraph, feeds: dict[str, np.ndarray]
+) -> dict[str, np.ndarray]:
+    """Execute the graph; returns {output_name: array}."""
+    env: dict[str, np.ndarray] = dict(graph.initializers)
+    env.update({k: np.asarray(v) for k, v in feeds.items()})
+    missing = [n for n in graph.inputs if n not in env]
+    if missing:
+        raise ValueError(f"missing graph inputs: {missing}")
+
+    for node in graph.nodes:
+        op = node.op_type
+        ins = node.inputs
+
+        def inp(i, default=None):
+            if i >= len(ins) or not ins[i]:
+                return default
+            return env[ins[i]]
+
+        x = inp(0)
+        if op == "Conv":
+            y = _conv(x, inp(1), inp(2), node.attrs)
+        elif op == "ConvTranspose":
+            y = _conv_transpose(x, inp(1), inp(2), node.attrs)
+        elif op == "Gemm":
+            y = _gemm(x, inp(1), inp(2), node.attrs)
+        elif op == "MatMul":
+            y = x @ inp(1)
+        elif op == "Add":
+            y = x + inp(1)
+        elif op == "Sub":
+            y = x - inp(1)
+        elif op == "Mul":
+            y = x * inp(1)
+        elif op == "Div":
+            y = x / inp(1)
+        elif op == "Pow":
+            y = x ** inp(1)
+        elif op == "Sqrt":
+            y = np.sqrt(x)
+        elif op == "Exp":
+            y = np.exp(x)
+        elif op == "Neg":
+            y = -x
+        elif op == "Erf":
+            y = _erf(x)
+        elif op == "Relu":
+            y = np.maximum(x, 0)
+        elif op == "LeakyRelu":
+            alpha = node.attrs.get("alpha", 0.01)
+            y = np.where(x >= 0, x, alpha * x)
+        elif op == "Sigmoid":
+            y = 1.0 / (1.0 + np.exp(-x))
+        elif op == "Tanh":
+            y = np.tanh(x)
+        elif op == "Clip":
+            lo = inp(1) if len(ins) > 1 else node.attrs.get("min")
+            hi = inp(2) if len(ins) > 2 else node.attrs.get("max")
+            y = np.clip(x, lo, hi)
+        elif op == "Softmax":
+            y = _softmax(x, int(node.attrs.get("axis", -1)))
+        elif op == "LayerNormalization":
+            axis = int(node.attrs.get("axis", -1))
+            eps = node.attrs.get("epsilon", 1e-5)
+            axes = tuple(range(axis % x.ndim, x.ndim))
+            mu = np.mean(x, axis=axes, keepdims=True, dtype=np.float32)
+            var = np.var(x, axis=axes, keepdims=True, dtype=np.float32)
+            y = (x - mu) / np.sqrt(var + eps)
+            y = y * inp(1)
+            if len(ins) > 2 and ins[2]:
+                y = y + inp(2)
+        elif op == "Reshape":
+            shape = env[ins[1]].astype(np.int64).tolist()
+            shape = [x.shape[i] if s == 0 else int(s)
+                     for i, s in enumerate(shape)]
+            y = x.reshape(shape)
+        elif op == "Transpose":
+            y = np.transpose(x, node.attrs.get("perm"))
+        elif op == "Concat":
+            y = np.concatenate([env[i] for i in ins],
+                               axis=int(node.attrs["axis"]))
+        elif op == "Slice":
+            y = _slice(env, node)
+        elif op == "Pad":
+            y = _pad(env, node)
+        elif op == "Gather":
+            y = np.take(x, inp(1).astype(np.int64),
+                        axis=int(node.attrs.get("axis", 0)))
+        elif op == "Unsqueeze":
+            axes = (env[ins[1]].astype(np.int64).tolist()
+                    if len(ins) > 1 else node.attrs["axes"])
+            y = x
+            for a in sorted(int(a) for a in axes):
+                y = np.expand_dims(y, a)
+        elif op == "Squeeze":
+            axes = (env[ins[1]].astype(np.int64).tolist()
+                    if len(ins) > 1 and ins[1] else node.attrs.get("axes"))
+            y = np.squeeze(x, axis=tuple(int(a) for a in axes)
+                           if axes is not None else None)
+        elif op == "Shape":
+            y = np.asarray(x.shape, np.int64)
+        elif op == "Expand":
+            y = np.broadcast_to(
+                x, np.broadcast_shapes(x.shape,
+                                       tuple(env[ins[1]].astype(np.int64))))
+        elif op == "Cast":
+            y = x.astype(_DTYPES[int(node.attrs["to"])])
+        elif op == "ConstantOfShape":
+            val = node.attrs.get("value")
+            fill = val.reshape(-1)[0] if val is not None else np.float32(0)
+            y = np.full(tuple(env[ins[0]].astype(np.int64)), fill)
+        elif op == "Constant":
+            y = node.attrs["value"]
+        elif op == "Identity":
+            y = x
+        elif op == "Flatten":
+            axis = int(node.attrs.get("axis", 1))
+            y = x.reshape(int(np.prod(x.shape[:axis], initial=1)), -1)
+        elif op == "Split":
+            axis = int(node.attrs.get("axis", 0))
+            if len(ins) > 1 and ins[1]:
+                sizes = env[ins[1]].astype(np.int64).tolist()
+                parts = np.split(x, np.cumsum(sizes)[:-1], axis=axis)
+            else:
+                parts = np.split(x, len(node.outputs), axis=axis)
+            for out_name, part in zip(node.outputs, parts):
+                env[out_name] = part
+            continue
+        elif op == "Where":
+            y = np.where(x, inp(1), inp(2))
+        elif op == "ReduceMean":
+            y = _reduce_mean(env, node)
+        elif op == "GlobalAveragePool":
+            y = np.mean(x, axis=(2, 3), keepdims=True, dtype=np.float32)
+        elif op == "AveragePool":
+            k = node.attrs["kernel_shape"]
+            s = node.attrs.get("strides", k)
+            b_, c_, h_, w_ = x.shape
+            oh, ow = (h_ - k[0]) // s[0] + 1, (w_ - k[1]) // s[1] + 1
+            y = np.mean(
+                x[:, :, : oh * s[0], : ow * s[1]]
+                .reshape(b_, c_, oh, s[0], ow, s[1])[:, :, :, : k[0], :,
+                                                     : k[1]],
+                axis=(3, 5), dtype=np.float32)
+        elif op == "DepthToSpace":
+            y = _depth_to_space(x, int(node.attrs["blocksize"]),
+                                node.attrs.get("mode", "DCR"))
+        elif op == "SpaceToDepth":
+            r = int(node.attrs["blocksize"])
+            b_, c_, h_, w_ = x.shape
+            y = (x.reshape(b_, c_, h_ // r, r, w_ // r, r)
+                 .transpose(0, 3, 5, 1, 2, 4)
+                 .reshape(b_, c_ * r * r, h_ // r, w_ // r))
+        elif op == "Gelu":
+            if node.attrs.get("approximate", "none") == "tanh":
+                y = 0.5 * x * (1.0 + np.tanh(
+                    np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+            else:
+                y = 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)))
+        else:
+            raise NotImplementedError(
+                f"ONNX op {op!r} (node {node.name!r}) is not implemented")
+        env[node.outputs[0]] = np.asarray(y)
+
+    return {name: env[name] for name in graph.outputs}
