@@ -159,6 +159,36 @@ def test_chunked_matches_monolithic(tmp_path):
         assert diff.max() <= 1, (tta, diff.max())
 
 
+def test_swin_packed_head_matches_unpacked(tmp_path):
+    """The packed-head pipeline (blend/scatter in (oh/r, ow/r, 48) layout,
+    one canvas unpack) must match the pixel-space pipeline to <=1 LSB —
+    identical math, different layout order. Packed is NOT the production
+    default (measured slower on v5e: the whole-canvas depth-to-space costs
+    more than fused per-tile shuffles), so it is exercised directly."""
+    import jax
+
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.models.registry import create_model, init_params
+
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=2, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16),
+    )
+    frame = np.random.default_rng(9).integers(0, 256, (70, 90, 3), np.uint8)
+    mod_p, spec_p = create_model("swin_unet/art", 2, -1, packed_head=True)
+    assert spec_p.packing == 2
+    mod_u, spec_u = create_model("swin_unet/art", 2, -1, packed_head=False)
+    assert spec_u.packing == 1
+    params = init_params(mod_u, tile=32)  # same tree for both heads
+    a = np.asarray(ChunkedPipeline(mod_p, spec_p, config).render(
+        params, frame))
+    b = np.asarray(ChunkedPipeline(mod_u, spec_u, config).render(
+        params, frame))
+    assert a.shape == b.shape == (140, 180, 3)
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 1, diff.max()
+
+
 def test_chunked_sharded_matches_unsharded(tmp_path):
     """--dp sharding through the chunked pipeline (prepare out_shardings)
     equals the single-device render."""
@@ -185,11 +215,14 @@ def test_build_warms_the_render_model_program(tmp_path):
     per-geometry prepare/finalize programs."""
     import jax
 
-    config = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
+    # batch 1 so every chunk (including the exact-size remainder) runs the
+    # geometry build() compiled; a remainder batch NOT in the profile
+    # compiles fresh by design (documented in make_chunked_fns).
+    config = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
                           width=64, scaling=2)
     build_cfg = BuildConfig(
         precision=Precision.TF32,
-        min_batch_size=2, opt_batch_size=2, max_batch_size=2,
+        min_batch_size=1, opt_batch_size=1, max_batch_size=1,
         min_width=64, opt_width=64, max_width=64,
         min_height=64, opt_height=64, max_height=64,
     )

@@ -38,6 +38,7 @@ import numpy as np
 
 from waifu2x_tensorrt_tpu.engine.config import RenderConfig
 from waifu2x_tensorrt_tpu.models.registry import ModelSpec
+from waifu2x_tensorrt_tpu.utils.xla import tpu_compiler_options
 from waifu2x_tensorrt_tpu.tiling import (
     DIHEDRAL_SIZE,
     dihedral_apply,
@@ -200,10 +201,19 @@ def make_chunked_fns(
     reference's per-batch progress granularity (img2img_render.cpp:336-338)
     and gives one seam for the fused-kernel fallback on both render paths.
 
-    The final partial chunk is zero-padded to the full chunk size so one
-    model executable serves every chunk (the reference pads with zero
-    tiles too, img2img_render.cpp:281); pad outputs are sliced off before
-    blending.
+    Chunking: full batch-size chunks plus ONE exact-size remainder chunk —
+    the reference zero-pads the final partial batch and wastes the FLOPs
+    (img2img_render.cpp:281); here the remainder runs at its true size
+    (v5e: +18%% over padded chunks at 18 tiles / batch 8). When sharded the
+    remainder is padded up to the dp-multiple only. The remainder model
+    program compiles per distinct remainder size (cached; cheap next to
+    the full-chunk program).
+
+    Packed head (spec.packing = r > 1): the model emits (oh/r, ow/r,
+    3*r*r) tiles — no per-tile depth-to-space transpose (minor-dim 3 is
+    3/128 TPU lane efficiency) — and blend + scatter-add run in the packed
+    layout (48 lanes); the canvas is unpacked ONCE at the end. Bitwise
+    math is unchanged: packed ramps index the same per-pixel weights.
     """
     tile = config.height
     assert config.width == tile, "square tiles only (CLI parity)"
@@ -216,17 +226,52 @@ def make_chunked_fns(
     steps_per_tile = DIHEDRAL_SIZE if config.tta else 1
     n_steps = plan.tile_count * steps_per_tile
     chunk = config.batch_size * n_dp
-    n_chunks = -(-n_steps // chunk)
+    p = spec.packing
+    if p > 1 and config.tta:
+        raise ValueError(
+            "packed head is incompatible with TTA (dihedral inverses act "
+            "in pixel space); create the model with packed_head=False")
+
+    n_full = n_steps // chunk
+    rem = n_steps - n_full * chunk
+    rem_padded = -(-rem // n_dp) * n_dp if rem else 0
+    chunk_sizes = [chunk] * n_full + ([rem_padded] if rem else [])
+    n_chunks = len(chunk_sizes)
 
     in_origins = jnp.asarray(plan.input_origins)
-    out_origins = jnp.asarray(plan.output_origins)
-    row_w = jnp.asarray(plan.row_weights)
-    col_w = jnp.asarray(plan.col_weights)
     pad_t, pad_b, pad_l, pad_r = plan.pad
     th, tw = plan.input_tile
     oh, ow = plan.output_tile
     canvas_h, canvas_w = plan.canvas_size
     out_h, out_w = plan.output_size
+
+    # Blend ramps + geometry, optionally in packed layout: packed channel
+    # index ch = c*p*p + ry*p + rx covers output pixel (y0*p+ry, x0*p+rx)
+    # (torch PixelShuffle order, models/swin_unet.py::_pixel_shuffle).
+    if p > 1:
+        assert oh % p == 0 and ow % p == 0 and out_h % p == 0
+        assert canvas_h % p == 0 and canvas_w % p == 0
+        assert np.all(plan.output_origins % p == 0), "origins not packable"
+        out_origins = jnp.asarray(plan.output_origins // p)
+    else:
+        out_origins = jnp.asarray(plan.output_origins)
+    # Keep the jit-captured ramp constants compact ((T, oh) pixel ramps);
+    # the packed (T, oh/p, 3p*p) expansion is a cheap in-graph gather —
+    # multi-MB closure constants made the remote compile pathologically
+    # slow through the tunnel.
+    row_w_px = jnp.asarray(plan.row_weights)
+    col_w_px = jnp.asarray(plan.col_weights)
+    chans = np.arange(3 * p * p)
+    ry_idx = jnp.asarray((chans // p) % p)
+    rx_idx = jnp.asarray(chans % p)
+    poh, pow_, pc = oh // p, ow // p, 3 * p * p
+
+    def _blend_weights():
+        if p == 1:
+            return row_w_px[:, :, None], col_w_px[:, :, None]
+        rw = row_w_px.reshape(plan.tile_count, poh, p)[:, :, ry_idx]
+        cw = col_w_px.reshape(plan.tile_count, pow_, p)[:, :, rx_idx]
+        return rw, cw
 
     def prepare(frame_u8):
         x = frame_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
@@ -244,17 +289,19 @@ def make_chunked_fns(
             tiles = jnp.concatenate(
                 [dihedral_apply(tiles, i) for i in range(DIHEDRAL_SIZE)], 0
             )
-        total = n_chunks * chunk
-        if total != n_steps:
+        if rem_padded != rem:
             tiles = jnp.concatenate(
-                [tiles, jnp.zeros((total - n_steps, th, tw, 3), tiles.dtype)],
-                0,
+                [tiles,
+                 jnp.zeros((rem_padded - rem, th, tw, 3), tiles.dtype)], 0,
             )
         tiles = tiles.astype(compute_dtype)
-        return tuple(
-            jax.lax.slice_in_dim(tiles, i * chunk, (i + 1) * chunk, axis=0)
-            for i in range(n_chunks)
-        )
+        pieces = []
+        start = 0
+        for size in chunk_sizes:
+            pieces.append(
+                jax.lax.slice_in_dim(tiles, start, start + size, axis=0))
+            start += size
+        return tuple(pieces)
 
     def finalize(*outs):
         y = jnp.concatenate(outs, 0)[:n_steps].astype(jnp.float32)
@@ -263,13 +310,15 @@ def make_chunked_fns(
             y = sum(
                 dihedral_inverse(y[i], i) for i in range(DIHEDRAL_SIZE)
             ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
-        y = y * row_w[:, :, None, None] * col_w[:, None, :, None]
-        canvas = jnp.zeros((canvas_h, canvas_w, 3), jnp.float32)
+        row_w, col_w = _blend_weights()
+        y = y * row_w[:, :, None, :] * col_w[:, None, :, :]
+        canvas = jnp.zeros((canvas_h // p, canvas_w // p, pc), jnp.float32)
 
         def scatter(canvas, inp):
             tile_out, origin = inp
             yy, xx = origin[0], origin[1]
-            patch = jax.lax.dynamic_slice(canvas, (yy, xx, 0), (oh, ow, 3))
+            patch = jax.lax.dynamic_slice(canvas, (yy, xx, 0),
+                                          (poh, pow_, pc))
             return (
                 jax.lax.dynamic_update_slice(
                     canvas, patch + tile_out, (yy, xx, 0)),
@@ -277,10 +326,14 @@ def make_chunked_fns(
             )
 
         canvas, _ = jax.lax.scan(scatter, canvas, (y, out_origins))
-        out = canvas[:out_h, :out_w]
+        out = canvas[: out_h // p, : out_w // p]
+        if p > 1:  # single whole-canvas unpack (depth-to-space)
+            hh, ww = out.shape[0], out.shape[1]
+            out = out.reshape(hh, ww, 3, p, p).transpose(0, 3, 1, 4, 2)
+            out = out.reshape(hh * p, ww * p, 3)
         return jnp.clip(jnp.round(out * 255.0), 0.0, 255.0).astype(jnp.uint8)
 
-    return prepare, finalize, plan, n_chunks
+    return prepare, finalize, plan, chunk_sizes
 
 
 class ChunkedPipeline:
@@ -302,6 +355,10 @@ class ChunkedPipeline:
     ) -> None:
         from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
 
+        self._jit_kw = {}
+        opts = tpu_compiler_options()
+        if opts:
+            self._jit_kw["compiler_options"] = opts
         self._spec = spec
         self._config = config
         self._sharding = sharding
@@ -310,7 +367,7 @@ class ChunkedPipeline:
             self._n_dp = int(np.prod([
                 sharding.mesh.shape[a] for a in sharding.spec if a is not None
             ]))
-        self._model_prog = jax.jit(tile_apply_fn(module))
+        self._model_prog = jax.jit(tile_apply_fn(module), **self._jit_kw)
         self._geoms: dict[tuple[int, int], tuple] = {}
 
     def set_module(self, module) -> None:
@@ -319,21 +376,21 @@ class ChunkedPipeline:
         stay valid."""
         from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
 
-        self._model_prog = jax.jit(tile_apply_fn(module))
+        self._model_prog = jax.jit(tile_apply_fn(module), **self._jit_kw)
 
     def get(self, frame_hw: tuple[int, int]):
         key = (int(frame_hw[0]), int(frame_hw[1]))
         entry = self._geoms.get(key)
         if entry is None:
-            prepare, finalize, plan, n_chunks = make_chunked_fns(
+            prepare, finalize, plan, chunk_sizes = make_chunked_fns(
                 self._spec, self._config, key, self._n_dp
             )
             out_shardings = None
             if self._sharding is not None:
-                out_shardings = (self._sharding,) * n_chunks
+                out_shardings = (self._sharding,) * len(chunk_sizes)
             prep_prog = jax.jit(prepare, out_shardings=out_shardings)
             fin_prog = jax.jit(finalize)
-            entry = (prep_prog, fin_prog, plan, n_chunks)
+            entry = (prep_prog, fin_prog, plan, len(chunk_sizes))
             self._geoms[key] = entry
         return entry
 
@@ -385,7 +442,8 @@ class RendererCache:
             fn = make_render_fn(
                 self._module, self._spec, self._config, key, self._sharding
             )
-            prog = jax.jit(fn)
+            opts = tpu_compiler_options()
+            prog = jax.jit(fn, **({"compiler_options": opts} if opts else {}))
             prog.plan = fn.plan
             prog.n_chunks = fn.n_chunks
             self._programs[key] = prog

@@ -83,6 +83,7 @@ class Upscaler:
         module, spec = registry.create_model(
             family, scale, noise, dtype=config.precision.dtype,
             use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
+            packed_head=False,
         )
         params, loaded = registry.load_or_init_params(
             module, self.models_dir, family, scale, noise,
@@ -107,11 +108,15 @@ class Upscaler:
         # persistent cache (the TensorRT profile executes any in-range
         # shape, img2img_build.cpp:101-120; XLA executables are
         # shape-specialized, so warm == compiled).
+        from waifu2x_tensorrt_tpu.utils.xla import tpu_compiler_options
+
+        opts = tpu_compiler_options()
+        jit_kw = {"compiler_options": opts} if opts else {}
         apply_tiles = registry.tile_apply_fn(module)
         flops = 0.0
         for b, h, w in shapes:
             x = jax.ShapeDtypeStruct((b, h, w, 3), config.precision.dtype)
-            compiled = jax.jit(apply_tiles).lower(params, x).compile()
+            compiled = jax.jit(apply_tiles, **jit_kw).lower(params, x).compile()
             flops = max(flops, compiled.cost_analysis().get("flops", 0.0))
         dt = time.perf_counter() - t0
         stem = registry.weights_path(self.models_dir, family, scale, noise)
@@ -161,9 +166,15 @@ class Upscaler:
             # no further from fp32 truth than the dense bf16 path
             # (BENCH_NOTES.md). Whole-block fusion is the TPU default.
             use_pallas = on_tpu
+        # Packed head (blend/scatter in (oh/r, ow/r, 48) layout, one canvas
+        # unpack) was measured v5e 2026-08: model -1.5 ms/chunk but the
+        # whole-canvas depth-to-space costs ~15 ms vs ~3.4 ms of fused
+        # per-tile shuffles — net LOSS, so pixel-space stays the default
+        # (BENCH_NOTES.md). The flag remains for future kernel work.
         module, spec = registry.create_model(
             family, scale, noise, dtype=config.precision.dtype,
             use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
+            packed_head=False,
         )
         params, from_file = registry.load_or_init_params(
             module, self.models_dir, family, scale, noise, tile=config.height,
@@ -211,6 +222,7 @@ class Upscaler:
         module, spec = registry.create_model(
             family, scale, noise, dtype=config.precision.dtype,
             use_pallas=use_pallas, fused_block=False,
+            packed_head=self._spec.packing > 1,
         )
         self._module = module
         self._fused = False

@@ -40,6 +40,9 @@ class ModelSpec:
     noise: int
     offset: int  # per-side output-space context shrink (0 for swin_unet)
     tile_divisor: int  # input tile size must be a multiple of this
+    # packing > 1: the model emits packed (oh/p, ow/p, 3*p*p) tiles
+    # (swin packed_head) and the renderer unpacks once per canvas.
+    packing: int = 1
 
     def output_tile(self, input_tile: int) -> int:
         """Model output spatial size for a given input tile."""
@@ -93,14 +96,18 @@ def create_model(
     clamp: bool = True,
     use_pallas: bool = False,
     fused_block: bool = False,
+    packed_head: bool = False,
+    block_windows: int = 32,
 ):
     """Build the Flax module + spec for a (family, scale, noise) choice.
 
-    swin_unet kernel selection (ignored for cunet):
+    swin_unet options (ignored for cunet):
       ``fused_block``  — whole-transformer-block Pallas kernel
                          (ops/swin_block.py, fastest measured on v5e);
       ``use_pallas``   — fused attention only
-                         (ops/window_attention.py, bit-exact vs dense).
+                         (ops/window_attention.py, bit-exact vs dense);
+      ``packed_head``  — emit packed (oh/r, ow/r, 3*r*r) tiles; the
+                         renderer unpacks once per canvas (spec.packing).
     """
     import jax.numpy as jnp
 
@@ -112,9 +119,14 @@ def create_model(
         else:
             module = _cunet.UpCUNet(dtype=dtype, clamp=clamp)
     else:
+        packed = packed_head and scale > 1
         module = _swin.SwinUNet(scale=scale, dtype=dtype, clamp=clamp,
                                 use_pallas=use_pallas,
-                                fused_block=fused_block)
+                                fused_block=fused_block,
+                                packed_head=packed,
+                                block_windows=block_windows)
+        if packed:
+            spec = dataclasses.replace(spec, packing=scale)
     return module, spec
 
 
@@ -136,6 +148,23 @@ def init_params(module, tile: int = 64, seed: int = 0):
 
     x = jnp.zeros((1, tile, tile, 3), jnp.float32)
     return module.init(jax.random.PRNGKey(seed), x)["params"]
+
+
+def init_params_host(module, tile: int = 64, seed: int = 0):
+    """Host-generated random parameters with the module's exact pytree
+    structure/shapes (jax.eval_shape — no device compute). For benchmarks
+    and smoke tests on remote accelerators, where executing the real init
+    program op-by-op through a network tunnel takes minutes; the values
+    are N(0, 0.02), not the module's init distributions."""
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, tile, tile, 3), jnp.float32)
+    shapes = jax.eval_shape(module.init, jax.random.PRNGKey(seed), x)
+    rng = np.random.default_rng(seed)
+    return jax.tree_util.tree_map(
+        lambda s: (rng.standard_normal(s.shape) * 0.02).astype(s.dtype),
+        shapes,
+    )["params"]
 
 
 # ---------------------------------------------------------------------------

@@ -242,6 +242,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: int = 2
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    block_windows: int = 32  # pallas kernel grid block (windows per step)
     # EXPERIMENTAL whole-block fusion (ops/swin_block.py): numerically
     # validated in interpret mode, but the compiled Mosaic lowering is
     # currently pathological (~250x slower than the attention-only kernel
@@ -298,6 +299,7 @@ class SwinBlock(nn.Module):
             xw.reshape(b * n_windows, n_tok, c).astype(self.dtype),
             kparams, bias, flags,
             num_heads=self.num_heads, shift=self.shift, ws=ws,
+            block_windows=self.block_windows,
         ).reshape(b, n_windows, n_tok, c)
         out = _window_merge(out, h, w, ws)
         if self.shift:
@@ -314,6 +316,7 @@ class SwinStage(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     fused_block: bool = False
+    block_windows: int = 32
 
     @nn.compact
     def __call__(self, x):
@@ -325,6 +328,7 @@ class SwinStage(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 fused_block=self.fused_block,
+                block_windows=self.block_windows,
                 name=f"block{i}",
             )(x)
         return x
@@ -351,6 +355,13 @@ class SwinUNet(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     fused_block: bool = False
+    block_windows: int = 32  # pallas kernel tuning knob
+    # packed_head: skip the final depth-to-space and return the head conv's
+    # packed (B, H, W, 3*r*r) output. The per-tile (.., 3, r, r) transpose
+    # has minor-dim 3 (3/128 TPU lane efficiency, ~3.3 ms of an 18 ms batch
+    # at B=8); the renderer blends/scatters in packed layout (48 lanes) and
+    # unpacks ONCE on the full canvas (engine/renderer.py).
+    packed_head: bool = False
 
     offset: int = 0
 
@@ -384,13 +395,15 @@ class SwinUNet(nn.Module):
                      dtype=self.dtype, name="down1")(s)
         e1 = SwinStage(c, c // 32, self.depths[0], dtype=self.dtype,
                        use_pallas=self.use_pallas,
-                       fused_block=self.fused_block, name="swin1")(e1)
+                       fused_block=self.fused_block,
+                       block_windows=self.block_windows, name="swin1")(e1)
 
         e2 = nn.Conv(2 * c, (2, 2), strides=(2, 2), padding="VALID",
                      dtype=self.dtype, name="down2")(e1)
         e2 = SwinStage(2 * c, (2 * c) // 32, self.depths[2],
                        dtype=self.dtype, use_pallas=self.use_pallas,
-                       fused_block=self.fused_block, name="swin2")(e2)
+                       fused_block=self.fused_block,
+                       block_windows=self.block_windows, name="swin2")(e2)
 
         # Decoder with skip connections.
         d2 = nn.Dense(4 * c, dtype=self.dtype, name="up2")(e2)
@@ -398,13 +411,15 @@ class SwinUNet(nn.Module):
         d2 = d2 + e1
         d2 = SwinStage(c, c // 32, self.depths[3], dtype=self.dtype,
                        use_pallas=self.use_pallas,
-                       fused_block=self.fused_block, name="swin3")(d2)
+                       fused_block=self.fused_block,
+                       block_windows=self.block_windows, name="swin3")(d2)
 
         d1 = nn.Dense(4 * half, dtype=self.dtype, name="up1")(d2)
         d1 = _pixel_shuffle(d1, 2)  # full res, C/2
         d1 = d1 + s
 
         # Head.
+        packed = self.packed_head and self.scale > 1
         if self.scale == 1:
             z = nn.Conv(self.out_channels, (3, 3), padding="SAME",
                         dtype=self.dtype, name="to_image")(d1)
@@ -412,11 +427,13 @@ class SwinUNet(nn.Module):
             r = self.scale
             z = nn.Conv(self.out_channels * r * r, (3, 3), padding="SAME",
                         dtype=self.dtype, name="to_image")(d1)
-            z = _pixel_shuffle(z, r)
+            if not packed:
+                z = _pixel_shuffle(z, r)
 
-        # Crop internal padding (output space).
+        # Crop internal padding (packed layout crops in input space).
         if ph or pw:
-            z = z[:, : h * self.scale, : w * self.scale, :]
+            crop_scale = 1 if packed else self.scale
+            z = z[:, : h * crop_scale, : w * crop_scale, :]
         if self.clamp:
             z = jnp.clip(z, 0.0, 1.0)
         return z

@@ -140,7 +140,7 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
 @functools.partial(jax.jit, static_argnames=(
     "num_heads", "shift", "ws", "block_windows", "interpret"))
 def fused_swin_block(x, params, bias, flags, *, num_heads: int,
-                     shift: int = 0, ws: int = 8, block_windows: int = 16,
+                     shift: int = 0, ws: int = 8, block_windows: int = 32,
                      interpret: bool = False):
     """Run one full Swin block over window-partitioned tokens.
 

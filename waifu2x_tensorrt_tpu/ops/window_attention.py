@@ -166,7 +166,7 @@ def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
                                              "block_windows", "interpret"))
 def fused_window_attention_qkv(qkv, bias, flags, *, num_heads: int,
                                shift: int = 0, ws: int = 8,
-                               block_windows: int = 16,
+                               block_windows: int = 32,
                                interpret: bool = False):
     """Pallas window attention over the packed qkv layout.
 
@@ -214,7 +214,7 @@ def fused_window_attention_qkv(qkv, bias, flags, *, num_heads: int,
 @functools.partial(jax.jit, static_argnames=("shift", "ws", "block_windows",
                                              "interpret"))
 def fused_window_attention(q, k, v, bias, flags, *, shift: int = 0,
-                           ws: int = 8, block_windows: int = 16,
+                           ws: int = 8, block_windows: int = 32,
                            interpret: bool = False):
     """Pallas-fused window attention.
 
