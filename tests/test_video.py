@@ -43,19 +43,35 @@ def fake_ffmpeg(tmp_path, monkeypatch):
         "    print('r_frame_rate=30000/1001')\n"
         f"    print('nb_frames={N}')\n"
     )
+    frame_bytes = H * W * 3
     ffmpeg.write_text(
         "#!/usr/bin/env python3\n"
-        "import sys, shutil, pathlib\n"
+        "import re, sys, pathlib\n"
         "argv = sys.argv[1:]\n"
         "pathlib.Path(r'%s').write_text(' '.join(argv))\n"
-        "if '-i' in argv and argv[argv.index('-i') + 1] == '-':\n"
+        "if '-f' in argv and 'concat' in argv:\n"
+        "    # concat demuxer: stitch the listed part files byte-wise\n"
+        "    lst = pathlib.Path(argv[argv.index('-i') + 1]).read_text()\n"
+        "    out = b''\n"
+        "    for line in lst.splitlines():\n"
+        "        m = re.match(r\"file '(.*)'\", line)\n"
+        "        if m:\n"
+        "            out += pathlib.Path(m.group(1)).read_bytes()\n"
+        "    pathlib.Path(argv[-1]).write_bytes(out)\n"
+        "elif '-i' in argv and argv[argv.index('-i') + 1] == '-':\n"
         "    # writer mode: stdin -> last arg file\n"
         "    data = sys.stdin.buffer.read()\n"
         "    pathlib.Path(argv[-1]).write_bytes(data)\n"
         "else:\n"
-        "    # reader mode: fixture -> stdout\n"
-        "    sys.stdout.buffer.write(pathlib.Path(r'%s').read_bytes())\n"
-        % (meta, raw)
+        "    # reader mode: fixture -> stdout (frame-exact trim supported)\n"
+        "    data = pathlib.Path(r'%s').read_bytes()\n"
+        "    vf = argv[argv.index('-vf') + 1] if '-vf' in argv else ''\n"
+        "    m = re.search(r'trim=start_frame=(\\d+):end_frame=(\\d+)', vf)\n"
+        "    if m:\n"
+        "        a, b = int(m.group(1)), int(m.group(2))\n"
+        "        data = data[a * %d:b * %d]\n"
+        "    sys.stdout.buffer.write(data)\n"
+        % (meta, raw, frame_bytes, frame_bytes)
     )
     for p in (ffprobe, ffmpeg):
         p.chmod(p.stat().st_mode | stat.S_IEXEC)
@@ -195,3 +211,117 @@ def test_cv2_fallback_roundtrip(tmp_path, monkeypatch):
     # lossy codec: just require gross similarity
     err = np.mean(np.abs(np.stack(got).astype(int) - frames.astype(int)))
     assert err < 40
+
+
+class _FakeEngine:
+    """Deterministic 2x 'model' for segment tests: nearest upsample."""
+
+    def __init__(self):
+        self.rendered_frames = 0
+
+    def render_async(self, frame):
+        self.rendered_frames += 1
+        return frame.repeat(2, axis=0).repeat(2, axis=1)
+
+
+def _seg_args(**over):
+    import argparse
+
+    base = dict(scale=2, crf=23, pix_fmt="yuv420p", codec="libx264",
+                segment_frames=0, multihost=False, resume=False)
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def _run_segmented(args, out, fake_ffmpeg, engine=None):
+    from waifu2x_tensorrt_tpu.cli import _render_video_segmented
+
+    video = fake_ffmpeg["video"]
+    video.touch()
+    engine = engine or _FakeEngine()
+    state = {"frame": 0, "frames": 0}
+    msgs = []
+    rc = _render_video_segmented(args, engine, video, out, state,
+                                 lambda s, m: msgs.append(m), N, 29.97)
+    return rc, engine, msgs
+
+
+def test_segmented_render_stitches_byte_identical(fake_ffmpeg, tmp_path,
+                                                  monkeypatch):
+    """--segment-frames renders parts and stitches them losslessly: the
+    final file is byte-identical to an unsegmented render."""
+    monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
+    frames = fake_ffmpeg["frames"]
+    expect = frames.repeat(2, axis=1).repeat(2, axis=2).tobytes()
+
+    out = tmp_path / "seg.mp4"
+    rc, engine, _ = _run_segmented(_seg_args(segment_frames=2), out,
+                                   fake_ffmpeg)
+    assert rc == 0
+    assert engine.rendered_frames == N
+    assert out.read_bytes() == expect
+    assert not list(tmp_path.glob("seg.seg*"))  # parts cleaned up
+
+
+def test_segmented_resume_skips_finished_segments(fake_ffmpeg, tmp_path,
+                                                  monkeypatch):
+    """Frame-index resume: existing part files are not re-rendered — an
+    interrupted video continues mid-stream instead of from frame 0."""
+    monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
+    from waifu2x_tensorrt_tpu.io.video import segment_path
+
+    out = tmp_path / "res.mp4"
+    # segment [0, 2) "already rendered" with sentinel content
+    sentinel = bytes(range(256)) * (2 * (2 * H) * (2 * W) * 3 // 256)
+    segment_path(out, 0, 2).write_bytes(sentinel)
+
+    rc, engine, msgs = _run_segmented(
+        _seg_args(segment_frames=2, resume=True), out, fake_ffmpeg)
+    assert rc == 0
+    assert engine.rendered_frames == N - 2  # first segment skipped
+    assert any("Skipping frames [0, 2)" in m for m in msgs)
+    final = out.read_bytes()
+    assert final[:len(sentinel)] == sentinel  # stitched in grid order
+    frames = fake_ffmpeg["frames"]
+    expect_rest = frames[2:].repeat(2, axis=1).repeat(2, axis=2).tobytes()
+    assert final[len(sentinel):] == expect_rest
+
+
+def test_multihost_video_sharding_and_stitch(fake_ffmpeg, tmp_path,
+                                             monkeypatch):
+    """Two 'hosts' render disjoint frame ranges of one video; the last
+    finisher stitches the full output byte-identically."""
+    import jax
+
+    monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    frames = fake_ffmpeg["frames"]
+    expect = frames.repeat(2, axis=1).repeat(2, axis=2).tobytes()
+    out = tmp_path / "mh.mp4"
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    rc, e0, msgs0 = _run_segmented(_seg_args(multihost=True), out,
+                                   fake_ffmpeg)
+    assert rc == 0 and not out.exists()  # waiting on host 1
+    assert any("waiting" in m or "remaining hosts" in m for m in msgs0)
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    rc, e1, _ = _run_segmented(_seg_args(multihost=True), out, fake_ffmpeg)
+    assert rc == 0
+    assert e0.rendered_frames + e1.rendered_frames == N
+    assert out.exists()
+    assert out.read_bytes() == expect
+
+
+def test_capture_frame_range_exact(fake_ffmpeg, tmp_path, monkeypatch):
+    """VideoCapture(frame_range) decodes exactly [start, stop)."""
+    monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
+    video = fake_ffmpeg["video"]
+    video.touch()
+    cap = VideoCapture()
+    cap.open(video, frame_range=(2, 5))
+    assert cap.frame_count == 3
+    got = [cap.read() for _ in range(3)]
+    assert cap.read() is None
+    cap.release()
+    np.testing.assert_array_equal(np.stack(got), fake_ffmpeg["frames"][2:5])

@@ -110,6 +110,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "rendering (bounds recompilations for "
                              "mixed-size inputs; blend near padded edges "
                              "uses replicated content)")
+    render.add_argument("--segment-frames", type=int, default=0, metavar="N",
+                        dest="segment_frames",
+                        help="Render videos in N-frame segments (part files "
+                             "stitched losslessly at the end). Enables "
+                             "frame-index --resume for interrupted video "
+                             "renders, and segment-level work sharding "
+                             "under --multihost")
 
     sub.add_parser("build", help="Build model")
     return p
@@ -281,6 +288,13 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
         message_cb(Severity.info, f"Skipping {file} (output exists)")
         capture.release()
         return 0
+    if not is_image and (getattr(args, "segment_frames", 0) > 0
+                         or args.multihost):
+        total = capture.frame_count
+        fps = capture.frame_rate
+        capture.release()
+        return _render_video_segmented(args, engine, file, out_path, state,
+                                       message_cb, total, fps)
     writer = VideoWriter()
     writer.set_constant_rate_factor(args.crf)
     if is_image:
@@ -335,6 +349,97 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
     if rc != 0:
         return rc
     message_cb(Severity.info, f"Wrote {out_path}")
+    return 0
+
+
+def _render_video_segmented(args, engine, file, out_path, state, message_cb,
+                            total_frames, frame_rate) -> int:
+    """Segmented video render: frame-range sharding + mid-video resume.
+
+    The segment grid is a pure function of (video, flags), so every host
+    and every resumed run derives identical part boundaries. Each segment
+    decodes only its frame window (frame-exact trim), encodes to an
+    atomically-published part file, and the last finisher stitches the
+    parts losslessly (SURVEY.md §5 checkpoint/resume improvement; the
+    reference restarts videos from frame 0 and cannot split one video
+    across hosts).
+    """
+    from waifu2x_tensorrt_tpu.io.video import (
+        VideoCapture,
+        concat_segments,
+        segment_grid,
+        segment_path,
+    )
+
+    seg = getattr(args, "segment_frames", 0)
+    grid = segment_grid(total_frames, seg)
+    if args.multihost:
+        if seg > 0:
+            from waifu2x_tensorrt_tpu.parallel import shard_files
+
+            mine = shard_files(grid)
+        else:
+            import jax
+
+            from waifu2x_tensorrt_tpu.parallel import shard_frame_ranges
+
+            pc = jax.process_count()
+            grid = [shard_frame_ranges(total_frames, i, pc) for i in range(pc)]
+            mine = [grid[jax.process_index()]]
+    else:
+        mine = grid
+
+    state["frames"] = total_frames
+    for a, b in mine:
+        part = segment_path(out_path, a, b)
+        if getattr(args, "resume", False) and part.exists():
+            message_cb(Severity.info,
+                       f"Skipping frames [{a}, {b}) (segment exists)")
+            continue
+        tmp = part.with_name(part.stem + ".tmp" + part.suffix)
+        capture = VideoCapture()
+        capture.open(file, frame_range=(a, b))
+        writer = (VideoWriter()
+                  .set_constant_rate_factor(args.crf)
+                  .set_frame_rate(frame_rate)
+                  .set_pixel_format(args.pix_fmt).set_codec(args.codec)
+                  .set_frame_size(capture.frame_width * args.scale,
+                                  capture.frame_height * args.scale)
+                  .set_output_file(tmp))
+        try:
+            writer.open()
+            pending = None
+            for i in range(b - a):
+                state["frame"] = a + i + 1
+                frame = capture.read()
+                if frame is None:
+                    raise RuntimeError("decoder ended early")
+                fut = engine.render_async(frame)
+                if pending is not None:
+                    writer.write(np.asarray(pending))
+                pending = fut
+            writer.write(np.asarray(pending))
+        except Exception as e:
+            message_cb(Severity.error,
+                       f"Render failed in frames [{a}, {b}): {e}.")
+            tmp.unlink(missing_ok=True)
+            return -1
+        finally:
+            capture.release()
+            writer.release()
+        tmp.replace(part)  # atomic: existence == segment complete
+        message_cb(Severity.info, f"Rendered segment [{a}, {b}) -> {part.name}")
+
+    expected = [segment_path(out_path, a, b) for a, b in grid]
+    if all(p.exists() for p in expected):
+        concat_segments(expected, out_path, frame_rate)
+        for p in expected:
+            p.unlink()
+        message_cb(Severity.info, f"Wrote {out_path}")
+    else:
+        message_cb(Severity.info,
+                   f"Rendered {len(mine)} segment(s) of {out_path.name}; "
+                   "final stitch happens when the remaining hosts finish")
     return 0
 
 

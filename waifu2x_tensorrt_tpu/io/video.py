@@ -97,6 +97,7 @@ class VideoCapture:
     def __init__(self, prefetch: int = 4) -> None:
         self._proc: Optional[subprocess.Popen] = None
         self._cv2 = None
+        self._cv2_remaining: Optional[int] = None
         self._native = None
         self._queue: Optional[_queue.Queue] = None
         self._reader: Optional[threading.Thread] = None
@@ -108,13 +109,19 @@ class VideoCapture:
         self.frame_rate = 0.0
         self.frame_count = 0
 
-    def open(self, path: str | Path) -> None:
+    def open(self, path: str | Path,
+             frame_range: Optional[tuple[int, int]] = None) -> None:
+        """Open a file; ``frame_range=(start, stop)`` restricts decoding to
+        that frame-exact [start, stop) window (segmented/multi-host video
+        rendering and mid-video resume)."""
         self.release()
         path = Path(path)
         if not path.exists():
             raise FileNotFoundError(str(path))
 
         if path.suffix.lower() in IMAGE_SUFFIXES:
+            if frame_range is not None and frame_range != (0, 1):
+                raise ValueError("frame_range is not valid for images")
             self.frame_height, self.frame_width = image_size(path)
             self.frame_rate = 0.0
             self.frame_count = 1
@@ -123,7 +130,7 @@ class VideoCapture:
             return
 
         if not have_ffmpeg():
-            self._open_cv2(path)
+            self._open_cv2(path, frame_range)
             return
         info = probe(path)
         self.frame_width = int(info["width"])
@@ -137,8 +144,15 @@ class VideoCapture:
             self.frame_count = self._count_frames(path)
         else:
             self.frame_count = int(nb)
+        if frame_range is not None:
+            start, stop = frame_range
+            if not (0 <= start < stop <= self.frame_count):
+                raise ValueError(
+                    f"frame_range {frame_range} outside [0, "
+                    f"{self.frame_count})")
+            self.frame_count = stop - start
 
-        cmd = self._decode_cmd(path)
+        cmd = self._decode_cmd(path, frame_range)
         if use_native_pipe():
             # C++ ring runtime: the decoder child is fed/drained by a
             # native thread, so Python never blocks on pipe fread
@@ -158,15 +172,23 @@ class VideoCapture:
         self._reader.start()
 
     @staticmethod
-    def _decode_cmd(path: Path) -> list[str]:
-        """Raw rgb24 decode pipe command (reference capture.cpp:96-105)."""
-        return [
-            "ffmpeg", "-v", "error", "-i", str(path),
-            "-f", "image2pipe", "-vcodec", "rawvideo", "-pix_fmt", "rgb24",
-            "-",
-        ]
+    def _decode_cmd(path: Path,
+                    frame_range: Optional[tuple[int, int]] = None
+                    ) -> list[str]:
+        """Raw rgb24 decode pipe command (reference capture.cpp:96-105);
+        the optional frame window uses the frame-exact trim filter."""
+        cmd = ["ffmpeg", "-v", "error", "-i", str(path)]
+        if frame_range is not None:
+            start, stop = frame_range
+            cmd += ["-vf",
+                    f"trim=start_frame={start}:end_frame={stop},"
+                    "setpts=PTS-STARTPTS"]
+        cmd += ["-f", "image2pipe", "-vcodec", "rawvideo", "-pix_fmt",
+                "rgb24", "-"]
+        return cmd
 
-    def _open_cv2(self, path: Path) -> None:
+    def _open_cv2(self, path: Path,
+                  frame_range: Optional[tuple[int, int]] = None) -> None:
         """Fallback decoder via OpenCV's bundled codecs (no ffmpeg)."""
         import cv2
 
@@ -181,6 +203,16 @@ class VideoCapture:
         self.frame_height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
         self.frame_rate = float(cap.get(cv2.CAP_PROP_FPS))
         self.frame_count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self._cv2_remaining = None
+        if frame_range is not None:
+            start, stop = frame_range
+            if not (0 <= start < stop <= self.frame_count):
+                raise ValueError(
+                    f"frame_range {frame_range} outside [0, "
+                    f"{self.frame_count})")
+            cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            self.frame_count = stop - start
+            self._cv2_remaining = self.frame_count
 
     @staticmethod
     def _count_frames(path: Path) -> int:
@@ -211,6 +243,10 @@ class VideoCapture:
         if self._native is not None:
             return self._native.read(copy=True)
         if self._cv2 is not None:
+            if self._cv2_remaining is not None:
+                if self._cv2_remaining <= 0:
+                    return None
+                self._cv2_remaining -= 1
             ok, frame = self._cv2.read()
             if not ok:
                 return None
@@ -231,6 +267,7 @@ class VideoCapture:
         if self._cv2 is not None:
             self._cv2.release()
             self._cv2 = None
+            self._cv2_remaining = None
         if self._proc is not None:
             try:
                 self._proc.stdout.close()
@@ -442,3 +479,70 @@ class VideoWriter:
 
     def __exit__(self, *exc):
         self.release()
+
+
+# ---------------------------------------------------------------------------
+# Segmented video rendering: frame-range sharding + mid-video resume
+# ---------------------------------------------------------------------------
+
+
+def segment_grid(frame_count: int, seg_frames: int) -> list[tuple[int, int]]:
+    """Split [0, frame_count) into contiguous [start, stop) segments of at
+    most ``seg_frames`` frames. The grid is a pure function of the video so
+    every host (and every resumed run) derives identical boundaries."""
+    if seg_frames <= 0 or seg_frames >= frame_count:
+        return [(0, frame_count)]
+    return [(a, min(a + seg_frames, frame_count))
+            for a in range(0, frame_count, seg_frames)]
+
+
+def segment_path(out_path: Path, start: int, stop: int) -> Path:
+    """Part-file path for one rendered segment of ``out_path``."""
+    return out_path.with_name(
+        f"{out_path.stem}.seg{start:08d}-{stop:08d}{out_path.suffix}")
+
+
+def concat_segments(parts: list[Path], out_path: Path,
+                    frame_rate: float = 0.0) -> None:
+    """Losslessly stitch rendered segment files into the final output.
+
+    ffmpeg path: concat demuxer with stream copy (parts share codec
+    parameters by construction). cv2 fallback: decode + re-encode (no
+    stream-copy API in OpenCV).
+    """
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out_path.with_name(out_path.name + ".concat.tmp" + out_path.suffix)
+    if have_ffmpeg():
+        list_file = out_path.with_suffix(".segments.txt")
+        list_file.write_text(
+            "".join(f"file '{p.resolve()}'\n" for p in parts))
+        try:
+            subprocess.run(
+                ["ffmpeg", "-v", "error", "-y", "-f", "concat", "-safe", "0",
+                 "-i", str(list_file), "-c", "copy", str(tmp)],
+                check=True)
+        finally:
+            list_file.unlink(missing_ok=True)
+    else:
+        import cv2
+
+        writer = None
+        for p in parts:
+            cap = cv2.VideoCapture(str(p))
+            if not cap.isOpened():
+                raise RuntimeError(f"could not open segment {p}")
+            if writer is None:
+                w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+                h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+                fps = frame_rate or float(cap.get(cv2.CAP_PROP_FPS)) or 30.0
+                writer = cv2.VideoWriter(
+                    str(tmp), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                writer.write(frame)
+            cap.release()
+        if writer is not None:
+            writer.release()
+    tmp.replace(out_path)  # atomic publish
