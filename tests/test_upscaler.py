@@ -189,6 +189,31 @@ def test_swin_packed_head_matches_unpacked(tmp_path):
     assert diff.max() <= 1, diff.max()
 
 
+def test_whole_frame_mode_equals_direct_apply(tmp_path):
+    """tileSize 0 (whole-frame, TPU extension): the render is exactly the
+    model forward on the frame — no tiling, no overlap context, no blend."""
+    import jax.numpy as jnp
+
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.models.registry import create_model, init_params
+
+    module, spec = create_model("swin_unet/art", 2, -1)
+    params = init_params(module, tile=32)
+    frame = np.random.default_rng(12).integers(0, 256, (70, 90, 3), np.uint8)
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=1, height=0,
+                       width=0, scaling=2)
+    got = np.asarray(ChunkedPipeline(module, spec, cfg).render(params, frame))
+    # normalize exactly as prepare() does (x * (1/255), not x / 255 —
+    # they differ in the last ulp)
+    x = jnp.asarray(frame[None]).astype(jnp.float32) * jnp.float32(1 / 255)
+    direct = np.asarray(module.apply({"params": params}, x))[0]
+    want = np.clip(np.round(direct * 255.0), 0, 255).astype(np.uint8)
+    # <=1 LSB: the pipeline and the direct apply are separate XLA programs
+    # (different fusion/FMA choices at the round boundary)
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+
 def test_chunked_sharded_matches_unsharded(tmp_path):
     """--dp sharding through the chunked pipeline (prepare out_shardings)
     equals the single-device render."""

@@ -32,7 +32,9 @@ from waifu2x_tensorrt_tpu.utils.logging import (
     console_message_callback,
 )
 
-TILE_CHOICES = (64, 128, 256, 400, 640)  # src/main.cpp:62-64
+# reference choices (src/main.cpp:62-64) + 0 = auto whole-frame (TPU
+# extension: no tiling/overlap when the frame fits on-chip)
+TILE_CHOICES = (0, 64, 128, 256, 400, 640)
 BLEND_CHOICES = (1 / 8, 1 / 16, 1 / 32, 0.0)  # src/main.cpp:108-115
 MODEL_CHOICES = (
     "cunet/art",
@@ -56,7 +58,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batchSize", dest="batch_size", required=True, type=int,
                    help="Set the batch size")
     p.add_argument("--tileSize", dest="tile_size", required=True, type=int,
-                   choices=TILE_CHOICES, help="Set the tile size")
+                   choices=TILE_CHOICES,
+                   help="Set the tile size (0 = whole-frame, no tiling)")
     p.add_argument("--device", dest="device", type=int, default=0,
                    help="Set the device ID")
     p.add_argument("--precision", choices=("fp16", "tf32"), default="fp16",

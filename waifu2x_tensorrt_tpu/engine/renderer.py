@@ -51,6 +51,28 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def resolve_tile_plan(spec: ModelSpec, config: RenderConfig,
+                      frame_hw: tuple[int, int]):
+    """Tile plan for a frame; ``config.height == 0`` selects WHOLE-FRAME
+    mode: the frame renders as a single (rectangular) tile — no overlap
+    context, no blend, no scatter. Tiling exists in the reference because
+    GPU VRAM and fixed TensorRT shapes force it (img2img_render.cpp:7-66);
+    on TPU a 720p frame fits comfortably, and skipping the ~25% overlap
+    FLOPs is pure win. Large frames should still tile (HBM ceiling) —
+    whole-frame is an explicit opt-in (`--tileSize 0`)."""
+    tile = config.height
+    if tile == 0:
+        d = spec.tile_divisor
+        tile_hw = (_ceil_to(frame_hw[0], d), _ceil_to(frame_hw[1], d))
+    else:
+        assert config.width == tile, "square tiles only (CLI parity)"
+        tile_hw = (tile, tile)
+    out_tile_hw = (spec.output_tile(tile_hw[0]),
+                   spec.output_tile(tile_hw[1]))
+    return plan_tiles(frame_hw, tile_hw, out_tile_hw, spec.scale,
+                      config.overlap)
+
+
 def make_render_fn(
     module,
     spec: ModelSpec,
@@ -63,13 +85,7 @@ def make_render_fn(
     Returns ``fn(params, frame_u8) -> out_u8`` where ``frame_u8`` is
     (H, W, 3) uint8 RGB and the result is (H*scale, W*scale, 3) uint8 RGB.
     """
-    tile = config.height
-    assert config.width == tile, "square tiles only (CLI parity)"
-    out_tile = spec.output_tile(tile)
-    plan = plan_tiles(
-        frame_hw, (tile, tile), (out_tile, out_tile), spec.scale,
-        config.overlap,
-    )
+    plan = resolve_tile_plan(spec, config, frame_hw)
 
     compute_dtype = config.precision.dtype
     batch = config.batch_size
@@ -215,13 +231,7 @@ def make_chunked_fns(
     layout (48 lanes); the canvas is unpacked ONCE at the end. Bitwise
     math is unchanged: packed ramps index the same per-pixel weights.
     """
-    tile = config.height
-    assert config.width == tile, "square tiles only (CLI parity)"
-    out_tile = spec.output_tile(tile)
-    plan = plan_tiles(
-        frame_hw, (tile, tile), (out_tile, out_tile), spec.scale,
-        config.overlap,
-    )
+    plan = resolve_tile_plan(spec, config, frame_hw)
     compute_dtype = config.precision.dtype
     steps_per_tile = DIHEDRAL_SIZE if config.tta else 1
     n_steps = plan.tile_count * steps_per_tile

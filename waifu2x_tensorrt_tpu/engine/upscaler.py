@@ -177,7 +177,8 @@ class Upscaler:
             packed_head=False,
         )
         params, from_file = registry.load_or_init_params(
-            module, self.models_dir, family, scale, noise, tile=config.height,
+            module, self.models_dir, family, scale, noise,
+            tile=config.height or 64,
             warn=lambda m: self.logger.log(Severity.warn, m),
             allow_random=self.allow_random_init,
         )
