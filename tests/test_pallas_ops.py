@@ -173,3 +173,46 @@ class TestFusedBlock:
         finally:
             sb.fused_swin_block = orig
             wa.fused_window_attention_qkv = worig
+
+
+class TestStageTokenOrchestration:
+    def test_stage_fused_matches_dense(self):
+        """SwinStage's fused path (one window partition per stage +
+        window-space rolls between blocks) == the dense per-block path."""
+        from waifu2x_tensorrt_tpu.models.swin_unet import SwinStage
+        import waifu2x_tensorrt_tpu.ops.swin_block as sb
+
+        orig = sb.fused_swin_block
+
+        def interp(*a, **kw):
+            kw["interpret"] = True
+            return orig(*a, **kw)
+
+        sb.fused_swin_block = interp
+        try:
+            dense = SwinStage(96, 3, depth=4)
+            fused = SwinStage(96, 3, depth=4, fused_block=True)
+            x = jnp.asarray(
+                np.random.default_rng(3).random((2, 16, 24, 96)), jnp.float32)
+            params = dense.init(jax.random.PRNGKey(0), x)["params"]
+            y0 = dense.apply({"params": params}, x)
+            y1 = fused.apply({"params": params}, x)
+            np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                                       atol=1e-4)
+        finally:
+            sb.fused_swin_block = orig
+
+    def test_window_roll_equals_pixel_roll(self):
+        from waifu2x_tensorrt_tpu.models.swin_unet import (
+            _window_merge,
+            _window_roll,
+            _window_split,
+        )
+
+        x = jnp.asarray(
+            np.random.default_rng(4).random((2, 16, 24, 5)), jnp.float32)
+        xw = _window_split(x, 8)
+        for shift in (-4, 4, -3, 3):
+            got = _window_roll(xw, 2, 3, shift)
+            want = _window_split(jnp.roll(x, (shift, shift), (1, 2)), 8)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
