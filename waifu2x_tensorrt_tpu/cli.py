@@ -211,8 +211,29 @@ def main(argv=None) -> int:
     files = find_files_by_extension(args.inputs, DEFAULT_EXTENSIONS,
                                     args.recursive)
     if args.multihost:
+        import os
+
         from waifu2x_tensorrt_tpu.parallel import shard_files
 
+        # Multi-host runtime hookup: initialize the distributed runtime
+        # when a coordinator is configured (TPU pods auto-detect; explicit
+        # env for CPU/GPU clusters). Single-process --multihost runs (and
+        # tests) skip it — process_index()/count() default to 0/1.
+        import jax
+
+        if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS")) \
+                and jax.process_count() == 1:
+            try:
+                jax.distributed.initialize()
+                message_cb(
+                    Severity.info,
+                    f"distributed: process "
+                    f"{jax.process_index() + 1}/{jax.process_count()}")
+            except Exception as e:
+                message_cb(Severity.error,
+                           f"jax.distributed.initialize failed: {e}.")
+                return -1
         files = shard_files(files)
     if not files:
         message_cb(Severity.error, "No input files found.")
