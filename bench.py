@@ -279,6 +279,33 @@ def main() -> None:
             configs["config4_photo2x_720p_video"] = f"failed: {type(e).__name__}"
             log(f"[bench] config4_photo2x_720p_video: {configs['config4_photo2x_720p_video']}")
             flush_aux()
+        # config 5: max-throughput — tile 640, 4K (2160x3840) frames,
+        # swin_unet/photo 2x. (BASELINE.md lists this with multi-chip
+        # data-parallel streaming; single-chip rate reported here, the dp
+        # path is exercised by tests + dryrun_multichip.)
+        if not over_budget("config5_4k_tile640_photo2x"):
+          try:
+            cfg5 = RenderConfig(
+                precision=Precision.FP16, batch_size=4, height=640,
+                width=640, scaling=2, overlap=(1 / 16, 1 / 16))
+            hw4k = (2160, 3840)
+            frame4k = jax.device_put(jnp.asarray(
+                rng.integers(0, 256, (*hw4k, 3), np.uint8)))
+            run5 = make_pipeline("swin_unet/photo", 2, -1, cfg5, hw4k,
+                                 fused_block=True)
+            force(run5(frame4k))
+            v, f = measure(run5, frame4k, 2, hw4k, iters=3)
+            configs["config5_4k_tile640_photo2x"] = {
+                "MPps": round(v, 1), "fps_4k_to_8k_equiv": round(f, 2),
+                "tiles": run5.plan.tile_count}
+            log(f"[bench] config5_4k_tile640_photo2x: "
+                f"{configs['config5_4k_tile640_photo2x']}")
+            flush_aux()
+          except Exception as e:
+            configs["config5_4k_tile640_photo2x"] = f"failed: {type(e).__name__}"
+            log(f"[bench] config5_4k_tile640_photo2x: "
+                f"{configs['config5_4k_tile640_photo2x']}")
+            flush_aux()
 
     log(json.dumps({"aux": aux}))
     flush_aux()
