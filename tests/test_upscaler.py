@@ -398,3 +398,21 @@ def test_async_path_applies_bucketing(tmp_path):
     assert out_a.shape == (100, 140, 3)
     assert out_b.shape == (120, 130, 3)
     assert len(engine._renderers._geoms) == 1  # both bucketed to (64, 128)
+
+
+def test_scale1_denoise_render_both_families(tmp_path):
+    """Scale-1 (pure denoise) end-to-end: output size == input size for
+    both families (cunet's offset-28 valid-conv geometry gives 8x8 output
+    tiles at tile 64 — the heaviest tiling case; swin s1 has a plain conv
+    head)."""
+    frame = np.random.default_rng(13).integers(0, 256, (40, 50, 3), np.uint8)
+    for family in ("cunet/art", "swin_unet/art"):
+        config = RenderConfig(precision=Precision.TF32, batch_size=4,
+                              height=64, width=64, scaling=1,
+                              overlap=(1 / 16, 1 / 16))
+        engine = Upscaler(allow_random_init=True,
+                          models_dir=tmp_path / "models")
+        engine.load(family, 1, 0, config)
+        out = engine.render(frame)
+        assert out.shape == frame.shape, family
+        assert out.dtype == np.uint8
