@@ -1,0 +1,125 @@
+"""Shared VPU math for the Pallas kernels.
+
+The v5e VPU has no erf primitive and transcendental/divide ops are
+multi-pass; ablation-profiled on the fused Swin block (BENCH_NOTES.md
+round 2), softmax is ~19% of stage-1 kernel time and GELU ~3%. The
+variants here were each measured in-kernel on v5e (2026-08-16 ablation
+probe; stage-1 geometry 4096 windows, C=96, bw32):
+
+  softmax: divide > reciprocal-multiply (3.30 vs 3.43 ms/block — Mosaic
+    fuses the broadcast divide; an explicit reciprocal adds a pass), and
+    dropping the max-subtract pass behind a range clamp saves another
+    ~0.3 ms/block.
+  gelu: a pure-FMA odd polynomial beats the Abramowitz-Stegun rational
+    form (divide + exp) by ~0.07 ms/block.
+  layernorm: moving the mean/mean2 row reductions onto the MXU (dot with
+    a ones vector) frees VPU passes, ~0.09 ms/block.
+
+Precision policy: each function takes an ``exact`` flag. The fused
+kernels pass ``exact=False`` only for bfloat16 compute, where the
+approximation error sits below bf16's own rounding noise; float32
+("tf32" CLI precision) keeps the numerically-strict forms.
+
+No reference analogue: the reference's model math lives inside opaque
+TensorRT engines (SURVEY.md component 22).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# erf(x) = x * P(x^2) on |x| <= 3, clamped outside (erf(3) = 1 - 2.2e-5).
+# P is a degree-8 Chebyshev fit of erf(sqrt(u))/sqrt(u) on u in [0, 9]
+# (well-conditioned, unlike a plain lstsq power fit). Max abs error vs
+# true erf, evaluated in fp32 over |x| <= 6: 4.2e-5; the induced GELU
+# error is <= 8.7e-5 — below bf16 activation resolution (~4e-3 relative).
+_ERF_COEFS = (
+    1.1283630048348186,
+    -0.37581892351203916,
+    0.111862958177743,
+    -0.02564989971645592,
+    0.004437956389134158,
+    -0.000553574520441688,
+    4.614906117946642e-05,
+    -2.2678240256898596e-06,
+    4.918470760351015e-08,
+)
+
+
+def _erf_poly(x):
+    """Pure-FMA erf approximation (fp32 in/out), |err| <= 4.2e-5."""
+    z = jnp.clip(x, -3.0, 3.0)
+    u = z * z
+    p = jnp.float32(_ERF_COEFS[-1])
+    for c in _ERF_COEFS[-2::-1]:
+        p = p * u + jnp.float32(c)
+    return z * p
+
+
+def _erf_as(x):
+    """Abramowitz-Stegun 7.1.26 rational erf, |err| <= 1.5e-7 (costs a
+    VPU divide and an exp; the fp32-precision path uses this)."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    za = jnp.abs(x)
+    t = 1.0 / (1.0 + p * za)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-za * za))
+
+
+def gelu(z, exact: bool = False):
+    """erf-GELU matching jax.nn.gelu(approximate=False); fp32 in/out.
+
+    exact=False: polynomial erf, <= 8.7e-5 abs error (bf16-invisible).
+    exact=True:  A-S rational erf, <= 1.5e-7.
+    """
+    x = z * jnp.float32(0.7071067811865476)
+    e = _erf_as(x) if exact else _erf_poly(x)
+    return 0.5 * z * (1.0 + e)
+
+
+# Softmax logit clamp for the no-max-subtract fast path: exp(75) stays
+# finite in fp32 even summed over a 64-token row, and exp(-60) cannot
+# underflow the row sum. Trained attention logits live well inside
+# [-60, 75]; logits outside only distort if the row's TRUE max is also
+# outside, and the -1e9 shift mask still lands at -60, 1e-26 below any
+# in-range logit.
+_CLAMP_LO = -60.0
+_CLAMP_HI = 75.0
+
+
+def softmax_lastdim(attn, exact: bool = True):
+    """Softmax over the last axis, fp32 in/out.
+
+    exact=True: standard max-subtracted form (fp32-precision path).
+    exact=False: skips the max reduce+subtract behind a [-60, 75] logit
+    clamp — two fewer VPU passes over the (N, N) attention tensor,
+    measured ~0.3 ms/stage-1 block on v5e. bf16-only.
+    """
+    if exact:
+        e = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
+    else:
+        e = jnp.exp(jnp.clip(attn, _CLAMP_LO, _CLAMP_HI))
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def layernorm(x, scale, bias, eps: float = 1e-5):
+    """Fast-variance LayerNorm in fp32 (nn.LayerNorm semantics) with the
+    row reductions on the MXU: mean and mean-of-squares are dots with a
+    ones vector, freeing VPU passes (v5e: ~0.09 ms/stage-1 block)."""
+    x32 = x.astype(jnp.float32)
+    c = x32.shape[-1]
+    ones = jnp.ones((c, 1), jnp.float32)
+    dims = (((x32.ndim - 1,), (0,)), ((), ()))
+    s1 = jax.lax.dot_general(x32, ones, dims,
+                             preferred_element_type=jnp.float32)
+    s2 = jax.lax.dot_general(x32 * x32, ones, dims,
+                             preferred_element_type=jnp.float32)
+    inv_c = jnp.float32(1.0 / c)
+    mean = s1 * inv_c
+    var = jnp.maximum(s2 * inv_c - mean * mean, 0.0)
+    y = (x32 - mean) * jax.lax.rsqrt(var + jnp.float32(eps))
+    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)

@@ -28,31 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LN_EPS = 1e-5
-
-
-def _erf(z):
-    """erf for Mosaic (no erf primitive): Abramowitz-Stegun 7.1.26
-    rational approximation, |abs err| <= 1.5e-7 — far inside the bf16
-    activation noise floor. fp32 in/out."""
-    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
-                          -1.453152027, 1.061405429)
-    p = 0.3275911
-    s = jnp.sign(z)
-    za = jnp.abs(z)
-    t = 1.0 / (1.0 + p * za)
-    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-    return s * (1.0 - poly * jnp.exp(-za * za))
-
-
-def _layernorm(x, scale, bias):
-    """Fast-variance LayerNorm in fp32 (matches nn.LayerNorm defaults)."""
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    mean2 = jnp.mean(x32 * x32, axis=-1, keepdims=True)
-    var = jnp.maximum(mean2 - mean * mean, 0.0)
-    y = (x32 - mean) * jax.lax.rsqrt(var + _LN_EPS)
-    return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+from waifu2x_tensorrt_tpu.ops.kernel_math import gelu as _gelu
+from waifu2x_tensorrt_tpu.ops.kernel_math import layernorm as _layernorm
+from waifu2x_tensorrt_tpu.ops.kernel_math import softmax_lastdim as _softmax
 
 
 def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
@@ -62,6 +40,9 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
     N = ws * ws
     C = nh * hd
     dtype = x_ref.dtype
+    # bf16 compute opts into the fast VPU math (kernel_math precision
+    # policy); fp32 keeps the numerically-strict forms.
+    exact = dtype != jnp.bfloat16
 
     x = x_ref[:]  # (wb, N, C)
 
@@ -102,7 +83,7 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
         attn = attn + bias_ref[head][None].astype(jnp.float32)
         if shift_mask is not None:
             attn = attn + shift_mask
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = _softmax(attn, exact=exact)
         head_outs.append(jax.lax.dot_general(
             attn.astype(dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -125,9 +106,7 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
         preferred_element_type=jnp.float32,
     )
     z = z + fc1b_ref[0].astype(jnp.float32)
-    # erf GELU matching jax.nn.gelu(approximate=False) to ~1e-7
-    g = 0.5 * z * (1.0 + _erf(z * jnp.float32(0.7071067811865476)))
-    g = g.astype(dtype)
+    g = _gelu(z, exact=exact).astype(dtype)
     out = jax.lax.dot_general(
         g, fc2k_ref[:].astype(dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),

@@ -32,6 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from waifu2x_tensorrt_tpu.ops.kernel_math import softmax_lastdim as _softmax
+
 
 def window_attention_reference(q, k, v, bias, flags, shift: int):
     """Pure-jnp reference. q/k/v: (BW, nh, N, hd); bias: (nh, N, N) fp32;
@@ -102,7 +104,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
             right & col_cross[None, None])  # (wb, 1, N, N)
         attn = attn + jnp.where(crossing, -1e9, 0.0)
 
-    attn = jax.nn.softmax(attn, axis=-1)
+    attn = _softmax(attn, exact=q.dtype != jnp.bfloat16)
     out = jax.lax.dot_general(
         attn.reshape(wb * nh, N, N).astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -153,7 +155,7 @@ def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
         attn = attn + bias_ref[h][None].astype(jnp.float32)
         if shift_mask is not None:
             attn = attn + shift_mask
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = _softmax(attn, exact=qkv.dtype != jnp.bfloat16)
         outs.append(jax.lax.dot_general(
             attn.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
