@@ -1,0 +1,81 @@
+"""kernel_math accuracy contracts (the fused kernels' precision policy).
+
+These pin the error bounds the kernels rely on (ops/kernel_math.py):
+bf16 render paths use the fast forms, fp32 paths the exact forms, and
+each fast form's deviation must stay below bf16 activation resolution.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waifu2x_tensorrt_tpu.ops.kernel_math import (
+    gelu,
+    layernorm,
+    softmax_lastdim,
+)
+
+_erf = np.vectorize(math.erf)
+
+
+def _gelu_true(z):
+    z = z.astype(np.float64)
+    return 0.5 * z * (1.0 + _erf(z * 0.7071067811865476))
+
+
+@pytest.mark.parametrize("exact,bound", [(False, 1e-4), (True, 5e-7)])
+def test_gelu_error_bound(exact, bound):
+    z = jnp.asarray(np.linspace(-12, 12, 200001, dtype=np.float32))
+    got = np.asarray(gelu(z, exact=exact), dtype=np.float64)
+    err = np.abs(got - _gelu_true(np.asarray(z)))
+    assert err.max() < bound, err.max()
+
+
+def test_softmax_exact_matches_jax_nn():
+    x = np.random.default_rng(0).standard_normal((4, 64, 64)).astype(np.float32) * 5
+    got = np.asarray(softmax_lastdim(jnp.asarray(x), exact=True))
+    ref = np.asarray(jax.nn.softmax(jnp.asarray(x), axis=-1))
+    np.testing.assert_allclose(got, ref, atol=1e-7)
+
+
+def test_softmax_fast_in_range_matches():
+    """Within the [-60, 75] clamp the no-max form is the same softmax."""
+    x = np.random.default_rng(1).standard_normal((4, 64, 64)).astype(np.float32) * 10
+    got = np.asarray(softmax_lastdim(jnp.asarray(x), exact=False))
+    ref = np.asarray(jax.nn.softmax(jnp.asarray(x), axis=-1))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_softmax_fast_shift_mask_still_masks():
+    """The -1e9 cyclic-shift mask must still zero masked tokens through
+    the clamp (it lands at -60, ~1e-26 below any in-range logit)."""
+    x = np.zeros((1, 8, 8), np.float32)
+    x[0, :, 4:] = -1e9
+    got = np.asarray(softmax_lastdim(jnp.asarray(x), exact=False))
+    assert got[0, :, 4:].max() < 1e-20
+    np.testing.assert_allclose(got[0, :, :4], 0.25, atol=1e-6)
+
+
+def test_softmax_fast_no_overflow_at_extremes():
+    x = np.full((2, 8, 8), 1e4, np.float32)
+    x[1] = -1e4
+    got = np.asarray(softmax_lastdim(jnp.asarray(x), exact=False))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_layernorm_matches_flax():
+    import flax.linen as nn
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((32, 64, 96)).astype(np.float32) * 3)
+    scale = jnp.asarray(rng.standard_normal(96).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(96).astype(np.float32))
+    mod = nn.LayerNorm(epsilon=1e-5, use_fast_variance=True)
+    ref = mod.apply({"params": {"scale": scale, "bias": bias}}, x)
+    got = layernorm(x, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
