@@ -90,17 +90,27 @@ def test_qkv_kernel_matches_reference(shift):
                                atol=2e-5)
 
 
+def _patch_both_interpret(sb):
+    """Force interpret mode on the fused-block entry point."""
+    orig = sb.fused_swin_block
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    sb.fused_swin_block = interp
+    return orig
+
+
+def _restore_both(sb, orig):
+    sb.fused_swin_block = orig
+
+
 class TestFusedBlock:
     def _patch_interpret(self):
         import waifu2x_tensorrt_tpu.ops.swin_block as sb
 
-        orig = sb.fused_swin_block
-
-        def interp(*a, **kw):
-            kw["interpret"] = True
-            return orig(*a, **kw)
-
-        sb.fused_swin_block = interp
+        orig = _patch_both_interpret(sb)
         return sb, orig
 
     @pytest.mark.parametrize("shift", [0, 4])
@@ -122,7 +132,7 @@ class TestFusedBlock:
                 np.asarray(y0), np.asarray(y1), atol=3e-5
             )
         finally:
-            sb.fused_swin_block = orig
+            _restore_both(sb, orig)
 
     def test_param_trees_identical(self):
         """use_pallas=True and False must init IDENTICAL param trees
@@ -143,7 +153,7 @@ class TestFusedBlock:
                 assert fd[k].shape == fp[k].shape, k
                 np.testing.assert_array_equal(fd[k], fp[k])  # same seed
         finally:
-            sb.fused_swin_block = orig
+            _restore_both(sb, orig)
 
     def test_full_model_fused_matches_dense(self):
         from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
@@ -171,7 +181,7 @@ class TestFusedBlock:
                 np.asarray(y0), np.asarray(y1), atol=3e-5
             )
         finally:
-            sb.fused_swin_block = orig
+            _restore_both(sb, orig)
             wa.fused_window_attention_qkv = worig
 
 
@@ -182,13 +192,7 @@ class TestStageTokenOrchestration:
         from waifu2x_tensorrt_tpu.models.swin_unet import SwinStage
         import waifu2x_tensorrt_tpu.ops.swin_block as sb
 
-        orig = sb.fused_swin_block
-
-        def interp(*a, **kw):
-            kw["interpret"] = True
-            return orig(*a, **kw)
-
-        sb.fused_swin_block = interp
+        orig = _patch_both_interpret(sb)
         try:
             dense = SwinStage(96, 3, depth=4)
             fused = SwinStage(96, 3, depth=4, fused_block=True)
@@ -200,7 +204,7 @@ class TestStageTokenOrchestration:
             np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
                                        atol=1e-4)
         finally:
-            sb.fused_swin_block = orig
+            _restore_both(sb, orig)
 
     def test_window_roll_equals_pixel_roll(self):
         from waifu2x_tensorrt_tpu.models.swin_unet import (

@@ -370,13 +370,19 @@ class SwinStage(nn.Module):
                 name=f"block{i}",
             )
 
-        # Measured v5e 2026-08: stage-level token orchestration (partition
-        # once per stage, _window_roll between blocks) is bit-identical but
-        # SLOWER in-graph (7.9 vs 6.8 ms per 2-block stage at b16) — XLA
-        # fuses the per-block merge/roll/split transpose chains better than
-        # the slice+concat+roll alternative. Per-block stays the fused
-        # default; the token path remains available via
-        # SwinBlock(..., token_hw=...) for kernel work.
+        # Killing the per-block merge -> roll -> split transpose chains
+        # (~4.7 ms of a 22.9 ms 16-tile chunk, traced 2026-08-16) has now
+        # failed twice:
+        #  - stage-level token orchestration with _window_roll in XLA is
+        #    slower (7.9 vs 6.8 ms per 2-block stage) — XLA fuses the
+        #    transpose chains better than slice+concat rolls;
+        #  - fusing the roll INTO the kernel via a halo-row BlockSpec
+        #    (fused_swin_block_rows, validated bit-exact in interpret
+        #    mode) does not compile on v5e Mosaic: the window-column
+        #    exchange needs either pltpu.roll ("Rotate with non-32-bit
+        #    data" on bf16) or an in-kernel (N)->(ws,ws) token reshape
+        #    ("infer-vector-layout: unsupported shape cast").
+        # Per-block remains the fused default.
         for i in range(self.depth):
             x = block(i)(x)
         return x

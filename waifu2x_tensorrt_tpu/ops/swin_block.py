@@ -33,26 +33,24 @@ from waifu2x_tensorrt_tpu.ops.kernel_math import layernorm as _layernorm
 from waifu2x_tensorrt_tpu.ops.kernel_math import softmax_lastdim as _softmax
 
 
-def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
-              flags_ref, projk_ref, projb_ref, n2s_ref, n2b_ref,
-              fc1k_ref, fc1b_ref, fc2k_ref, fc2b_ref, o_ref,
-              *, ws, shift, wb, nh, hd):
+def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
+                n2s, n2b, fc1k, fc1b, fc2k, fc2b, *, ws, shift, wb, nh, hd):
+    """The whole transformer block on VMEM values: x (wb, N, C) window
+    tokens -> (wb, N, C). flags: (wb, 1) int32 (used only when shift)."""
     N = ws * ws
     C = nh * hd
-    dtype = x_ref.dtype
+    dtype = x.dtype
     # bf16 compute opts into the fast VPU math (kernel_math precision
     # policy); fp32 keeps the numerically-strict forms.
     exact = dtype != jnp.bfloat16
 
-    x = x_ref[:]  # (wb, N, C)
-
-    h = _layernorm(x, n1s_ref[0], n1b_ref[0]).astype(dtype)
+    h = _layernorm(x, n1s, n1b).astype(dtype)
     qkv = jax.lax.dot_general(
-        h, qkvk_ref[:].astype(dtype),
+        h, qkvk.astype(dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (wb, N, 3C)
-    qkv = (qkv + qkvb_ref[0].astype(jnp.float32)).astype(dtype)
+    qkv = (qkv + qkvb.astype(jnp.float32)).astype(dtype)
 
     if shift:
         tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
@@ -61,7 +59,6 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
             (tok_m // ws) >= (ws - shift))
         col_cross = ((tok % ws) >= (ws - shift)) != (
             (tok_m % ws) >= (ws - shift))
-        flags = flags_ref[:]
         bottom = ((flags & 1) > 0)[:, :, None]
         right = ((flags & 2) > 0)[:, :, None]
         crossing = (bottom & row_cross[None]) | (right & col_cross[None])
@@ -102,7 +99,7 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
-        attn = attn + bias_ref[head][None].astype(jnp.float32)
+        attn = attn + bias[head][None].astype(jnp.float32)
         if shift_mask is not None:
             attn = attn + shift_mask
         attn = _softmax(attn, exact=exact)
@@ -126,28 +123,39 @@ def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
          else jnp.concatenate(head_outs, axis=-1))  # (wb, N, C)
 
     a = jax.lax.dot_general(
-        a, projk_ref[:].astype(dtype),
+        a, projk.astype(dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    a = a + projb_ref[0].astype(jnp.float32)
+    a = a + projb.astype(jnp.float32)
     x1 = x + a.astype(dtype)
 
-    m = _layernorm(x1, n2s_ref[0], n2b_ref[0]).astype(dtype)
+    m = _layernorm(x1, n2s, n2b).astype(dtype)
     z = jax.lax.dot_general(
-        m, fc1k_ref[:].astype(dtype),
+        m, fc1k.astype(dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    z = z + fc1b_ref[0].astype(jnp.float32)
+    z = z + fc1b.astype(jnp.float32)
     g = _gelu(z, exact=exact).astype(dtype)
     out = jax.lax.dot_general(
-        g, fc2k_ref[:].astype(dtype),
+        g, fc2k.astype(dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    out = out + fc2b_ref[0].astype(jnp.float32)
-    o_ref[:] = x1 + out.astype(dtype)
+    out = out + fc2b.astype(jnp.float32)
+    return x1 + out.astype(dtype)
+
+
+def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
+            flags_ref, projk_ref, projb_ref, n2s_ref, n2b_ref,
+            fc1k_ref, fc1b_ref, fc2k_ref, fc2b_ref, o_ref,
+            *, ws, shift, wb, nh, hd):
+    o_ref[:] = _block_body(
+        x_ref[:], flags_ref[:], n1s_ref[0], n1b_ref[0], qkvk_ref[:],
+        qkvb_ref[0], bias_ref[:], projk_ref[:], projb_ref[0], n2s_ref[0],
+        n2b_ref[0], fc1k_ref[:], fc1b_ref[0], fc2k_ref[:], fc2b_ref[0],
+        ws=ws, shift=shift, wb=wb, nh=nh, hd=hd)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -218,3 +226,4 @@ def fused_swin_block(x, params, bias, flags, *, num_heads: int,
         params["fc2_kernel"], vec("fc2_bias", C),
     )
     return out[:BW] if pad else out
+
