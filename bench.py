@@ -54,12 +54,11 @@ def make_pipeline(family, scale, noise, config, frame_hw, fused_block,
     # packed=True (packed-head blend/scatter) measured slower on v5e:
     # the whole-canvas unpack costs ~15 ms vs ~3.4 ms of fused per-tile
     # shuffles (BENCH_NOTES.md); kept for kernel experiments.
-    """Compile the chunked render pipeline; returns a zero-arg runner."""
-    from waifu2x_tensorrt_tpu.engine.renderer import make_chunked_fns
+    """Compile the chunked render pipeline; returns a frame runner."""
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
     from waifu2x_tensorrt_tpu.models.registry import (
         create_model,
         init_params_host,
-        tile_apply_fn,
     )
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
@@ -78,22 +77,16 @@ def make_pipeline(family, scale, noise, config, frame_hw, fused_block,
         log(f"[bench] {family} s{scale} params init "
             f"{time.perf_counter() - t0:.1f}s")
         _PARAMS_CACHE[pkey] = params
-    prepare, finalize, plan, chunk_sizes = make_chunked_fns(
-        spec, config, frame_hw)
-    from waifu2x_tensorrt_tpu.utils.xla import tpu_compiler_options
-
-    opts = tpu_compiler_options()
-    jit_kw = {"compiler_options": opts} if opts else {}
-    prep_p = jax.jit(prepare)
-    fin_p = jax.jit(finalize)
-    model_p = jax.jit(tile_apply_fn(module), **jit_kw)
+    pl = ChunkedPipeline(module, spec, config)
+    prep_p, _fin, plan, _n = pl.get(frame_hw)
 
     def run(frame_dev):
-        chunks = prep_p(frame_dev)
-        return fin_p(*[model_p(params, c) for c in chunks])
+        return pl.render(params, frame_dev)
 
     run.plan = plan
-    run.chunk_sizes = chunk_sizes
+    run.chunk_sizes = prep_p.chunk_sizes
+    run.pipeline = pl
+    run.params = params
     return run
 
 
@@ -121,6 +114,13 @@ def measure(run, frame_dev, scale, frame_hw, iters=16, rounds=3):
 def main() -> None:
     from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
 
+    # Persistent XLA compile cache: remote compiles swing 15 s <-> 200+ s
+    # run-to-run (BENCH_NOTES.md); caching makes reruns measurement-bound.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     frame_hw = (720, 1280)
     tile, batch, scale = 256, 16, 4
     config = RenderConfig(
@@ -147,7 +147,30 @@ def main() -> None:
         f"({run.plan.tile_count} tiles, chunks {run.chunk_sizes})")
     force(run(frame))  # steady-state warm
 
-    mpps, fps = measure(run, frame, scale, frame_hw)
+    mpps_frame, fps_frame = measure(run, frame, scale, frame_hw)
+
+    # Streaming (cross-frame full-batch) rate — the steady-state video
+    # number: TileStream carries remainder tiles into the next frame so
+    # every model dispatch is a full batch (engine/renderer.py).
+    from waifu2x_tensorrt_tpu.engine.renderer import TileStream
+
+    stream = TileStream(run.pipeline, run.params, frame_hw)
+    # warm one FULL carry cycle (18 tiles % 16 -> remainder cycles with
+    # period 8) so every concat/slice/gather program exists before timing
+    for _ in range(10):
+        stream.submit(frame)
+    out_mp = frame_hw[0] * scale * frame_hw[1] * scale / 1e6
+    best = float("inf")
+    for _ in range(3):
+        last = None
+        t0 = time.perf_counter()
+        for _ in range(16):
+            outs = stream.submit(frame)
+            if outs:
+                last = outs[-1]
+        force(last)
+        best = min(best, (time.perf_counter() - t0) / 16)
+    mpps, fps = out_mp / best, 1.0 / best
 
     t0 = time.perf_counter()
     np.asarray(run(frame))
@@ -155,7 +178,7 @@ def main() -> None:
 
     result = {
         "metric": "upscaled_output_megapixels_per_sec_per_chip "
-                  "(swin_unet/art 4x, tile 256, batch 16, bf16, 720p frames)",
+                  "(swin_unet/art 4x, tile 256, batch 16, bf16, streamed 720p frames)",
         "value": round(mpps, 3),
         "unit": "MP/s",
         "vs_baseline": round(mpps / BASELINE_GPU_MPPS, 3),
@@ -167,6 +190,8 @@ def main() -> None:
 
     aux = {
         "fps_720p_to_4x": round(fps, 3),
+        "per_frame_MPps": round(mpps_frame, 3),
+        "per_frame_fps": round(fps_frame, 3),
         "fps_tunnel_limited_full_fetch": round(1.0 / fetch_dt, 3),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),

@@ -198,3 +198,36 @@ def test_tta_with_sharding_combo():
         out_tta_sharded = np.asarray(jax.jit(fn)({}, jnp.asarray(frame)))
     # equivariant model: TTA+sharding must equal the plain render
     np.testing.assert_array_equal(out_plain, out_tta_sharded)
+
+
+def test_tile_stream_matches_per_frame():
+    """TileStream (cross-frame full-batch chunking) must match per-frame
+    rendering to <=1 u8 LSB (batch composition changes XLA program
+    boundaries, not per-tile math)."""
+    import jax.numpy as jnp
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline, TileStream
+    from waifu2x_tensorrt_tpu.models.registry import create_model, init_params
+
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=4, height=32, width=32,
+        scaling=2, overlap=(1 / 16, 1 / 16))
+    module, spec = create_model("swin_unet/art", 2, -1, dtype=jnp.float32)
+    params = init_params(module, tile=32)
+    pl_ = ChunkedPipeline(module, spec, config)
+    rng = np.random.default_rng(7)
+    hw = (64, 96)  # 3x4 grid -> 6 tiles/frame at batch 4: remainder 2
+    frames = [rng.integers(0, 256, (*hw, 3), np.uint8) for _ in range(3)]
+
+    per_frame = [np.asarray(pl_.render(params, f)) for f in frames]
+
+    stream = TileStream(pl_, params, hw)
+    got = []
+    for f in frames:
+        got.extend(np.asarray(o) for o in stream.submit(f))
+    got.extend(np.asarray(o) for o in stream.flush())
+
+    assert len(got) == len(frames)
+    for a, b in zip(got, per_frame):
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, diff.max()

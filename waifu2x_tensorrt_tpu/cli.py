@@ -341,21 +341,37 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
             state["frame"] = 1
             writer.write(engine.render(frame))
         else:
-            # Double-buffered video loop: dispatch frame k+1 to the device
-            # before fetching/encoding frame k, so decode+encode overlap
-            # accelerator compute (the design goal the reference's single
-            # synchronous stream lacks, SURVEY.md §2 item 3).
-            pending = None
-            for frame_index in range(capture.frame_count):
-                state["frame"] = frame_index + 1
-                frame = capture.read()
-                if frame is None:
-                    raise RuntimeError("decoder ended early")
-                fut = engine.render_async(frame)
-                if pending is not None:
-                    writer.write(np.asarray(pending))
-                pending = fut
-            writer.write(np.asarray(pending))
+            # Streaming video loop: cross-frame full-batch tile streaming
+            # (Upscaler.open_stream) keeps every model dispatch at full
+            # batch; outputs lag submission by <= one chunk, which also
+            # overlaps decode/encode with accelerator compute (the design
+            # goal the reference's single synchronous stream lacks,
+            # SURVEY.md §2 item 3). Falls back to the double-buffered
+            # per-frame loop when streaming does not apply.
+            stream = engine.open_stream(
+                (capture.frame_height, capture.frame_width))
+            if stream is not None:
+                for frame_index in range(capture.frame_count):
+                    state["frame"] = frame_index + 1
+                    frame = capture.read()
+                    if frame is None:
+                        raise RuntimeError("decoder ended early")
+                    for out in stream.submit(frame):
+                        writer.write(np.asarray(out))
+                for out in stream.flush():
+                    writer.write(np.asarray(out))
+            else:
+                pending = None
+                for frame_index in range(capture.frame_count):
+                    state["frame"] = frame_index + 1
+                    frame = capture.read()
+                    if frame is None:
+                        raise RuntimeError("decoder ended early")
+                    fut = engine.render_async(frame)
+                    if pending is not None:
+                        writer.write(np.asarray(pending))
+                    pending = fut
+                writer.write(np.asarray(pending))
     except Exception as e:
         message_cb(Severity.error, f"Render failed: {e}.")
         rc = -1

@@ -283,6 +283,21 @@ class Upscaler:
         ``render``; only the host fetch is deferred to the caller."""
         return self._dispatch(frame_u8, progress=self.logger.progress)
 
+    def open_stream(self, frame_hw):
+        """Open a cross-frame streaming session for fixed-size frames
+        (the video hot path): leftover tiles of each frame ride in the
+        next frame's model batch so every dispatch is a full batch
+        (engine/renderer.py::TileStream — measured +4% over per-frame
+        chunking at 720p/tile 256 on v5e). Returns None when streaming
+        does not apply (monolithic fuse_frame programs or a sharded
+        mesh), in which case callers use render_async per frame."""
+        from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+
+        if (not isinstance(self._renderers, ChunkedPipeline)
+                or self._sharding is not None):
+            return None
+        return _StreamSession(self, (int(frame_hw[0]), int(frame_hw[1])))
+
     @property
     def spec(self) -> Optional[registry.ModelSpec]:
         return self._spec
@@ -290,3 +305,78 @@ class Upscaler:
     @property
     def params(self):
         return self._params
+
+
+class _StreamSession:
+    """Upscaler-facing wrapper around TileStream: applies frame
+    bucketing, crops outputs back to the true size, and recovers from a
+    fused-kernel compile failure by falling back and resubmitting the
+    in-flight frames (raw frames are retained until their output
+    emerges, at most ~2 at the stream's one-chunk latency)."""
+
+    def __init__(self, upscaler: Upscaler, frame_hw) -> None:
+        from collections import deque
+
+        self._up = upscaler
+        self._orig_hw = frame_hw
+        h, w = frame_hw
+        b = upscaler._bucket
+        if b > 1:
+            h = -(-h // b) * b
+            w = -(-w // b) * b
+        self._hw = (h, w)
+        self._inflight = deque()
+        self._make()
+
+    def _make(self) -> None:
+        from waifu2x_tensorrt_tpu.engine.renderer import TileStream
+
+        self._stream = TileStream(self._up._renderers, self._up._params,
+                                  self._hw)
+
+    def _crop(self, out):
+        s = self._up._spec.scale
+        oh, ow = self._orig_hw
+        if out.shape[:2] != (oh * s, ow * s):
+            out = out[: oh * s, : ow * s]
+        return out
+
+    def _recover(self, exc: Exception, flush: bool):
+        if not self._up._fused:
+            raise exc
+        self._up._fall_back_from_fused(exc)
+        self._make()
+        outs = []
+        for f in list(self._inflight):
+            outs.extend(self._stream.submit(f))
+        if flush:
+            outs.extend(self._stream.flush())
+        return outs
+
+    def submit(self, frame_u8: np.ndarray):
+        """Feed one frame; returns ready outputs (device arrays, cropped,
+        submission order)."""
+        if frame_u8.shape[:2] != self._orig_hw:
+            raise ValueError(
+                f"stream expects {self._orig_hw} frames, got "
+                f"{frame_u8.shape[:2]}")
+        frame_u8, _ = bucket_frame(np.ascontiguousarray(frame_u8),
+                                   self._up._bucket)
+        self._inflight.append(frame_u8)
+        try:
+            outs = self._stream.submit(frame_u8)
+        except Exception as e:  # scoped-vmem compile flake seam
+            outs = self._recover(e, flush=False)
+        for _ in outs:
+            self._inflight.popleft()
+        return [self._crop(o) for o in outs]
+
+    def flush(self):
+        """Drain remaining frames (end of video)."""
+        try:
+            outs = self._stream.flush()
+        except Exception as e:
+            outs = self._recover(e, flush=True)
+        for _ in outs:
+            self._inflight.popleft()
+        return [self._crop(o) for o in outs]
