@@ -231,3 +231,49 @@ def test_tile_stream_matches_per_frame():
     for a, b in zip(got, per_frame):
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert diff.max() <= 1, diff.max()
+
+
+def test_tile_stream_tta_and_flush_only():
+    """Streaming composes with TTA (8x steps per tile) and a flush with
+    carried tiles produces the remaining frames."""
+    import jax.numpy as jnp
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline, TileStream
+    from waifu2x_tensorrt_tpu.models.registry import create_model, init_params
+
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=4, height=32, width=32,
+        scaling=2, overlap=(1 / 16, 1 / 16), tta=True)
+    module, spec = create_model("swin_unet/art", 2, -1, dtype=jnp.float32)
+    params = init_params(module, tile=32)
+    pl_ = ChunkedPipeline(module, spec, config)
+    rng = np.random.default_rng(11)
+    hw = (32, 64)  # 2 tiles x 8 TTA = 16 steps; batch 4 -> carries nothing
+    f1 = rng.integers(0, 256, (*hw, 3), np.uint8)
+    expected = np.asarray(pl_.render(params, f1))
+
+    stream = TileStream(pl_, params, hw)
+    outs = stream.submit(f1)
+    outs += stream.flush()
+    assert len(outs) == 1
+    diff = np.abs(np.asarray(outs[0]).astype(np.int32)
+                  - expected.astype(np.int32))
+    assert diff.max() <= 1
+
+
+def test_stream_session_rejects_mixed_sizes():
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    up = Upscaler(models_dir="/nonexistent", allow_random_init=True)
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    up.load("swin_unet/art", 2, -1, cfg)
+    sess = up.open_stream((40, 56))
+    assert sess is not None
+    with pytest.raises(ValueError):
+        sess.submit(np.zeros((48, 56, 3), np.uint8))
+    # correct size renders and flushes exactly one frame
+    outs = sess.submit(np.zeros((40, 56, 3), np.uint8))
+    outs += sess.flush()
+    assert len(outs) == 1 and np.asarray(outs[0]).shape == (80, 112, 3)
