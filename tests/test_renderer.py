@@ -277,3 +277,38 @@ def test_stream_session_rejects_mixed_sizes():
     outs = sess.submit(np.zeros((40, 56, 3), np.uint8))
     outs += sess.flush()
     assert len(outs) == 1 and np.asarray(outs[0]).shape == (80, 112, 3)
+
+
+def test_tile_stream_sharded_matches_unsharded():
+    """Sharded TileStream (dp mesh over the tile axis) must match the
+    unsharded stream exactly for an equivariant model, including the
+    dp-padded flush tail."""
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline, TileStream
+    from waifu2x_tensorrt_tpu.parallel import data_parallel_mesh, tile_sharding
+
+    mesh = data_parallel_mesh(8)
+    sharding = tile_sharding(mesh)
+    module = NearestUp(scale=2)
+    hw = (100, 160)  # 2x3 grid of 64-tiles -> 6 tiles/frame
+    cfg = _cfg(64, 1, 2)
+    frames = [np.random.default_rng(20 + i).integers(0, 256, (*hw, 3), np.uint8)
+              for i in range(2)]
+
+    plain = ChunkedPipeline(module, _spec(2), cfg)
+    s_plain = TileStream(plain, {}, hw)
+    want = []
+    for f in frames:
+        want.extend(np.asarray(o) for o in s_plain.submit(f))
+    want.extend(np.asarray(o) for o in s_plain.flush())
+
+    shard = ChunkedPipeline(module, _spec(2), cfg, sharding=sharding)
+    s_shard = TileStream(shard, {}, hw)
+    got = []
+    with mesh:
+        for f in frames:
+            got.extend(np.asarray(o) for o in s_shard.submit(f))
+        got.extend(np.asarray(o) for o in s_shard.flush())
+
+    assert len(got) == len(want) == 2
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)

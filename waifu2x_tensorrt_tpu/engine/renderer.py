@@ -469,12 +469,14 @@ class TileStream:
 
     The reference cannot do this: its batch loop is scoped to one frame
     (img2img_render.cpp:260-290). One geometry per stream (the bucketed
-    video case); no sharding (multi-host video shards frame ranges).
+    video case). With a dp mesh, chunks span batch*n_dp tiles and each
+    chunk is placed with the tile sharding before dispatch, so every
+    device stays at full per-device batch; the flush tail is padded up
+    to the dp multiple only.
     """
 
     def __init__(self, pipeline: "ChunkedPipeline", params,
                  frame_hw: tuple[int, int]) -> None:
-        assert pipeline._sharding is None, "stream is single-chip per host"
         self._pl = pipeline
         self._params = params
         self._hw = (int(frame_hw[0]), int(frame_hw[1]))
@@ -484,10 +486,17 @@ class TileStream:
         self._plan = plan
         steps_per_tile = DIHEDRAL_SIZE if pipeline._config.tta else 1
         self._n_steps = plan.tile_count * steps_per_tile
-        self._chunk = pipeline._config.batch_size
+        self._sharding = pipeline._sharding
+        self._n_dp = pipeline._n_dp
+        self._chunk = pipeline._config.batch_size * self._n_dp
         self._carry = None           # (r, th, tw, 3) device tiles
         self._outs: list = []        # [array, consumed] model outputs
         self._pending = 0            # frames submitted, not yet finalized
+
+    def _run_chunk(self, c):
+        if self._sharding is not None:
+            c = jax.device_put(c, self._sharding)
+        return self._pl._model_prog(self._params, c)
 
     def _avail_out(self) -> int:
         return sum(int(a.shape[0]) - used for a, used in self._outs)
@@ -525,18 +534,27 @@ class TileStream:
         for i in range(k):
             c = jax.lax.slice_in_dim(
                 avail, i * self._chunk, (i + 1) * self._chunk, axis=0)
-            self._outs.append([self._pl._model_prog(self._params, c), 0])
+            self._outs.append([self._run_chunk(c), 0])
         left = n - k * self._chunk
         self._carry = (jax.lax.slice_in_dim(avail, n - left, n, axis=0)
                        if left else None)
         return self._drain()
 
     def flush(self):
-        """Run the carried tail (one exact-size dispatch) and return the
-        remaining frame outputs."""
+        """Run the carried tail (one exact-size dispatch, padded up to
+        the dp multiple when sharded) and return the remaining frame
+        outputs."""
         if self._carry is not None:
-            self._outs.append(
-                [self._pl._model_prog(self._params, self._carry), 0])
+            c = self._carry
+            r = int(c.shape[0])
+            r_pad = -(-r // self._n_dp) * self._n_dp
+            if r_pad != r:
+                c = jnp.concatenate(
+                    [c, jnp.zeros((r_pad - r, *c.shape[1:]), c.dtype)], 0)
+            out = self._run_chunk(c)
+            if r_pad != r:
+                out = jax.lax.slice_in_dim(out, 0, r, axis=0)
+            self._outs.append([out, 0])
             self._carry = None
         return self._drain()
 

@@ -288,13 +288,14 @@ class Upscaler:
         (the video hot path): leftover tiles of each frame ride in the
         next frame's model batch so every dispatch is a full batch
         (engine/renderer.py::TileStream — measured +4% over per-frame
-        chunking at 720p/tile 256 on v5e). Returns None when streaming
-        does not apply (monolithic fuse_frame programs or a sharded
-        mesh), in which case callers use render_async per frame."""
+        chunking at 720p/tile 256 on v5e; with a dp mesh each chunk is
+        placed with the tile sharding, keeping every device at full
+        per-device batch). Returns None when streaming does not apply
+        (monolithic fuse_frame programs), in which case callers use
+        render_async per frame."""
         from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
 
-        if (not isinstance(self._renderers, ChunkedPipeline)
-                or self._sharding is not None):
+        if not isinstance(self._renderers, ChunkedPipeline):
             return None
         return _StreamSession(self, (int(frame_hw[0]), int(frame_hw[1])))
 
