@@ -301,9 +301,25 @@ def main() -> None:
             run4 = make_pipeline("swin_unet/photo", 2, -1, cfg4, frame_hw,
                                  fused_block=True)
             force(run4(frame))
-            v, f = measure(run4, frame, 2, frame_hw, iters=4)
+            # video workloads render through the streaming loop (cli.py)
+            st4 = TileStream(run4.pipeline, run4.params, frame_hw)
+            for _ in range(10):
+                st4.submit(frame)
+            best4 = float("inf")
+            for _ in range(3):
+                last = None
+                t0 = time.perf_counter()
+                for _ in range(12):
+                    outs = st4.submit(frame)
+                    if outs:
+                        last = outs[-1]
+                force(last)
+                best4 = min(best4, (time.perf_counter() - t0) / 12)
+            mp4 = frame_hw[0] * 2 * frame_hw[1] * 2 / 1e6
+            v, f = mp4 / best4, 1.0 / best4
             configs["config4_photo2x_720p_video"] = {
-                "MPps": round(v, 1), "fps_720p_to_1440p": round(f, 2)}
+                "MPps": round(v, 1), "fps_720p_to_1440p": round(f, 2),
+                "mode": "streamed"}
             log(f"[bench] config4_photo2x_720p_video: {configs['config4_photo2x_720p_video']}")
             flush_aux()
           except Exception as e:
