@@ -348,6 +348,36 @@ def main() -> None:
             log(f"[bench] config5_4k_tile640_photo2x: "
                 f"{configs['config5_4k_tile640_photo2x']}")
             flush_aux()
+            # best-config 4K row: tile 256 (the t640 model shapes hit the
+            # same large-W layout penalty as strip tiles, BENCH_NOTES.md)
+            # = 144 tiles -> 9 exact batch-16 chunks, streamed.
+            cfg5b = RenderConfig(
+                precision=Precision.FP16, batch_size=16, height=256,
+                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
+            run5b = make_pipeline("swin_unet/photo", 2, -1, cfg5b, hw4k,
+                                  fused_block=True)
+            force(run5b(frame4k))
+            st5 = TileStream(run5b.pipeline, run5b.params, hw4k)
+            for _ in range(2):
+                st5.submit(frame4k)
+            best5 = float("inf")
+            for _ in range(3):
+                last = None
+                t0 = time.perf_counter()
+                for _ in range(6):
+                    outs = st5.submit(frame4k)
+                    if outs:
+                        last = outs[-1]
+                force(last)
+                best5 = min(best5, (time.perf_counter() - t0) / 6)
+            mp5 = hw4k[0] * 2 * hw4k[1] * 2 / 1e6
+            configs["config5b_4k_tile256_photo2x_streamed"] = {
+                "MPps": round(mp5 / best5, 1),
+                "fps": round(1.0 / best5, 2),
+                "tiles": run5b.plan.tile_count}
+            log(f"[bench] config5b_4k_tile256_photo2x_streamed: "
+                f"{configs['config5b_4k_tile256_photo2x_streamed']}")
+            flush_aux()
           except Exception as e:
             configs["config5_4k_tile640_photo2x"] = f"failed: {type(e).__name__}"
             log(f"[bench] config5_4k_tile640_photo2x: "
