@@ -1,19 +1,28 @@
-"""The jitted per-frame render program.
+"""The jitted render programs and the tile-streaming runtime.
 
-One XLA computation per (model, frame geometry, render config) replaces the
-reference's host-orchestrated hot loop (Img2Img::render,
+The reference's host-orchestrated hot loop (Img2Img::render,
 src/tensorrt/img2img_render.cpp:224-352, plus infer/blobFromImages,
-img2img_infer.cpp:5-93):
+img2img_infer.cpp:5-93) maps to:
 
     uint8 frame ──> normalize [0,1] ──> edge-pad ──> gather tile batch
-      ──> (x8 dihedral TTA) ──> model, chunked at batch_size (lax.map)
+      ──> (x8 dihedral TTA) ──> model at batch_size chunks
       ──> inverse-TTA mean ──> separable blend-ramp multiply
       ──> scatter-add onto fp32 canvas ──> crop ──> saturating uint8
 
-Everything between host upload and download is a single traced graph: no
-NCHW blob packing (NHWC end-to-end), no per-tile host round-trips, no
-stream-sync hazards (the reference never syncs its final download —
-SURVEY.md §5 bug 1; JAX arrays synchronize on host access by design).
+in three forms, fastest first:
+  - ``TileStream`` (video production path): per-geometry prepare/finalize
+    programs around ONE shared full-batch model program, with leftover
+    tiles carried across frame boundaries so every dispatch is full
+    batch;
+  - ``ChunkedPipeline`` (single frames): same programs, chunked
+    per-frame with one exact-size remainder dispatch;
+  - ``make_render_fn``/``RendererCache`` (``fuse_frame=True``): the whole
+    frame as one monolithic XLA program per geometry.
+
+All device work is traced: no NCHW blob packing (NHWC end-to-end), no
+per-tile host round-trips, no stream-sync hazards (the reference never
+syncs its final download — SURVEY.md §5 bug 1; JAX arrays synchronize on
+host access by design).
 
 Divergences (documented):
 - TTA averaging uses the mathematically intended mean over all 8 variants;
