@@ -27,7 +27,9 @@ _NEG_SLOPE = 0.1
 
 
 def _lrelu(x):
-    return nn.leaky_relu(x, negative_slope=_NEG_SLOPE)
+    # single-select form: max(x, a*x) == leaky_relu(x) exactly for 0<a<1
+    # (one VPU pass instead of compare+select; models/swin_unet.py)
+    return jnp.maximum(x, jnp.asarray(_NEG_SLOPE, x.dtype) * x)
 
 
 def _crop(x, p: int):
