@@ -485,9 +485,10 @@ class TileStream:
     """
 
     def __init__(self, pipeline: "ChunkedPipeline", params,
-                 frame_hw: tuple[int, int]) -> None:
+                 frame_hw: tuple[int, int], progress=None) -> None:
         self._pl = pipeline
         self._params = params
+        self._progress = progress  # (i, n, it_s) per model chunk
         self._hw = (int(frame_hw[0]), int(frame_hw[1]))
         prep, fin, plan, _ = pipeline.get(self._hw)
         self._prep_flat = prep.flat
@@ -532,7 +533,11 @@ class TileStream:
 
     def submit(self, frame_u8):
         """Feed one frame; returns the list of frame outputs that became
-        ready (device u8 arrays, in submission order)."""
+        ready (device u8 arrays, in submission order). Fires the progress
+        callback per model chunk ("batch i/n @ it/s", the reference's
+        per-batch granularity, img2img_render.cpp:336-338)."""
+        import time as _time
+
         assert frame_u8.shape[:2] == self._hw, "one geometry per stream"
         tiles = self._prep_flat(jnp.asarray(frame_u8))
         self._pending += 1
@@ -540,10 +545,15 @@ class TileStream:
                  else jnp.concatenate([self._carry, tiles], 0))
         n = int(avail.shape[0])
         k = n // self._chunk
+        t_prev = _time.perf_counter()
         for i in range(k):
             c = jax.lax.slice_in_dim(
                 avail, i * self._chunk, (i + 1) * self._chunk, axis=0)
             self._outs.append([self._run_chunk(c), 0])
+            if self._progress is not None:
+                t_now = _time.perf_counter()
+                self._progress(i + 1, k, 1.0 / max(t_now - t_prev, 1e-9))
+                t_prev = t_now
         left = n - k * self._chunk
         self._carry = (jax.lax.slice_in_dim(avail, n - left, n, axis=0)
                        if left else None)

@@ -333,7 +333,8 @@ class _StreamSession:
         from waifu2x_tensorrt_tpu.engine.renderer import TileStream
 
         self._stream = TileStream(self._up._renderers, self._up._params,
-                                  self._hw)
+                                  self._hw,
+                                  progress=self._up.logger.progress)
 
     def _crop(self, out):
         s = self._up._spec.scale
