@@ -502,11 +502,45 @@ class TileStream:
         self._carry = None           # (r, th, tw, 3) device tiles
         self._outs: list = []        # [array, consumed] model outputs
         self._pending = 0            # frames submitted, not yet finalized
+        self._asm = {}               # jitted assemble programs per carry r
 
     def _run_chunk(self, c):
         if self._sharding is not None:
             c = jax.device_put(c, self._sharding)
         return self._pl._model_prog(self._params, c)
+
+    def _assemble(self, tiles):
+        """ONE jitted dispatch turning (carry?, frame tiles) into the
+        chunk list plus the new carry — replaces an eager concat + k
+        slice dispatches (each eager op is a host->device RPC round on
+        remote platforms)."""
+        chunk = self._chunk
+        r = 0 if self._carry is None else int(self._carry.shape[0])
+        n = r + int(tiles.shape[0])
+        k, left = n // chunk, n % chunk
+        fn = self._asm.get(r)
+        if fn is None:
+            def assemble(carry, t):
+                avail = (t if carry is None
+                         else jnp.concatenate([carry, t], 0))
+                m = avail.shape[0]
+                kk = m // chunk
+                parts = [
+                    jax.lax.slice_in_dim(avail, i * chunk, (i + 1) * chunk,
+                                         axis=0)
+                    for i in range(kk)
+                ]
+                if m % chunk:
+                    parts.append(
+                        jax.lax.slice_in_dim(avail, kk * chunk, m, axis=0))
+                return tuple(parts)
+            fn = (jax.jit(assemble) if r
+                  else jax.jit(lambda t: assemble(None, t)))
+            self._asm[r] = fn
+        parts = fn(self._carry, tiles) if r else fn(tiles)
+        chunks = parts[:k]
+        self._carry = parts[k] if left else None
+        return chunks
 
     def _avail_out(self) -> int:
         return sum(int(a.shape[0]) - used for a, used in self._outs)
@@ -526,8 +560,9 @@ class TileStream:
                     self._outs.pop(0)
                 else:
                     self._outs[0][1] = used + take
-            y = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
-            ready.append(self._fin(y))
+            # finalize consumes the pieces directly (its per-chunk scan
+            # handles any piece split) — no gather concat copy/dispatch
+            ready.append(self._fin(*pieces))
             self._pending -= 1
         return ready
 
@@ -541,22 +576,15 @@ class TileStream:
         assert frame_u8.shape[:2] == self._hw, "one geometry per stream"
         tiles = self._prep_flat(jnp.asarray(frame_u8))
         self._pending += 1
-        avail = (tiles if self._carry is None
-                 else jnp.concatenate([self._carry, tiles], 0))
-        n = int(avail.shape[0])
-        k = n // self._chunk
+        chunks = self._assemble(tiles)
         t_prev = _time.perf_counter()
-        for i in range(k):
-            c = jax.lax.slice_in_dim(
-                avail, i * self._chunk, (i + 1) * self._chunk, axis=0)
+        for i, c in enumerate(chunks):
             self._outs.append([self._run_chunk(c), 0])
             if self._progress is not None:
                 t_now = _time.perf_counter()
-                self._progress(i + 1, k, 1.0 / max(t_now - t_prev, 1e-9))
+                self._progress(i + 1, len(chunks),
+                               1.0 / max(t_now - t_prev, 1e-9))
                 t_prev = t_now
-        left = n - k * self._chunk
-        self._carry = (jax.lax.slice_in_dim(avail, n - left, n, axis=0)
-                       if left else None)
         return self._drain()
 
     def flush(self):
