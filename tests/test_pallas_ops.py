@@ -220,3 +220,36 @@ class TestStageTokenOrchestration:
             got = _window_roll(xw, 2, 3, shift)
             want = _window_split(jnp.roll(x, (shift, shift), (1, 2)), 8)
             np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("shift", [0, 4])
+def test_fused_block_bf16_fast_math_within_bf16_noise(shift):
+    """The bf16 kernel path (poly GELU + clamped no-max softmax,
+    kernel_math exact=False) must stay within bf16 rounding distance of
+    the fp32 dense block — the production precision contract."""
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinBlock
+    import waifu2x_tensorrt_tpu.ops.swin_block as sb
+
+    orig = _patch_both_interpret(sb)
+    try:
+        dense32 = SwinBlock(96, 3, shift=shift, dtype=jnp.float32)
+        fused16 = SwinBlock(96, 3, shift=shift, dtype=jnp.bfloat16,
+                            fused_block=True)
+        x = jnp.asarray(
+            np.random.default_rng(5).random((2, 16, 16, 96)), jnp.float32)
+        params = dense32.init(jax.random.PRNGKey(0), x)["params"]
+        y32 = np.asarray(dense32.apply({"params": params}, x))
+        y16 = np.asarray(
+            fused16.apply({"params": params}, x.astype(jnp.bfloat16)),
+            dtype=np.float32)
+        # dense bf16 as the noise yardstick
+        dense16 = SwinBlock(96, 3, shift=shift, dtype=jnp.bfloat16)
+        yd16 = np.asarray(
+            dense16.apply({"params": params}, x.astype(jnp.bfloat16)),
+            dtype=np.float32)
+        err_fused = np.abs(y16 - y32).max()
+        err_dense = np.abs(yd16 - y32).max()
+        # fused fast math must not be meaningfully worse than plain bf16
+        assert err_fused <= max(2 * err_dense, 0.02), (err_fused, err_dense)
+    finally:
+        _restore_both(sb, orig)
