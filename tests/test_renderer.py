@@ -216,7 +216,7 @@ def test_tile_stream_matches_per_frame():
     params = init_params(module, tile=32)
     pl_ = ChunkedPipeline(module, spec, config)
     rng = np.random.default_rng(7)
-    hw = (64, 96)  # 3x4 grid -> 6 tiles/frame at batch 4: remainder 2
+    hw = (64, 96)  # multi-tile frames; batch 4 leaves a cross-frame carry
     frames = [rng.integers(0, 256, (*hw, 3), np.uint8) for _ in range(3)]
 
     per_frame = [np.asarray(pl_.render(params, f)) for f in frames]
@@ -310,5 +310,39 @@ def test_tile_stream_sharded_matches_unsharded():
         got.extend(np.asarray(o) for o in s_shard.flush())
 
     assert len(got) == len(want) == 2
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_tile_stream_frames_smaller_than_chunk():
+    """When a frame has fewer tiles than the batch, the stream must buffer
+    whole frames until a chunk fills, then emit every buffered frame in
+    order; a mid-stream flush drains and the stream stays usable."""
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline, TileStream
+
+    module = NearestUp(scale=2)
+    hw = (64, 96)  # 2 tiles/frame at tile 64
+    cfg = _cfg(64, 8, 2)  # batch 8 = 4 frames per chunk
+    pl_ = ChunkedPipeline(module, _spec(2), cfg)
+    frames = [np.random.default_rng(30 + i).integers(0, 256, (*hw, 3), np.uint8)
+              for i in range(5)]
+    want = [np.asarray(pl_.render({}, f)) for f in frames]
+
+    stream = TileStream(pl_, {}, hw)
+    assert stream._n_steps == 2
+    got = []
+    counts = []
+    for f in frames[:4]:
+        outs = stream.submit(f)
+        counts.append(len(outs))
+        got.extend(np.asarray(o) for o in outs)
+    # 2 tiles/frame: the first chunk fills at frame 4 and completes all 4
+    assert counts == [0, 0, 0, 4]
+    # stream remains usable after a flush
+    got.extend(np.asarray(o) for o in stream.flush())
+    assert len(got) == 4
+    got.extend(np.asarray(o) for o in stream.submit(frames[4]))
+    got.extend(np.asarray(o) for o in stream.flush())
+    assert len(got) == 5
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
