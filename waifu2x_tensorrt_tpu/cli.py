@@ -141,6 +141,13 @@ def _validate(args) -> None:
             raise ValueError(f"output directory does not exist: {args.output}")
 
 
+def _open_stream(engine, frame_hw):
+    """Streaming is an optional engine capability (None -> the caller
+    uses the double-buffered per-frame loop)."""
+    opener = getattr(engine, "open_stream", None)
+    return opener(frame_hw) if opener is not None else None
+
+
 def output_suffix(model: str, noise: int, scale: int, tta: bool) -> str:
     """``(model)(noiseN)(scaleS)(tta)`` with '/'->'_' (src/main.cpp:205-209)."""
     s = f"({model.replace('/', '_')})"
@@ -348,7 +355,7 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
             # goal the reference's single synchronous stream lacks,
             # SURVEY.md §2 item 3). Falls back to the double-buffered
             # per-frame loop when streaming does not apply.
-            stream = engine.open_stream(
+            stream = _open_stream(engine, 
                 (capture.frame_height, capture.frame_width))
             if stream is not None:
                 for frame_index in range(capture.frame_count):
@@ -448,17 +455,32 @@ def _render_video_segmented(args, engine, file, out_path, state, message_cb,
                   .set_output_file(tmp))
         try:
             writer.open()
-            pending = None
-            for i in range(b - a):
-                state["frame"] = a + i + 1
-                frame = capture.read()
-                if frame is None:
-                    raise RuntimeError("decoder ended early")
-                fut = engine.render_async(frame)
-                if pending is not None:
-                    writer.write(np.asarray(pending))
-                pending = fut
-            writer.write(np.asarray(pending))
+            # same streaming loop as the unsegmented path; the stream is
+            # flushed at the segment boundary so part files stay exact
+            stream = _open_stream(engine, 
+                (capture.frame_height, capture.frame_width))
+            if stream is not None:
+                for i in range(b - a):
+                    state["frame"] = a + i + 1
+                    frame = capture.read()
+                    if frame is None:
+                        raise RuntimeError("decoder ended early")
+                    for out in stream.submit(frame):
+                        writer.write(np.asarray(out))
+                for out in stream.flush():
+                    writer.write(np.asarray(out))
+            else:
+                pending = None
+                for i in range(b - a):
+                    state["frame"] = a + i + 1
+                    frame = capture.read()
+                    if frame is None:
+                        raise RuntimeError("decoder ended early")
+                    fut = engine.render_async(frame)
+                    if pending is not None:
+                        writer.write(np.asarray(pending))
+                    pending = fut
+                writer.write(np.asarray(pending))
         except Exception as e:
             message_cb(Severity.error,
                        f"Render failed in frames [{a}, {b}): {e}.")
