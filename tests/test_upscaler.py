@@ -416,3 +416,34 @@ def test_scale1_denoise_render_both_families(tmp_path):
         out = engine.render(frame)
         assert out.shape == frame.shape, family
         assert out.dtype == np.uint8
+
+
+def test_open_stream_sharded_matches_plain_render(tmp_path):
+    """Upscaler.open_stream with a dp mesh streams frames to the same
+    pixels (<=1 LSB) as the plain per-frame render."""
+    from waifu2x_tensorrt_tpu.parallel import data_parallel_mesh, tile_sharding
+
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=1, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16),
+    )
+    frames = [np.random.default_rng(40 + i).integers(0, 256, (100, 150, 3),
+                                                     np.uint8)
+              for i in range(2)]
+    plain = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
+    plain.load("cunet/art", 2, 1, config)
+    want = [plain.render(f) for f in frames]
+
+    sharded = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
+    sharded.load("cunet/art", 2, 1, config,
+                 sharding=tile_sharding(data_parallel_mesh(8)))
+    sess = sharded.open_stream((100, 150))
+    assert sess is not None
+    got = []
+    for f in frames:
+        got.extend(np.asarray(o) for o in sess.submit(f))
+    got.extend(np.asarray(o) for o in sess.flush())
+    assert len(got) == 2
+    for a, b in zip(got, want):
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
