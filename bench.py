@@ -94,6 +94,30 @@ def force(o):
     return float(jnp.sum(o[::512, ::512].astype(jnp.int32)))
 
 
+def measure_stream(run, frame_dev, scale, frame_hw, iters=16, rounds=3,
+                   warm=10):
+    """Best-of-rounds STREAMED frame rate (TileStream over one frame
+    repeated). ``warm`` submits cover a full carry cycle so every
+    assemble/gather program exists before timing."""
+    from waifu2x_tensorrt_tpu.engine.renderer import TileStream
+
+    stream = TileStream(run.pipeline, run.params, frame_hw)
+    for _ in range(warm):
+        stream.submit(frame_dev)
+    best = float("inf")
+    for _ in range(rounds):
+        last = None
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            outs = stream.submit(frame_dev)
+            if outs:
+                last = outs[-1]
+        force(last)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    out_mp = frame_hw[0] * scale * frame_hw[1] * scale / 1e6
+    return out_mp / best, 1.0 / best
+
+
 def measure(run, frame_dev, scale, frame_hw, iters=16, rounds=3):
     """Best-of-rounds frame rate. One scalar fetch bounds each round of
     ``iters`` async frame dispatches; taking the best round suppresses
@@ -152,25 +176,7 @@ def main() -> None:
     # Streaming (cross-frame full-batch) rate — the steady-state video
     # number: TileStream carries remainder tiles into the next frame so
     # every model dispatch is a full batch (engine/renderer.py).
-    from waifu2x_tensorrt_tpu.engine.renderer import TileStream
-
-    stream = TileStream(run.pipeline, run.params, frame_hw)
-    # warm one FULL carry cycle (18 tiles % 16 -> remainder cycles with
-    # period 8) so every concat/slice/gather program exists before timing
-    for _ in range(10):
-        stream.submit(frame)
-    out_mp = frame_hw[0] * scale * frame_hw[1] * scale / 1e6
-    best = float("inf")
-    for _ in range(3):
-        last = None
-        t0 = time.perf_counter()
-        for _ in range(16):
-            outs = stream.submit(frame)
-            if outs:
-                last = outs[-1]
-        force(last)
-        best = min(best, (time.perf_counter() - t0) / 16)
-    mpps, fps = out_mp / best, 1.0 / best
+    mpps, fps = measure_stream(run, frame, scale, frame_hw)
 
     t0 = time.perf_counter()
     np.asarray(run(frame))
@@ -302,21 +308,7 @@ def main() -> None:
                                  fused_block=True)
             force(run4(frame))
             # video workloads render through the streaming loop (cli.py)
-            st4 = TileStream(run4.pipeline, run4.params, frame_hw)
-            for _ in range(10):
-                st4.submit(frame)
-            best4 = float("inf")
-            for _ in range(3):
-                last = None
-                t0 = time.perf_counter()
-                for _ in range(12):
-                    outs = st4.submit(frame)
-                    if outs:
-                        last = outs[-1]
-                force(last)
-                best4 = min(best4, (time.perf_counter() - t0) / 12)
-            mp4 = frame_hw[0] * 2 * frame_hw[1] * 2 / 1e6
-            v, f = mp4 / best4, 1.0 / best4
+            v, f = measure_stream(run4, frame, 2, frame_hw, iters=12)
             configs["config4_photo2x_720p_video"] = {
                 "MPps": round(v, 1), "fps_720p_to_1440p": round(f, 2),
                 "mode": "streamed"}
@@ -357,23 +349,10 @@ def main() -> None:
             run5b = make_pipeline("swin_unet/photo", 2, -1, cfg5b, hw4k,
                                   fused_block=True)
             force(run5b(frame4k))
-            st5 = TileStream(run5b.pipeline, run5b.params, hw4k)
-            for _ in range(2):
-                st5.submit(frame4k)
-            best5 = float("inf")
-            for _ in range(3):
-                last = None
-                t0 = time.perf_counter()
-                for _ in range(6):
-                    outs = st5.submit(frame4k)
-                    if outs:
-                        last = outs[-1]
-                force(last)
-                best5 = min(best5, (time.perf_counter() - t0) / 6)
-            mp5 = hw4k[0] * 2 * hw4k[1] * 2 / 1e6
+            v5b, f5b = measure_stream(run5b, frame4k, 2, hw4k, iters=6,
+                                      warm=2)
             configs["config5b_4k_tile256_photo2x_streamed"] = {
-                "MPps": round(mp5 / best5, 1),
-                "fps": round(1.0 / best5, 2),
+                "MPps": round(v5b, 1), "fps": round(f5b, 2),
                 "tiles": run5b.plan.tile_count}
             log(f"[bench] config5b_4k_tile256_photo2x_streamed: "
                 f"{configs['config5b_4k_tile256_photo2x_streamed']}")
