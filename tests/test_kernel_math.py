@@ -60,6 +60,37 @@ def test_softmax_fast_shift_mask_still_masks():
     np.testing.assert_allclose(got[0, :, :4], 0.25, atol=1e-6)
 
 
+def test_softmax_keep_mask_zero_regardless_of_logit_range():
+    """ADVICE r2 (medium): the multiplicative keep mask must give masked
+    entries weight EXACTLY 0 even when every unmasked logit sits below
+    the fast path's -60 clamp (where an additive -1e9 mask would tie with
+    the clamped logits and leak cross-window attention)."""
+    x = np.full((2, 8, 8), -500.0, np.float32)  # all below the clamp
+    keep = np.zeros((2, 8, 8), bool)
+    keep[:, :, :4] = True
+    for exact in (False, True):
+        got = np.asarray(
+            softmax_lastdim(jnp.asarray(x), exact=exact,
+                            keep=jnp.asarray(keep)))
+        assert (got[:, :, 4:] == 0.0).all(), "mask leaked"
+        np.testing.assert_allclose(got[:, :, :4], 0.25, atol=1e-6)
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-5)
+
+
+def test_softmax_keep_mask_matches_additive_reference_in_range():
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((4, 16, 16)).astype(np.float32) * 8
+    keep = rng.random((4, 16, 16)) > 0.3
+    keep[..., 0] = True  # every row keeps at least one entry
+    ref = np.asarray(jax.nn.softmax(
+        jnp.where(jnp.asarray(keep), jnp.asarray(x), -1e9), axis=-1))
+    ref = np.where(keep, ref, 0.0)
+    for exact in (False, True):
+        got = np.asarray(softmax_lastdim(
+            jnp.asarray(x), exact=exact, keep=jnp.asarray(keep)))
+        np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
 def test_softmax_fast_no_overflow_at_extremes():
     x = np.full((2, 8, 8), 1e4, np.float32)
     x[1] = -1e4
@@ -79,3 +110,8 @@ def test_layernorm_matches_flax():
     ref = mod.apply({"params": {"scale": scale, "bias": bias}}, x)
     got = layernorm(x, scale, bias)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    # exact=True (full-f32 MXU reduction dots, the fp32 CLI path) must
+    # agree at least as tightly
+    got_exact = layernorm(x, scale, bias, exact=True)
+    np.testing.assert_allclose(np.asarray(got_exact), np.asarray(ref),
+                               atol=2e-5)

@@ -279,6 +279,54 @@ def test_stream_session_rejects_mixed_sizes():
     assert len(outs) == 1 and np.asarray(outs[0]).shape == (80, 112, 3)
 
 
+def test_stream_session_rejects_non_rgb():
+    """ADVICE r2: RGBA/grayscale frames must fail fast with a clear
+    ValueError instead of dying inside the jitted prepare (and tripping
+    the fused-kernel fallback)."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    up = Upscaler(models_dir="/nonexistent", allow_random_init=True)
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    up.load("swin_unet/art", 2, -1, cfg)
+    sess = up.open_stream((40, 56))
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        sess.submit(np.zeros((40, 56, 4), np.uint8))  # RGBA
+    with pytest.raises(ValueError, match=r"\(H, W, 3\)"):
+        sess.submit(np.zeros((40, 56), np.uint8))  # grayscale
+
+
+def test_tile_stream_warm_covers_carry_cycle():
+    """warm() runs exactly one steady-state carry cycle (compiling every
+    finalize split pattern up front, ADVICE r2) without disturbing the
+    stream's own state; a churn-free geometry warms zero frames."""
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline, TileStream
+
+    module = NearestUp(scale=2)
+    cfg = _cfg(64, 2, 2)
+    pl_ = ChunkedPipeline(module, _spec(2), cfg)
+
+    hw = (64, 160)  # 3 tiles/frame, chunk 2 -> carry cycles with period 2
+    stream = TileStream(pl_, {}, hw)
+    assert stream.warm() == 2
+    assert stream._pending == 0 and stream._carry is None
+
+    frames = [np.random.default_rng(40 + i).integers(0, 256, (*hw, 3), np.uint8)
+              for i in range(3)]
+    want = [np.asarray(pl_.render({}, f)) for f in frames]
+    got = []
+    for f in frames:
+        got.extend(np.asarray(o) for o in stream.submit(f))
+    got.extend(np.asarray(o) for o in stream.flush())
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+
+    s2 = TileStream(pl_, {}, (64, 124))  # 2 tiles/frame == whole chunks
+    assert s2.warm() == 0
+
+
 def test_tile_stream_sharded_matches_unsharded():
     """Sharded TileStream (dp mesh over the tile axis) must match the
     unsharded stream exactly for an equivariant model, including the

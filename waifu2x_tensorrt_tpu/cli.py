@@ -143,9 +143,16 @@ def _validate(args) -> None:
 
 def _open_stream(engine, frame_hw):
     """Streaming is an optional engine capability (None -> the caller
-    uses the double-buffered per-frame loop)."""
+    uses the double-buffered per-frame loop). Warms one full carry cycle
+    up front so a live video doesn't stutter through per-split-pattern
+    finalize compiles in its first seconds (TileStream.warm)."""
     opener = getattr(engine, "open_stream", None)
-    return opener(frame_hw) if opener is not None else None
+    stream = opener(frame_hw) if opener is not None else None
+    if stream is not None:
+        warm = getattr(stream, "warm", None)
+        if warm is not None:
+            warm()
+    return stream
 
 
 def output_suffix(model: str, noise: int, scale: int, tta: bool) -> str:

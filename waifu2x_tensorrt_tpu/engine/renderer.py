@@ -587,6 +587,33 @@ class TileStream:
                 t_prev = t_now
         return self._drain()
 
+    def warm(self) -> int:
+        """Pre-compile every program signature one steady-state carry
+        cycle hits: frame boundaries walk through the chunk stream with
+        period chunk/gcd(n_steps, chunk), and each distinct split pattern
+        is a distinct jitted finalize/assemble signature. bench.py always
+        warmed a full cycle before timing but the live CLI video path did
+        not, so the first seconds of a stream stuttered through compiles
+        (ADVICE r2). Runs the cycle on zero frames through a throwaway
+        stream sharing this pipeline — the jitted prepare/finalize come
+        from the pipeline's per-geometry cache and the XLA executables
+        from the in-memory/persistent compile caches, so the compiles
+        transfer. Returns the number of warm frames run. The end-of-video
+        flush tail (one arbitrary-size dispatch) still compiles at flush
+        time — a single one-off at stream end, not a mid-stream stutter.
+        """
+        import math
+
+        cycle = self._chunk // math.gcd(self._n_steps, self._chunk)
+        if self._n_steps % self._chunk == 0:
+            return 0  # frame == whole chunks: single signature, no churn
+        throwaway = TileStream(self._pl, self._params, self._hw)
+        frame = np.zeros((*self._hw, 3), np.uint8)
+        for _ in range(cycle):
+            throwaway.submit(frame)
+        throwaway.flush()
+        return cycle
+
     def flush(self):
         """Run the carried tail (one exact-size dispatch, padded up to
         the dp multiple when sharded) and return the remaining frame

@@ -355,9 +355,21 @@ class _StreamSession:
             outs.extend(self._stream.flush())
         return outs
 
+    def warm(self) -> int:
+        """Pre-compile one full carry cycle of stream programs (see
+        TileStream.warm); call before a live video loop to avoid
+        first-seconds compile stutter."""
+        return self._stream.warm()
+
     def submit(self, frame_u8: np.ndarray):
         """Feed one frame; returns ready outputs (device arrays, cropped,
         submission order)."""
+        # same contract as Upscaler._dispatch: catch RGBA/grayscale here
+        # with a clear error instead of an opaque jit shape failure (which
+        # would also needlessly trip the fused-kernel fallback)
+        if frame_u8.ndim != 3 or frame_u8.shape[2] != 3:
+            raise ValueError(
+                f"expected (H, W, 3) frame, got {frame_u8.shape}")
         if frame_u8.shape[:2] != self._orig_hw:
             raise ValueError(
                 f"stream expects {self._orig_hw} frames, got "

@@ -26,8 +26,16 @@ TensorRT engines (SURVEY.md component 22).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Escape hatch: force the numerically-strict softmax everywhere (including
+# bf16 kernels) without a code change. Read once at import; it only affects
+# traces compiled after that.
+_FORCE_EXACT_SOFTMAX = os.environ.get(
+    "WAIFU2X_TPU_EXACT_SOFTMAX", "") not in ("", "0")
 
 # erf(x) = x * P(x^2) on |x| <= 3, clamped outside (erf(3) = 1 - 2.2e-5).
 # P is a degree-8 Chebyshev fit of erf(sqrt(u))/sqrt(u) on u in [0, 9]
@@ -83,40 +91,61 @@ def gelu(z, exact: bool = False):
 
 # Softmax logit clamp for the no-max-subtract fast path: exp(75) stays
 # finite in fp32 even summed over a 64-token row, and exp(-60) cannot
-# underflow the row sum. Trained attention logits live well inside
-# [-60, 75]; logits outside only distort if the row's TRUE max is also
-# outside, and the -1e9 shift mask still lands at -60, 1e-26 below any
-# in-range logit.
+# underflow the row sum. The clamp can only distort the distribution when
+# the row's TRUE max falls outside [-60, 75]; attention logits here are
+# q.k/sqrt(32) + bias over LayerNorm'd activations, which for any trained
+# SR checkpoint sit orders of magnitude inside that range (|logit| ~ O(10)
+# worst case). The cyclic-shift mask does NOT ride on this bound: it is
+# applied multiplicatively after exp (``keep``), so masked entries get
+# weight exactly 0 for any logit values. Set WAIFU2X_TPU_EXACT_SOFTMAX=1
+# to force the max-subtracted form everywhere regardless.
 _CLAMP_LO = -60.0
 _CLAMP_HI = 75.0
 
 
-def softmax_lastdim(attn, exact: bool = True):
+def softmax_lastdim(attn, exact: bool = True, keep=None):
     """Softmax over the last axis, fp32 in/out.
 
-    exact=True: standard max-subtracted form (fp32-precision path).
-    exact=False: skips the max reduce+subtract behind a [-60, 75] logit
-    clamp — two fewer VPU passes over the (N, N) attention tensor,
-    measured ~0.3 ms/stage-1 block on v5e. bf16-only.
+    Args:
+      attn: logits, fp32.
+      exact: True = standard max-subtracted form (fp32-precision path).
+        False = skip the max reduce+subtract behind a [-60, 75] logit
+        clamp — two fewer VPU passes over the (N, N) attention tensor,
+        measured ~0.3 ms/stage-1 block on v5e. bf16-only.
+      keep: optional bool mask broadcastable to ``attn``; False entries
+        receive weight exactly 0 in BOTH paths (the mask is multiplied in
+        after exp, so it never competes with clamped logits). Every row
+        must keep at least one entry (Swin shift masks always do).
     """
-    if exact:
+    if exact or _FORCE_EXACT_SOFTMAX:
+        if keep is not None:
+            attn = jnp.where(keep, attn, jnp.float32(-3e38))
         e = jnp.exp(attn - jnp.max(attn, axis=-1, keepdims=True))
     else:
         e = jnp.exp(jnp.clip(attn, _CLAMP_LO, _CLAMP_HI))
+    if keep is not None:
+        e = e * keep.astype(jnp.float32)
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def layernorm(x, scale, bias, eps: float = 1e-5):
+def layernorm(x, scale, bias, eps: float = 1e-5, exact: bool = False):
     """Fast-variance LayerNorm in fp32 (nn.LayerNorm semantics) with the
     row reductions on the MXU: mean and mean-of-squares are dots with a
-    ones vector, freeing VPU passes (v5e: ~0.09 ms/stage-1 block)."""
+    ones vector, freeing VPU passes (v5e: ~0.09 ms/stage-1 block).
+
+    exact=True forces full-f32 MXU passes for the reduction dots: TPU
+    default-precision f32 dots may multiply in bf16 passes, which would
+    silently soften the fp32 ("tf32" CLI) precision path. Cost is
+    negligible — the dots contract against a length-C ones vector.
+    """
     x32 = x.astype(jnp.float32)
     c = x32.shape[-1]
     ones = jnp.ones((c, 1), jnp.float32)
     dims = (((x32.ndim - 1,), (0,)), ((), ()))
-    s1 = jax.lax.dot_general(x32, ones, dims,
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    s1 = jax.lax.dot_general(x32, ones, dims, precision=prec,
                              preferred_element_type=jnp.float32)
-    s2 = jax.lax.dot_general(x32 * x32, ones, dims,
+    s2 = jax.lax.dot_general(x32 * x32, ones, dims, precision=prec,
                              preferred_element_type=jnp.float32)
     inv_c = jnp.float32(1.0 / c)
     mean = s1 * inv_c

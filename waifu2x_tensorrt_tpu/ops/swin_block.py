@@ -44,7 +44,7 @@ def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
     # policy); fp32 keeps the numerically-strict forms.
     exact = dtype != jnp.bfloat16
 
-    h = _layernorm(x, n1s, n1b).astype(dtype)
+    h = _layernorm(x, n1s, n1b, exact=exact).astype(dtype)
     qkv = jax.lax.dot_general(
         h, qkvk.astype(dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
@@ -62,9 +62,9 @@ def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
         bottom = ((flags & 1) > 0)[:, :, None]
         right = ((flags & 2) > 0)[:, :, None]
         crossing = (bottom & row_cross[None]) | (right & col_cross[None])
-        shift_mask = jnp.where(crossing, -1e9, 0.0)
+        keep = ~crossing  # (wb, N, N); zeroed after exp in softmax
     else:
-        shift_mask = None
+        keep = None
 
     scale = jnp.asarray(hd ** -0.5, dtype)
     # MXU-fill variants, each bitwise-exact vs the plain per-head form and
@@ -100,9 +100,7 @@ def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
                 preferred_element_type=jnp.float32,
             )
         attn = attn + bias[head][None].astype(jnp.float32)
-        if shift_mask is not None:
-            attn = attn + shift_mask
-        attn = _softmax(attn, exact=exact)
+        attn = _softmax(attn, exact=exact, keep=keep)
         if wide_attn:
             head_sel = (lane >= head * hd) & (lane < (head + 1) * hd)
             vm = jnp.where(head_sel, v_all, jnp.zeros_like(v_all))
@@ -130,7 +128,7 @@ def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
     a = a + projb.astype(jnp.float32)
     x1 = x + a.astype(dtype)
 
-    m = _layernorm(x1, n2s, n2b).astype(dtype)
+    m = _layernorm(x1, n2s, n2b, exact=exact).astype(dtype)
     z = jax.lax.dot_general(
         m, fc1k.astype(dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),

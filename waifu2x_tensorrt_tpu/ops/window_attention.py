@@ -102,9 +102,13 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
         right = ((flags & 2) > 0)[:, :, None, None]
         crossing = (bottom & row_cross[None, None]) | (
             right & col_cross[None, None])  # (wb, 1, N, N)
-        attn = attn + jnp.where(crossing, -1e9, 0.0)
+        keep = ~crossing
+    else:
+        keep = None
 
-    attn = _softmax(attn, exact=q.dtype != jnp.bfloat16)
+    # keep is applied multiplicatively after exp inside softmax_lastdim:
+    # masked entries get weight exactly 0 even on the no-max fast path.
+    attn = _softmax(attn, exact=q.dtype != jnp.bfloat16, keep=keep)
     out = jax.lax.dot_general(
         attn.reshape(wb * nh, N, N).astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -138,9 +142,9 @@ def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
         bottom = ((flags & 1) > 0)[:, :, None]
         right = ((flags & 2) > 0)[:, :, None]
         crossing = (bottom & row_cross[None]) | (right & col_cross[None])
-        shift_mask = jnp.where(crossing, -1e9, 0.0)  # (wb, N, N) fp32
+        keep = ~crossing  # (wb, N, N); zeroed after exp in softmax
     else:
-        shift_mask = None
+        keep = None
 
     outs = []
     for h in range(nh):
@@ -153,9 +157,7 @@ def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
             preferred_element_type=jnp.float32,
         )  # (wb, N, N)
         attn = attn + bias_ref[h][None].astype(jnp.float32)
-        if shift_mask is not None:
-            attn = attn + shift_mask
-        attn = _softmax(attn, exact=qkv.dtype != jnp.bfloat16)
+        attn = _softmax(attn, exact=qkv.dtype != jnp.bfloat16, keep=keep)
         outs.append(jax.lax.dot_general(
             attn.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
