@@ -166,31 +166,50 @@ class Upscaler:
             # no further from fp32 truth than the dense bf16 path
             # (BENCH_NOTES.md). Whole-block fusion is the TPU default.
             use_pallas = on_tpu
-        # Packed head (blend/scatter in (oh/r, ow/r, 48) layout, one canvas
-        # unpack) was measured v5e 2026-08: model -1.5 ms/chunk but the
-        # whole-canvas depth-to-space costs ~15 ms vs ~3.4 ms of fused
-        # per-tile shuffles — net LOSS, so pixel-space stays the default
-        # (BENCH_NOTES.md). The flag remains for future kernel work.
-        module, spec = registry.create_model(
-            family, scale, noise, dtype=config.precision.dtype,
-            use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
-            packed_head=False,
-        )
-        params, from_file = registry.load_or_init_params(
-            module, self.models_dir, family, scale, noise,
-            tile=config.height or 64,
-            warn=lambda m: self.logger.log(Severity.warn, m),
-            allow_random=self.allow_random_init,
-        )
-        if from_file and spec.arch == "swin_unet":
-            # ADVICE round 1: the swin_unet architecture is a
-            # reconstruction; converted real checkpoints may not match
-            # upstream until the ONNX-executor fidelity check passes.
-            self.logger.log(
-                Severity.warn,
-                "swin_unet fidelity vs upstream is unverified for "
-                "converted checkpoints (see models/swin_unet.py docstring)",
+        onnx_artifact = stem.with_suffix(".onnx")
+        graph_backed = not stem.exists() and onnx_artifact.exists()
+        if graph_backed:
+            # Serve the parsed release artifact directly (the reference's
+            # behavior: hand any ONNX to the accelerator,
+            # img2img_build.cpp:88). Fidelity-first fp32 path; the flax +
+            # Pallas reconstruction (converted .npz) is the fast path.
+            module, spec, params = self._load_graph_backend(
+                onnx_artifact, family, scale, noise)
+            from_file = True
+            use_pallas = False
+        else:
+            # Packed head (blend/scatter in (oh/r, ow/r, 48) layout, one
+            # canvas unpack) was measured v5e 2026-08: model -1.5 ms/chunk
+            # but the whole-canvas depth-to-space costs ~15 ms vs ~3.4 ms
+            # of fused per-tile shuffles — net LOSS, so pixel-space stays
+            # the default (BENCH_NOTES.md). The flag remains for future
+            # kernel work.
+            module, spec = registry.create_model(
+                family, scale, noise, dtype=config.precision.dtype,
+                use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
+                packed_head=False,
             )
+            params, from_file = registry.load_or_init_params(
+                module, self.models_dir, family, scale, noise,
+                tile=config.height or 64,
+                warn=lambda m: self.logger.log(Severity.warn, m),
+                allow_random=self.allow_random_init,
+            )
+            if from_file and spec.arch == "swin_unet":
+                # converted checkpoints ride on the reconstruction; keep
+                # the honesty warning and point at the graph-backed
+                # alternative (drop the .onnx next to the .npz and remove
+                # the .npz to serve the artifact's own graph).
+                self.logger.log(
+                    Severity.warn,
+                    "swin_unet fidelity vs upstream is unverified for "
+                    "converted checkpoints; validate with models/validate.py "
+                    "or serve the .onnx directly (models/onnx_backend.py)",
+                )
+        if config.height and config.height % spec.tile_divisor:
+            raise ValueError(
+                f"tile size {config.height} is not a multiple of "
+                f"{spec.tile_divisor} (required by this model backend)")
         self._module = module
         self._spec = spec
         # Committed placement: with a mesh sharding the mesh governs
@@ -209,6 +228,36 @@ class Upscaler:
         self._load_args = (family, scale, noise, config, sharding,
                            use_pallas)
         self._fused = use_pallas and on_tpu
+
+    def _load_graph_backend(self, onnx_path: Path, family: str, scale: int,
+                            noise: int):
+        """Parse + derive + wrap an ONNX artifact for direct serving
+        (models/onnx_backend.py). Raises when the artifact's derived scale
+        contradicts the requested one."""
+        import dataclasses
+
+        from waifu2x_tensorrt_tpu.models.onnx_backend import load_graph_model
+
+        module, arch, params = load_graph_model(onnx_path)
+        if arch.scale != scale:
+            raise ValueError(
+                f"{onnx_path.name}: artifact scale {arch.scale} != "
+                f"requested scale {scale}")
+        base = registry.get_spec(family, scale, noise)
+        tile_divisor = base.tile_divisor
+        if arch.arch == "swin_unet" and arch.window:
+            # the graph cannot self-pad like the flax reconstruction: tile
+            # sizes must be window*4-divisible (two stride-2 stages)
+            tile_divisor = max(tile_divisor, arch.window * 4)
+        spec = dataclasses.replace(base, offset=arch.offset,
+                                   tile_divisor=tile_divisor)
+        self.logger.log(
+            Severity.info,
+            f"serving parsed ONNX graph {onnx_path.name} directly "
+            f"(derived arch: {arch.summary()}); tile sizes must be "
+            f"multiples of {tile_divisor}",
+        )
+        return module, spec, params
 
     def _fall_back_from_fused(self, exc: Exception) -> None:
         """Swap the fused-block model for the bit-exact attention-only

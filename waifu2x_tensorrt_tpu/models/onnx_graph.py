@@ -11,6 +11,16 @@ analogue of that capability, self-contained over the protobuf wire format
   export uses. This is the ground-truth executor the fidelity tests run
   converted checkpoints against (SURVEY.md §7 step 2): a test fails if the
   flax forward diverges from the executed graph.
+- ``run_graph_jax(graph, feeds, params=...)`` -> the SAME node walk with
+  jax.numpy, traceable under ``jax.jit``/``jax.vmap`` — a parsed release
+  artifact executes on the accelerator directly, independent of the
+  hand-reconstructed flax modules (the reference's core capability:
+  nvonnxparser -> TensorRT engine, img2img_build.cpp:88). Values derived
+  only from initializers/shapes constant-fold on the host with the numpy
+  ops (shape vectors, slice indices, masks), so dynamic-shape exports that
+  compute reshape targets from ``Shape`` still trace to static XLA
+  programs; ``params`` promotes chosen initializers to traced arguments so
+  one executable serves any weight values.
 - ``summarize(graph)``    -> op histogram + parameter count, used to diff
   a real export's topology against the reconstruction in swin_unet.py.
 
@@ -25,7 +35,7 @@ from __future__ import annotations
 import dataclasses
 import struct
 from pathlib import Path
-from typing import Any
+from typing import Any, Optional
 
 import numpy as np
 
@@ -184,18 +194,33 @@ def summarize(graph: OnnxGraph) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Executor
+# Executor (shared node dispatch, numpy or jax.numpy)
+#
+# ``_eval_node`` implements every op once, parameterized by the array
+# namespace ``xp`` (numpy for the ground-truth executor, jax.numpy for the
+# traceable accelerator path). Structural parameters — reshape targets,
+# slice indices, pad widths, axes, split sizes — are required to be STATIC
+# (host numpy) values; ``run_graph_jax`` guarantees that by constant-
+# folding every node whose inputs are all static with the numpy ops and by
+# resolving ``Shape`` from the (always static under jit) tracer shape.
 # ---------------------------------------------------------------------------
 
 
-def _conv(x, w, b, attrs):
+def _static(v, node: OnnxNode, what: str) -> np.ndarray:
+    if not isinstance(v, (np.ndarray, np.generic)):
+        raise NotImplementedError(
+            f"{node.op_type} (node {node.name!r}): {what} is data-dependent "
+            "(traced); only initializer/shape-derived values are supported")
+    return np.asarray(v)
+
+
+def _conv(x, w, b, attrs, xp=np):
     import jax.numpy as jnp
     from jax import lax
 
     strides = tuple(attrs.get("strides", [1, 1]))
     dil = tuple(attrs.get("dilations", [1, 1]))
     group = int(attrs.get("group", 1))
-    kh, kw = w.shape[2], w.shape[3]
     pads = attrs.get("pads", [0, 0, 0, 0])
     auto_pad = attrs.get("auto_pad", "NOTSET")
     if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
@@ -208,13 +233,14 @@ def _conv(x, w, b, attrs):
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=group,
     )
-    y = np.asarray(y)
+    if xp is np:
+        y = np.asarray(y)
     if b is not None:
         y = y + b.reshape(1, -1, 1, 1)
     return y
 
 
-def _conv_transpose(x, w, b, attrs):
+def _conv_transpose(x, w, b, attrs, xp=np):
     import jax.numpy as jnp
     from jax import lax
 
@@ -225,34 +251,38 @@ def _conv_transpose(x, w, b, attrs):
         raise NotImplementedError("grouped ConvTranspose")
     # ONNX weight (I, O, kH, kW); gradient-of-conv == conv with the
     # spatially flipped, IO-swapped kernel over an lhs-dilated input.
-    w_ = np.transpose(w, (1, 0, 2, 3))[:, :, ::-1, ::-1]
+    w_ = xp.transpose(w, (1, 0, 2, 3))[:, :, ::-1, ::-1]
     kh, kw = w_.shape[2], w_.shape[3]
     padding = [
         (kh - 1 - pads[0], kh - 1 - pads[2] + out_pad[0]),
         (kw - 1 - pads[1], kw - 1 - pads[3] + out_pad[1]),
     ]
+    if xp is np:
+        w_ = np.ascontiguousarray(w_)
     y = lax.conv_general_dilated(
-        jnp.asarray(x, jnp.float32), jnp.asarray(np.ascontiguousarray(w_),
-                                                 jnp.float32),
+        jnp.asarray(x, jnp.float32), jnp.asarray(w_, jnp.float32),
         window_strides=(1, 1), padding=padding, lhs_dilation=strides,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
-    y = np.asarray(y)
+    if xp is np:
+        y = np.asarray(y)
     if b is not None:
         y = y + b.reshape(1, -1, 1, 1)
     return y
 
 
-def _softmax(x, axis):
-    m = np.max(x, axis=axis, keepdims=True)
-    e = np.exp(x - m)
-    return e / np.sum(e, axis=axis, keepdims=True)
+def _softmax(x, axis, xp=np):
+    m = xp.max(x, axis=axis, keepdims=True)
+    e = xp.exp(x - m)
+    return e / xp.sum(e, axis=axis, keepdims=True)
 
 
-def _erf(x):
+def _erf(x, xp=np):
     from jax import lax
 
-    return np.asarray(lax.erf(np.asarray(x, np.float32)))
+    if xp is np:
+        return np.asarray(lax.erf(np.asarray(x, np.float32)))
+    return lax.erf(x)
 
 
 def _depth_to_space(x, r, mode):
@@ -280,12 +310,12 @@ def _gemm(a, b_, c, attrs):
 
 def _slice(env, node):
     x = env[node.inputs[0]]
-    starts = env[node.inputs[1]].astype(np.int64)
-    ends = env[node.inputs[2]].astype(np.int64)
-    axes = (env[node.inputs[3]].astype(np.int64)
+    starts = _static(env[node.inputs[1]], node, "starts").astype(np.int64)
+    ends = _static(env[node.inputs[2]], node, "ends").astype(np.int64)
+    axes = (_static(env[node.inputs[3]], node, "axes").astype(np.int64)
             if len(node.inputs) > 3 and node.inputs[3]
             else np.arange(len(starts)))
-    steps = (env[node.inputs[4]].astype(np.int64)
+    steps = (_static(env[node.inputs[4]], node, "steps").astype(np.int64)
              if len(node.inputs) > 4 and node.inputs[4]
              else np.ones(len(starts), np.int64))
     slices = [slice(None)] * x.ndim
@@ -295,13 +325,13 @@ def _slice(env, node):
     return x[tuple(slices)]
 
 
-def _pad(env, node):
+def _pad(env, node, xp=np):
     x = env[node.inputs[0]]
-    pads = env[node.inputs[1]].astype(np.int64)
+    pads = _static(env[node.inputs[1]], node, "pads").astype(np.int64)
     mode = node.attrs.get("mode", "constant")
     cval = 0.0
     if len(node.inputs) > 2 and node.inputs[2]:
-        cval = float(env[node.inputs[2]])
+        cval = float(_static(env[node.inputs[2]], node, "constant value"))
     n = x.ndim
     before, after = pads[:n], pads[n:]
     if np.any(before < 0) or np.any(after < 0):  # negative pad == crop
@@ -316,182 +346,239 @@ def _pad(env, node):
     np_mode = {"constant": "constant", "edge": "edge",
                "reflect": "reflect"}[mode]
     if np_mode == "constant":
-        return np.pad(x, widths, mode="constant", constant_values=cval)
-    return np.pad(x, widths, mode=np_mode)
+        return xp.pad(x, widths, mode="constant", constant_values=cval)
+    return xp.pad(x, widths, mode=np_mode)
 
 
-def _reduce_mean(env, node):
+def _reduce_mean(env, node, xp=np):
     x = env[node.inputs[0]]
     axes = node.attrs.get("axes")
     if axes is None and len(node.inputs) > 1 and node.inputs[1]:
-        axes = env[node.inputs[1]].astype(np.int64).tolist()
+        axes = _static(env[node.inputs[1]], node,
+                       "axes").astype(np.int64).tolist()
     keepdims = bool(node.attrs.get("keepdims", 1))
     axes_t = tuple(int(a) for a in axes) if axes is not None else None
-    return np.mean(x, axis=axes_t, keepdims=keepdims, dtype=np.float32)
+    return xp.mean(x, axis=axes_t, keepdims=keepdims, dtype=np.float32)
+
+
+def _eval_node(node: OnnxNode, env: dict, xp) -> bool:
+    """Execute one node into ``env`` with the ``xp`` namespace (numpy or
+    jax.numpy). Returns False when the op handled its own (multi-)output
+    assignment."""
+    op = node.op_type
+    ins = node.inputs
+
+    def inp(i, default=None):
+        if i >= len(ins) or not ins[i]:
+            return default
+        return env[ins[i]]
+
+    x = inp(0)
+    if op == "Conv":
+        y = _conv(x, inp(1), inp(2), node.attrs, xp)
+    elif op == "ConvTranspose":
+        y = _conv_transpose(x, inp(1), inp(2), node.attrs, xp)
+    elif op == "Gemm":
+        y = _gemm(x, inp(1), inp(2), node.attrs)
+    elif op == "MatMul":
+        y = x @ inp(1)
+    elif op == "Add":
+        y = x + inp(1)
+    elif op == "Sub":
+        y = x - inp(1)
+    elif op == "Mul":
+        y = x * inp(1)
+    elif op == "Div":
+        y = x / inp(1)
+    elif op == "Pow":
+        y = x ** inp(1)
+    elif op == "Sqrt":
+        y = xp.sqrt(x)
+    elif op == "Exp":
+        y = xp.exp(x)
+    elif op == "Neg":
+        y = -x
+    elif op == "Erf":
+        y = _erf(x, xp)
+    elif op == "Relu":
+        y = xp.maximum(x, 0)
+    elif op == "LeakyRelu":
+        alpha = node.attrs.get("alpha", 0.01)
+        y = xp.where(x >= 0, x, alpha * x)
+    elif op == "Sigmoid":
+        y = 1.0 / (1.0 + xp.exp(-x))
+    elif op == "Tanh":
+        y = xp.tanh(x)
+    elif op == "Clip":
+        lo = inp(1) if len(ins) > 1 else node.attrs.get("min")
+        hi = inp(2) if len(ins) > 2 else node.attrs.get("max")
+        y = xp.clip(x, lo, hi)
+    elif op == "Softmax":
+        y = _softmax(x, int(node.attrs.get("axis", -1)), xp)
+    elif op == "LayerNormalization":
+        axis = int(node.attrs.get("axis", -1))
+        eps = node.attrs.get("epsilon", 1e-5)
+        axes = tuple(range(axis % x.ndim, x.ndim))
+        mu = xp.mean(x, axis=axes, keepdims=True, dtype=np.float32)
+        var = xp.mean((x - mu) ** 2, axis=axes, keepdims=True,
+                      dtype=np.float32)
+        y = (x - mu) / xp.sqrt(var + eps)
+        y = y * inp(1)
+        if len(ins) > 2 and ins[2]:
+            y = y + inp(2)
+    elif op == "Reshape":
+        shape = _static(env[ins[1]], node, "shape").astype(np.int64).tolist()
+        shape = [x.shape[i] if s == 0 else int(s)
+                 for i, s in enumerate(shape)]
+        y = x.reshape(shape)
+    elif op == "Transpose":
+        y = xp.transpose(x, node.attrs.get("perm"))
+    elif op == "Concat":
+        y = xp.concatenate([env[i] for i in ins],
+                           axis=int(node.attrs["axis"]))
+    elif op == "Slice":
+        y = _slice(env, node)
+    elif op == "Pad":
+        y = _pad(env, node, xp)
+    elif op == "Gather":
+        y = xp.take(x, _static(inp(1), node, "indices").astype(np.int64),
+                    axis=int(node.attrs.get("axis", 0)))
+    elif op == "Unsqueeze":
+        axes = (_static(env[ins[1]], node, "axes").astype(np.int64).tolist()
+                if len(ins) > 1 else node.attrs["axes"])
+        y = x
+        for a in sorted(int(a) for a in axes):
+            y = xp.expand_dims(y, a)
+    elif op == "Squeeze":
+        axes = (_static(env[ins[1]], node, "axes").astype(np.int64).tolist()
+                if len(ins) > 1 and ins[1] else node.attrs.get("axes"))
+        y = xp.squeeze(x, axis=tuple(int(a) for a in axes)
+                       if axes is not None else None)
+    elif op == "Shape":
+        y = np.asarray(x.shape, np.int64)  # static even for traced x
+    elif op == "Expand":
+        y = xp.broadcast_to(
+            x, np.broadcast_shapes(
+                x.shape, tuple(_static(env[ins[1]], node,
+                                       "shape").astype(np.int64))))
+    elif op == "Cast":
+        y = x.astype(_DTYPES[int(node.attrs["to"])])
+    elif op == "ConstantOfShape":
+        val = node.attrs.get("value")
+        fill = val.reshape(-1)[0] if val is not None else np.float32(0)
+        y = xp.full(tuple(_static(env[ins[0]], node,
+                                  "shape").astype(np.int64)), fill)
+    elif op == "Constant":
+        y = node.attrs["value"]
+    elif op == "Identity":
+        y = x
+    elif op == "Flatten":
+        axis = int(node.attrs.get("axis", 1))
+        y = x.reshape(int(np.prod(x.shape[:axis], initial=1)), -1)
+    elif op == "Split":
+        axis = int(node.attrs.get("axis", 0))
+        if len(ins) > 1 and ins[1]:
+            sizes = _static(env[ins[1]], node,
+                            "split sizes").astype(np.int64).tolist()
+            parts = xp.split(x, np.cumsum(sizes)[:-1].tolist(), axis=axis)
+        else:
+            parts = xp.split(x, len(node.outputs), axis=axis)
+        for out_name, part in zip(node.outputs, parts):
+            env[out_name] = part if xp is not np else np.asarray(part)
+        return False
+    elif op == "Where":
+        y = xp.where(x, inp(1), inp(2))
+    elif op == "ReduceMean":
+        y = _reduce_mean(env, node, xp)
+    elif op == "GlobalAveragePool":
+        y = xp.mean(x, axis=(2, 3), keepdims=True, dtype=np.float32)
+    elif op == "AveragePool":
+        k = node.attrs["kernel_shape"]
+        s = node.attrs.get("strides", k)
+        b_, c_, h_, w_ = x.shape
+        oh, ow = (h_ - k[0]) // s[0] + 1, (w_ - k[1]) // s[1] + 1
+        y = xp.mean(
+            x[:, :, : oh * s[0], : ow * s[1]]
+            .reshape(b_, c_, oh, s[0], ow, s[1])[:, :, :, : k[0], :,
+                                                 : k[1]],
+            axis=(3, 5), dtype=np.float32)
+    elif op == "DepthToSpace":
+        y = _depth_to_space(x, int(node.attrs["blocksize"]),
+                            node.attrs.get("mode", "DCR"))
+    elif op == "SpaceToDepth":
+        r = int(node.attrs["blocksize"])
+        b_, c_, h_, w_ = x.shape
+        y = (x.reshape(b_, c_, h_ // r, r, w_ // r, r)
+             .transpose(0, 3, 5, 1, 2, 4)
+             .reshape(b_, c_ * r * r, h_ // r, w_ // r))
+    elif op == "Gelu":
+        if node.attrs.get("approximate", "none") == "tanh":
+            y = 0.5 * x * (1.0 + xp.tanh(
+                np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
+        else:
+            y = 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0), xp))
+    else:
+        raise NotImplementedError(
+            f"ONNX op {op!r} (node {node.name!r}) is not implemented")
+    env[node.outputs[0]] = np.asarray(y) if xp is np else y
+    return True
 
 
 def run_graph(
     graph: OnnxGraph, feeds: dict[str, np.ndarray]
 ) -> dict[str, np.ndarray]:
-    """Execute the graph; returns {output_name: array}."""
+    """Execute the graph with numpy (ground truth); {output_name: array}."""
     env: dict[str, np.ndarray] = dict(graph.initializers)
     env.update({k: np.asarray(v) for k, v in feeds.items()})
     missing = [n for n in graph.inputs if n not in env]
     if missing:
         raise ValueError(f"missing graph inputs: {missing}")
+    for node in graph.nodes:
+        _eval_node(node, env, np)
+    return {name: env[name] for name in graph.outputs}
+
+
+def run_graph_jax(graph: OnnxGraph, feeds: dict,
+                  params: Optional[dict] = None) -> dict:
+    """Execute the graph with jax.numpy — traceable under jit/vmap.
+
+    ``feeds`` values become traced; initializers stay static host values
+    unless listed in ``params`` (a {initializer_name: array} override that
+    makes those weights traced arguments, so one compiled executable
+    serves any weight values — see ``graph_params``). Nodes whose inputs
+    are all static constant-fold on the host with the numpy executor, so
+    shape vectors / slice indices / masks never enter the traced graph.
+    """
+    import jax.numpy as jnp
+
+    env: dict = dict(graph.initializers)
+    if params:
+        unknown = [k for k in params if k not in graph.initializers]
+        if unknown:
+            raise ValueError(f"params override unknown initializers: "
+                             f"{unknown[:5]}")
+        env.update(params)
+    env.update(feeds)
+    missing = [n for n in graph.inputs if n not in env]
+    if missing:
+        raise ValueError(f"missing graph inputs: {missing}")
+
+    def is_static(name: str) -> bool:
+        return isinstance(env[name], (np.ndarray, np.generic))
 
     for node in graph.nodes:
-        op = node.op_type
-        ins = node.inputs
-
-        def inp(i, default=None):
-            if i >= len(ins) or not ins[i]:
-                return default
-            return env[ins[i]]
-
-        x = inp(0)
-        if op == "Conv":
-            y = _conv(x, inp(1), inp(2), node.attrs)
-        elif op == "ConvTranspose":
-            y = _conv_transpose(x, inp(1), inp(2), node.attrs)
-        elif op == "Gemm":
-            y = _gemm(x, inp(1), inp(2), node.attrs)
-        elif op == "MatMul":
-            y = x @ inp(1)
-        elif op == "Add":
-            y = x + inp(1)
-        elif op == "Sub":
-            y = x - inp(1)
-        elif op == "Mul":
-            y = x * inp(1)
-        elif op == "Div":
-            y = x / inp(1)
-        elif op == "Pow":
-            y = x ** inp(1)
-        elif op == "Sqrt":
-            y = np.sqrt(x)
-        elif op == "Exp":
-            y = np.exp(x)
-        elif op == "Neg":
-            y = -x
-        elif op == "Erf":
-            y = _erf(x)
-        elif op == "Relu":
-            y = np.maximum(x, 0)
-        elif op == "LeakyRelu":
-            alpha = node.attrs.get("alpha", 0.01)
-            y = np.where(x >= 0, x, alpha * x)
-        elif op == "Sigmoid":
-            y = 1.0 / (1.0 + np.exp(-x))
-        elif op == "Tanh":
-            y = np.tanh(x)
-        elif op == "Clip":
-            lo = inp(1) if len(ins) > 1 else node.attrs.get("min")
-            hi = inp(2) if len(ins) > 2 else node.attrs.get("max")
-            y = np.clip(x, lo, hi)
-        elif op == "Softmax":
-            y = _softmax(x, int(node.attrs.get("axis", -1)))
-        elif op == "LayerNormalization":
-            axis = int(node.attrs.get("axis", -1))
-            eps = node.attrs.get("epsilon", 1e-5)
-            axes = tuple(range(axis % x.ndim, x.ndim))
-            mu = np.mean(x, axis=axes, keepdims=True, dtype=np.float32)
-            var = np.var(x, axis=axes, keepdims=True, dtype=np.float32)
-            y = (x - mu) / np.sqrt(var + eps)
-            y = y * inp(1)
-            if len(ins) > 2 and ins[2]:
-                y = y + inp(2)
-        elif op == "Reshape":
-            shape = env[ins[1]].astype(np.int64).tolist()
-            shape = [x.shape[i] if s == 0 else int(s)
-                     for i, s in enumerate(shape)]
-            y = x.reshape(shape)
-        elif op == "Transpose":
-            y = np.transpose(x, node.attrs.get("perm"))
-        elif op == "Concat":
-            y = np.concatenate([env[i] for i in ins],
-                               axis=int(node.attrs["axis"]))
-        elif op == "Slice":
-            y = _slice(env, node)
-        elif op == "Pad":
-            y = _pad(env, node)
-        elif op == "Gather":
-            y = np.take(x, inp(1).astype(np.int64),
-                        axis=int(node.attrs.get("axis", 0)))
-        elif op == "Unsqueeze":
-            axes = (env[ins[1]].astype(np.int64).tolist()
-                    if len(ins) > 1 else node.attrs["axes"])
-            y = x
-            for a in sorted(int(a) for a in axes):
-                y = np.expand_dims(y, a)
-        elif op == "Squeeze":
-            axes = (env[ins[1]].astype(np.int64).tolist()
-                    if len(ins) > 1 and ins[1] else node.attrs.get("axes"))
-            y = np.squeeze(x, axis=tuple(int(a) for a in axes)
-                           if axes is not None else None)
-        elif op == "Shape":
-            y = np.asarray(x.shape, np.int64)
-        elif op == "Expand":
-            y = np.broadcast_to(
-                x, np.broadcast_shapes(x.shape,
-                                       tuple(env[ins[1]].astype(np.int64))))
-        elif op == "Cast":
-            y = x.astype(_DTYPES[int(node.attrs["to"])])
-        elif op == "ConstantOfShape":
-            val = node.attrs.get("value")
-            fill = val.reshape(-1)[0] if val is not None else np.float32(0)
-            y = np.full(tuple(env[ins[0]].astype(np.int64)), fill)
-        elif op == "Constant":
-            y = node.attrs["value"]
-        elif op == "Identity":
-            y = x
-        elif op == "Flatten":
-            axis = int(node.attrs.get("axis", 1))
-            y = x.reshape(int(np.prod(x.shape[:axis], initial=1)), -1)
-        elif op == "Split":
-            axis = int(node.attrs.get("axis", 0))
-            if len(ins) > 1 and ins[1]:
-                sizes = env[ins[1]].astype(np.int64).tolist()
-                parts = np.split(x, np.cumsum(sizes)[:-1], axis=axis)
-            else:
-                parts = np.split(x, len(node.outputs), axis=axis)
-            for out_name, part in zip(node.outputs, parts):
-                env[out_name] = part
-            continue
-        elif op == "Where":
-            y = np.where(x, inp(1), inp(2))
-        elif op == "ReduceMean":
-            y = _reduce_mean(env, node)
-        elif op == "GlobalAveragePool":
-            y = np.mean(x, axis=(2, 3), keepdims=True, dtype=np.float32)
-        elif op == "AveragePool":
-            k = node.attrs["kernel_shape"]
-            s = node.attrs.get("strides", k)
-            b_, c_, h_, w_ = x.shape
-            oh, ow = (h_ - k[0]) // s[0] + 1, (w_ - k[1]) // s[1] + 1
-            y = np.mean(
-                x[:, :, : oh * s[0], : ow * s[1]]
-                .reshape(b_, c_, oh, s[0], ow, s[1])[:, :, :, : k[0], :,
-                                                     : k[1]],
-                axis=(3, 5), dtype=np.float32)
-        elif op == "DepthToSpace":
-            y = _depth_to_space(x, int(node.attrs["blocksize"]),
-                                node.attrs.get("mode", "DCR"))
-        elif op == "SpaceToDepth":
-            r = int(node.attrs["blocksize"])
-            b_, c_, h_, w_ = x.shape
-            y = (x.reshape(b_, c_, h_ // r, r, w_ // r, r)
-                 .transpose(0, 3, 5, 1, 2, 4)
-                 .reshape(b_, c_ * r * r, h_ // r, w_ // r))
-        elif op == "Gelu":
-            if node.attrs.get("approximate", "none") == "tanh":
-                y = 0.5 * x * (1.0 + np.tanh(
-                    np.sqrt(2.0 / np.pi) * (x + 0.044715 * x**3)))
-            else:
-                y = 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)))
+        if all(is_static(i) for i in node.inputs if i):
+            _eval_node(node, env, np)  # host constant folding
         else:
-            raise NotImplementedError(
-                f"ONNX op {op!r} (node {node.name!r}) is not implemented")
-        env[node.outputs[0]] = np.asarray(y)
-
+            _eval_node(node, env, jnp)
     return {name: env[name] for name in graph.outputs}
+
+
+def graph_params(graph: OnnxGraph) -> dict[str, np.ndarray]:
+    """The float tensor initializers — the values ``run_graph_jax`` should
+    treat as traced weight arguments (everything else: shapes, indices,
+    masks, scalar constants — stays static and folds)."""
+    return {
+        k: v for k, v in graph.initializers.items()
+        if v.ndim >= 1 and v.dtype in (np.float32, np.float16, np.float64)
+    }
