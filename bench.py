@@ -231,6 +231,18 @@ def main() -> None:
 
     flush_aux()
 
+    # host-side framepipe GB/s (native C++ ring vs pure-Python pipe; no
+    # TPU involvement — VERDICT r2 item 6). Cheap (~15 s) and host-only.
+    if os.environ.get("BENCH_FRAMEPIPE", "1") != "0":
+        try:
+            from bench_framepipe import measure_framepipe
+
+            aux["framepipe"] = measure_framepipe(n_frames=32, rounds=2)
+            log(f"[bench] framepipe: {aux['framepipe']}")
+        except Exception as e:
+            aux["framepipe"] = f"failed: {type(e).__name__}"
+        flush_aux()
+
     if os.environ.get("BENCH_CONFIGS", "1") != "0":
         # config 2: swin_unet/art 4x noise 3, tile 256, BATCH 4, bf16,
         # blend 1/16 (headline uses batch 8; this is the doc-exact row).

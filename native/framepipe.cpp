@@ -6,7 +6,13 @@
 // slabs from a dedicated reader thread, so Python/JAX never blocks on pipe
 // I/O; symmetrically, the writer drains a ring into the encoder child.
 // Raw 4K rgb24 frames are ~24 MB each — at 30+ fps this path must sustain
-// ~1 GB/s, which CPython fread loops cannot while also driving the TPU.
+// ~0.75 GB/s. MEASURED (bench_framepipe.py, 1-core sandbox, 2026-08-17):
+// native ring 1.17 GB/s read / 2.5 GB/s write; the pure-Python fallback
+// thread measures 1.58 / 2.53 GB/s in isolation — both clear the 4K30
+// requirement, and on one core the ring's actual advantage (draining the
+// pipe without the GIL while Python dispatches accelerator work) cannot
+// manifest. The native path remains the default for multi-core hosts;
+// W2X_NO_NATIVE_PIPE=1 selects the Python threads.
 //
 // C ABI (consumed from Python via ctypes, io/native_pipe.py):
 //   fp_reader_open(cmd, frame_bytes, depth) -> handle

@@ -325,3 +325,67 @@ def test_capture_frame_range_exact(fake_ffmpeg, tmp_path, monkeypatch):
     assert cap.read() is None
     cap.release()
     np.testing.assert_array_equal(np.stack(got), fake_ffmpeg["frames"][2:5])
+
+
+def test_stream_without_nb_frames_single_pass(tmp_path, monkeypatch):
+    """A stream whose probe lacks nb_frames must NOT pay a counting decode
+    (round-2 verdict weak #6): frame_count reports -1 (unknown) and the
+    CLI's frame iterator reads to EOF in one pass."""
+    import stat as _stat
+
+    from waifu2x_tensorrt_tpu.cli import _frames
+
+    frames = np.random.default_rng(3).integers(0, 256, (4, H, W, 3), np.uint8)
+    raw = tmp_path / "fx.raw"
+    raw.write_bytes(frames.tobytes())
+    marker = tmp_path / "counted.marker"
+
+    ffprobe = tmp_path / "bin" / "ffprobe"
+    ffmpeg = tmp_path / "bin" / "ffmpeg"
+    ffprobe.parent.mkdir(exist_ok=True)
+    ffprobe.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, pathlib\n"
+        "if '-count_frames' in sys.argv:\n"
+        f"    pathlib.Path(r'{marker}').touch()\n"
+        "    print(4)\n"
+        "else:\n"
+        f"    print('width={W}')\n"
+        f"    print('height={H}')\n"
+        "    print('r_frame_rate=30/1')\n"
+        "    print('nb_frames=N/A')\n"
+    )
+    ffmpeg.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, pathlib\n"
+        f"sys.stdout.buffer.write(pathlib.Path(r'{raw}').read_bytes())\n"
+    )
+    for p in (ffprobe, ffmpeg):
+        p.chmod(p.stat().st_mode | _stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{ffprobe.parent}:{os.environ['PATH']}")
+    monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
+
+    video = tmp_path / "stream.mp4"
+    video.touch()
+    cap = VideoCapture()
+    cap.open(video)
+    assert cap.frame_count == -1
+    got = list(_frames(cap))
+    cap.release()
+    assert len(got) == 4
+    np.testing.assert_array_equal(np.stack(got), frames)
+    assert not marker.exists(), "counting decode ran despite one-pass mode"
+
+
+def test_cli_rejects_whole_frame_tta():
+    """--tileSize 0 + --tta must fail at validation with a clear message,
+    not an obscure trace-time shape error (round-2 verdict weak #5)."""
+    from waifu2x_tensorrt_tpu.cli import _validate, build_parser
+
+    args = build_parser().parse_args([
+        "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
+        "--batchSize", "4", "--tileSize", "0",
+        "render", "-i", "x.png", "--tta",
+    ])
+    with pytest.raises(ValueError, match="tileSize 0.*--tta|--tta"):
+        _validate(args)

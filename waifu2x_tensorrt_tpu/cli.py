@@ -131,6 +131,14 @@ def _validate(args) -> None:
     if args.batch_size <= 0:
         raise ValueError("batchSize must be positive")
     if args.command == "render":
+        if args.tile_size == 0 and args.tta:
+            # whole-frame tiles are rectangular; the 8-way dihedral
+            # ensemble needs square tiles (rot90 changes the shape —
+            # tiling.py dihedral_apply). Fail here with a clear message
+            # instead of an obscure trace-time shape error.
+            raise ValueError(
+                "--tileSize 0 (whole-frame) cannot be combined with --tta: "
+                "TTA's rotations require square tiles; pick a tile size")
         if not any(abs(args.blend - c) < 1e-12 for c in BLEND_CHOICES):
             raise ValueError(
                 f"--blend must be one of 1/8, 1/16, 1/32, 0; got {args.blend}"
@@ -253,6 +261,16 @@ def main(argv=None) -> int:
         message_cb(Severity.error, "No input files found.")
         return -1
 
+    if args.tile_size == 0 and args.model.startswith("cunet"):
+        # cunet's context shrink (offset 36/px side) makes whole-frame mode
+        # degenerate into a grid of giant context-shrunk tiles
+        # (engine/renderer.py resolve_tile_plan) — legal but much slower
+        # than tiled renders; surface the surprise up front.
+        message_cb(
+            Severity.warn,
+            "--tileSize 0 with cunet still tiles internally (valid-conv "
+            "context shrink) and is usually slower than --tileSize 256",
+        )
     config = RenderConfig(
         device_id=args.device,
         precision=precision,
@@ -312,6 +330,22 @@ def main(argv=None) -> int:
     return exit_code
 
 
+def _frames(capture):
+    """Yield the capture's frames; an unknown count (frame_count < 0,
+    streams without nb_frames) reads to EOF in ONE decode pass, a known
+    count that ends early is an error."""
+    n = capture.frame_count
+    i = 0
+    while n < 0 or i < n:
+        frame = capture.read()
+        if frame is None:
+            if n < 0:
+                return
+            raise RuntimeError("decoder ended early")
+        i += 1
+        yield frame
+
+
 def _render_one(args, engine, capture, file, out_dir, suffix, state,
                 message_cb) -> int:
     try:
@@ -331,6 +365,10 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
         total = capture.frame_count
         fps = capture.frame_rate
         capture.release()
+        if total < 0:
+            # segment grids need the exact count; pay the counting decode
+            # only on this path (ordinary renders stream to EOF instead)
+            total = capture._count_frames(Path(file))
         return _render_video_segmented(args, engine, file, out_path, state,
                                        message_cb, total, fps)
     writer = VideoWriter()
@@ -343,7 +381,7 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
     writer.set_frame_size(capture.frame_width * args.scale,
                           capture.frame_height * args.scale)
     writer.set_output_file(out_path)
-    state["frames"] = capture.frame_count
+    state["frames"] = capture.frame_count if capture.frame_count > 0 else "?"
 
     rc = 0
     try:
@@ -362,30 +400,25 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
             # goal the reference's single synchronous stream lacks,
             # SURVEY.md §2 item 3). Falls back to the double-buffered
             # per-frame loop when streaming does not apply.
-            stream = _open_stream(engine, 
+            stream = _open_stream(engine,
                 (capture.frame_height, capture.frame_width))
             if stream is not None:
-                for frame_index in range(capture.frame_count):
+                for frame_index, frame in enumerate(_frames(capture)):
                     state["frame"] = frame_index + 1
-                    frame = capture.read()
-                    if frame is None:
-                        raise RuntimeError("decoder ended early")
                     for out in stream.submit(frame):
                         writer.write(np.asarray(out))
                 for out in stream.flush():
                     writer.write(np.asarray(out))
             else:
                 pending = None
-                for frame_index in range(capture.frame_count):
+                for frame_index, frame in enumerate(_frames(capture)):
                     state["frame"] = frame_index + 1
-                    frame = capture.read()
-                    if frame is None:
-                        raise RuntimeError("decoder ended early")
                     fut = engine.render_async(frame)
                     if pending is not None:
                         writer.write(np.asarray(pending))
                     pending = fut
-                writer.write(np.asarray(pending))
+                if pending is not None:
+                    writer.write(np.asarray(pending))
     except Exception as e:
         message_cb(Severity.error, f"Render failed: {e}.")
         rc = -1
