@@ -256,7 +256,25 @@ def main(argv=None) -> int:
                 message_cb(Severity.error,
                            f"jax.distributed.initialize failed: {e}.")
                 return -1
-        files = shard_files(files)
+        # Whole-file round-robin applies to IMAGES only; video files stay
+        # on every host and are frame-range/segment sharded inside
+        # _render_video_segmented (one video split across the pod — the
+        # work distribution the reference cannot do).
+        from waifu2x_tensorrt_tpu.io.video import IMAGE_SUFFIXES
+
+        if not files:
+            message_cb(Severity.error, "No input files found.")
+            return -1
+        images = [f for f in files
+                  if Path(f).suffix.lower() in IMAGE_SUFFIXES]
+        mine = set(map(str, shard_files(images)))
+        files = [f for f in files
+                 if Path(f).suffix.lower() not in IMAGE_SUFFIXES
+                 or str(f) in mine]
+        if not files:
+            message_cb(Severity.info,
+                       "No files assigned to this host; nothing to do.")
+            return 0
     if not files:
         message_cb(Severity.error, "No input files found.")
         return -1

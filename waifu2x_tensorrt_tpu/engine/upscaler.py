@@ -51,12 +51,17 @@ class Upscaler:
     def _select_device(self, device_id: int):
         """Bind this engine to one accelerator (reference cudaSetDevice,
         img2img_build.cpp:57 / img2img_load.cpp:129). Params and frames are
-        committed to the chosen device; jit follows input placement."""
-        devices = jax.devices()
+        committed to the chosen device; jit follows input placement.
+
+        LOCAL devices only: under a multi-host jax.distributed runtime,
+        jax.devices() also lists other hosts' (non-addressable) chips —
+        committing to one of those would fail. The reference's
+        cudaSetDevice is likewise host-local."""
+        devices = jax.local_devices()
         if not (0 <= device_id < len(devices)):
             raise ValueError(
                 f"--device {device_id} out of range: "
-                f"{len(devices)} device(s) available"
+                f"{len(devices)} local device(s) available"
             )
         self._device = devices[device_id]
         return self._device
