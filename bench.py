@@ -50,7 +50,7 @@ _PARAMS_CACHE: dict = {}
 
 
 def make_pipeline(family, scale, noise, config, frame_hw, fused_block,
-                  packed=False):
+                  packed=False, **model_kw):
     # packed=True (packed-head blend/scatter) measured slower on v5e:
     # the whole-canvas unpack costs ~15 ms vs ~3.4 ms of fused per-tile
     # shuffles (BENCH_NOTES.md); kept for kernel experiments.
@@ -62,10 +62,13 @@ def make_pipeline(family, scale, noise, config, frame_hw, fused_block,
     )
 
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if family.startswith("swin"):
+        # measured +3.7% streamed on v5e (BENCH_NOTES round 3)
+        model_kw.setdefault("shuffle_via_deconv", on_tpu)
     module, spec = create_model(
         family, scale, noise, dtype=config.precision.dtype,
         use_pallas=on_tpu, fused_block=fused_block and on_tpu,
-        packed_head=packed and not config.tta,
+        packed_head=packed and not config.tta, **model_kw,
     )
     # Random-init params: values don't affect throughput, so share one
     # init per (arch, scale) — on-device init through the tunnel is ~60 s.
@@ -287,6 +290,30 @@ def main() -> None:
           except Exception as e:
             configs["config1_cunet2x_512_fp32"] = f"failed: {type(e).__name__}"
             log(f"[bench] config1_cunet2x_512_fp32: {configs['config1_cunet2x_512_fp32']}")
+            flush_aux()
+        # config 1b: cunet bf16 (VERDICT r2 item 8) — same geometry as
+        # config 1; records the bf16 speedup next to the fp32 row.
+        if not over_budget("config1b_cunet2x_512_bf16"):
+          try:
+            cfg1b = RenderConfig(
+                precision=Precision.FP16, batch_size=4, height=256,
+                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
+            img_hw = (512, 512)
+            img = jax.device_put(jnp.asarray(
+                rng.integers(0, 256, (*img_hw, 3), np.uint8)))
+            run1b = make_pipeline("cunet/art", 2, 1, cfg1b, img_hw,
+                                  fused_block=False, packed=False)
+            force(run1b(img))
+            v, f = measure(run1b, img, 2, img_hw, iters=4)
+            configs["config1b_cunet2x_512_bf16"] = {
+                "MPps": round(v, 1), "fps": round(f, 2)}
+            log(f"[bench] config1b_cunet2x_512_bf16: "
+                f"{configs['config1b_cunet2x_512_bf16']}")
+            flush_aux()
+          except Exception as e:
+            configs["config1b_cunet2x_512_bf16"] = f"failed: {type(e).__name__}"
+            log(f"[bench] config1b_cunet2x_512_bf16: "
+                f"{configs['config1b_cunet2x_512_bf16']}")
             flush_aux()
         # config 3: swin_unet/art_scan 4x with 8-way TTA, batch 8, 512x512.
         if not over_budget("config3_artscan4x_tta_512"):

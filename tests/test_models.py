@@ -141,3 +141,27 @@ def test_swin_shift_mask_blocks_cross_region():
     assert np.all(m[0] == 0)
     # boundary windows do
     assert np.any(m[-1] < 0)
+
+
+def test_shuffle_via_deconv_is_equivalent():
+    """The stride-2 deconv form of the decoder ups (layout experiment,
+    swin_unet._dense_shuffle_as_deconv) is the SAME math as
+    Dense + pixel-shuffle over the identical parameter tree."""
+    import jax.numpy as jnp
+    import jax.tree_util as tu
+
+    from waifu2x_tensorrt_tpu.models.registry import init_params
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    m1 = SwinUNet(scale=2, base_dim=32, depths=(2, 2, 2, 2, 2),
+                  dtype=jnp.float32)
+    m2 = SwinUNet(scale=2, base_dim=32, depths=(2, 2, 2, 2, 2),
+                  dtype=jnp.float32, shuffle_via_deconv=True)
+    p = init_params(m1, tile=32)
+    assert (tu.tree_structure(p)
+            == tu.tree_structure(init_params(m2, tile=32)))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 32, 48, 3)).astype(np.float32))
+    y1 = np.asarray(m1.apply({"params": p}, x))
+    y2 = np.asarray(m2.apply({"params": p}, x))
+    assert np.abs(y1 - y2).max() < 1e-5

@@ -98,6 +98,7 @@ def create_model(
     fused_block: bool = False,
     packed_head: bool = False,
     block_windows: int = 32,
+    shuffle_via_deconv: bool = False,
 ):
     """Build the Flax module + spec for a (family, scale, noise) choice.
 
@@ -124,7 +125,8 @@ def create_model(
                                 use_pallas=use_pallas,
                                 fused_block=fused_block,
                                 packed_head=packed,
-                                block_windows=block_windows)
+                                block_windows=block_windows,
+                                shuffle_via_deconv=shuffle_via_deconv)
         if packed:
             spec = dataclasses.replace(spec, packing=scale)
     return module, spec

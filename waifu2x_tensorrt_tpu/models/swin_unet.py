@@ -405,6 +405,44 @@ def _pixel_shuffle(x, r: int):
     return x.reshape(b, h * r, w * r, c)
 
 
+def _dense_shuffle_as_deconv(x, kernel, bias, dtype):
+    """Dense(C_in -> 4*C_out) followed by _pixel_shuffle(·, 2), expressed as
+    ONE stride-2 transposed convolution (bit-identical math: the 2x2 deconv
+    taps are exactly the dense columns regrouped per sub-pixel position).
+
+    Layout experiment (round-2 roadmap item 1): the Dense+shuffle pair costs
+    a full-resolution 6-D transpose copy per decoder level on v5e; a single
+    conv_general_dilated gives XLA the freedom to pick the output layout and
+    fuse the scatter into the GEMM epilogue. Parameters stay the plain Dense
+    (in, 4*out) kernel — this is a trace-time reshape, so checkpoints and
+    the converter are unaffected.
+    """
+    cin, four_cout = kernel.shape
+    cout = four_cout // 4
+    # dense out channel index = cc*4 + ry*2 + rx  (torch PixelShuffle CRD);
+    # gradient-of-conv form needs the 2x2 taps spatially flipped: with
+    # lhs_dilation 2 and lo-pad 1, output row 2i+ry reads dilated row 2i
+    # through tap ky = 1-ry.
+    w = kernel.reshape(cin, cout, 2, 2)          # (in, cc, ry, rx)
+    w = w.transpose(2, 3, 0, 1)[::-1, ::-1]      # (ky, kx, in, cc) = HWIO
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2),
+        rhs_dilation=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # the dense bias is per PRE-shuffle channel, i.e. per (cc, ry, rx):
+    # add it on a parity-expanded view (reshape of contiguous dims — fuses
+    # into the conv epilogue, no copy)
+    b_, hh, ww, _ = y.shape
+    bmap = bias.reshape(cout, 2, 2).transpose(1, 2, 0).astype(dtype)
+    y = y.reshape(b_, hh // 2, 2, ww // 2, 2, cout)
+    y = y + bmap[None, None, :, None, :, :]
+    return y.reshape(b_, hh, ww, cout)
+
+
 class SwinUNet(nn.Module):
     """U-Net over Swin stages; output is input*scale exactly (offset 0)."""
 
@@ -423,6 +461,11 @@ class SwinUNet(nn.Module):
     # at B=8); the renderer blends/scatters in packed layout (48 lanes) and
     # unpacks ONCE on the full canvas (engine/renderer.py).
     packed_head: bool = False
+    # shuffle_via_deconv: express the two decoder Dense+pixel-shuffle pairs
+    # as single stride-2 transposed convolutions (bit-identical regrouping
+    # of the same parameters — _dense_shuffle_as_deconv). Layout experiment
+    # for the ~2.8 ms/chunk of v5e pixel-shuffle copies.
+    shuffle_via_deconv: bool = False
 
     offset: int = 0
 
@@ -467,16 +510,26 @@ class SwinUNet(nn.Module):
                        block_windows=self.block_windows, name="swin2")(e2)
 
         # Decoder with skip connections.
-        d2 = nn.Dense(4 * c, dtype=self.dtype, name="up2")(e2)
-        d2 = _pixel_shuffle(d2, 2)  # (hp/2, wp/2, C)
+        if self.shuffle_via_deconv:
+            up2p = _DenseParams(2 * c, 4 * c, name="up2")()
+            d2 = _dense_shuffle_as_deconv(e2, up2p["kernel"], up2p["bias"],
+                                          self.dtype)
+        else:
+            d2 = nn.Dense(4 * c, dtype=self.dtype, name="up2")(e2)
+            d2 = _pixel_shuffle(d2, 2)  # (hp/2, wp/2, C)
         d2 = d2 + e1
         d2 = SwinStage(c, c // 32, self.depths[3], dtype=self.dtype,
                        use_pallas=self.use_pallas,
                        fused_block=self.fused_block,
                        block_windows=self.block_windows, name="swin3")(d2)
 
-        d1 = nn.Dense(4 * half, dtype=self.dtype, name="up1")(d2)
-        d1 = _pixel_shuffle(d1, 2)  # full res, C/2
+        if self.shuffle_via_deconv:
+            up1p = _DenseParams(c, 4 * half, name="up1")()
+            d1 = _dense_shuffle_as_deconv(d2, up1p["kernel"], up1p["bias"],
+                                          self.dtype)
+        else:
+            d1 = nn.Dense(4 * half, dtype=self.dtype, name="up1")(d2)
+            d1 = _pixel_shuffle(d1, 2)  # full res, C/2
         d1 = d1 + s
 
         # Head. The [0,1] clamp runs BEFORE the depth-to-space while the
