@@ -80,7 +80,20 @@ def make_pipeline(family, scale, noise, config, frame_hw, fused_block,
         log(f"[bench] {family} s{scale} params init "
             f"{time.perf_counter() - t0:.1f}s")
         _PARAMS_CACHE[pkey] = params
-    pl = ChunkedPipeline(module, spec, config)
+    # packed-x head twin: measured SLOWER (414.6 vs 475.3 MP/s, BENCH_NOTES
+    # "packed-x head") — opt-in via WAIFU2X_PACK_X=1 for re-measurement
+    module_px = spec_px = None
+    if (os.environ.get("WAIFU2X_PACK_X") == "1"
+            and family.startswith("swin") and on_tpu and scale > 1
+            and not config.tta and not packed
+            and not model_kw.get("packed_x_head")):
+        module_px, spec_px = create_model(
+            family, scale, noise, dtype=config.precision.dtype,
+            use_pallas=on_tpu, fused_block=fused_block and on_tpu,
+            packed_x_head=True, **model_kw,
+        )
+    pl = ChunkedPipeline(module, spec, config, module_pack_x=module_px,
+                         spec_pack_x=spec_px)
     prep_p, _fin, plan, _n = pl.get(frame_hw)
 
     def run(frame_dev):

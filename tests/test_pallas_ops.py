@@ -253,3 +253,25 @@ def test_fused_block_bf16_fast_math_within_bf16_noise(shift):
         assert err_fused <= max(2 * err_dense, 0.02), (err_fused, err_dense)
     finally:
         _restore_both(sb, orig)
+
+
+@pytest.mark.parametrize("r,h,w", [(4, 64, 64), (2, 64, 96)])
+def test_pack_head_x16_matches_reference(r, h, w):
+    """Fused clamp+shuffle+pack-x16 kernel (ops/head_pack.py) equals the
+    jnp reference exactly, and its bytes equal the pixel-layout tensor."""
+    import jax.numpy as jnp
+
+    from waifu2x_tensorrt_tpu.models.swin_unet import _pixel_shuffle
+    from waifu2x_tensorrt_tpu.ops.head_pack import (
+        pack_head_reference,
+        pack_head_x16,
+    )
+
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.uniform(-0.3, 1.3, (2, h, w, 3 * r * r))
+                    .astype(np.float32))
+    want = np.asarray(pack_head_reference(z, r))
+    got = np.asarray(pack_head_x16(z, r=r, rows_block=16, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    pix = np.asarray(_pixel_shuffle(jnp.clip(z, 0, 1), r))
+    assert got.tobytes() == pix.tobytes()

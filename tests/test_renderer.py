@@ -394,3 +394,55 @@ def test_tile_stream_frames_smaller_than_chunk():
     assert len(got) == 5
     for a, b in zip(got, want):
         np.testing.assert_array_equal(a, b)
+
+
+def test_packed_x_pipeline_matches_pixel():
+    """The packed-x head twin (ops/head_pack.py + packed-x finalize) must
+    produce EXACTLY the pixel pipeline's output on aligned geometries, and
+    fall back to the pixel module on unaligned ones."""
+    import jax.numpy as jnp
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.models.registry import create_model, init_params
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    kw = dict(scale=2, base_dim=32, depths=(2, 2, 2, 2, 2),
+              dtype=jnp.float32)
+    m_pix = SwinUNet(**kw)
+    m_px = SwinUNet(**kw, packed_x_head=True)
+    params = init_params(m_pix, tile=32)
+    import dataclasses
+
+    from waifu2x_tensorrt_tpu.models.registry import get_spec
+
+    spec = get_spec("swin_unet/art", 2, -1)
+    spec_px = dataclasses.replace(spec, pack_x=16)
+
+    # blend 0 -> output x-origins are multiples of 64: pack-aligned
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(0.0, 0.0))
+    rng = np.random.default_rng(9)
+    frame = rng.integers(0, 256, (70, 96, 3), np.uint8)
+
+    pl_pix = ChunkedPipeline(m_pix, spec, cfg)
+    want = np.asarray(pl_pix.render(params, frame))
+
+    pl_px = ChunkedPipeline(m_pix, spec, cfg, module_pack_x=m_px,
+                            spec_pack_x=spec_px)
+    prep, _, _, _ = pl_px.get(frame.shape[:2])
+    assert prep.use_pack_x, "aligned geometry should use the packed twin"
+    got = np.asarray(pl_px.render(params, frame))
+    np.testing.assert_array_equal(got, want)
+
+    # blend 1/16 -> stride 60 -> x-origins 0/120/... in output space are
+    # not all 16-aligned: must fall back to the pixel module
+    cfg2 = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                        width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    pl2 = ChunkedPipeline(m_pix, spec, cfg2, module_pack_x=m_px,
+                          spec_pack_x=spec_px)
+    prep2, _, _, _ = pl2.get(frame.shape[:2])
+    assert not prep2.use_pack_x
+    got2 = np.asarray(pl2.render(params, frame))
+    want2 = np.asarray(ChunkedPipeline(m_pix, spec, cfg2).render(
+        params, frame))
+    np.testing.assert_array_equal(got2, want2)

@@ -246,10 +246,11 @@ def make_chunked_fns(
     n_steps = plan.tile_count * steps_per_tile
     chunk = config.batch_size * n_dp
     p = spec.packing
-    if p > 1 and config.tta:
+    px = spec.pack_x
+    if (p > 1 or px > 1) and config.tta:
         raise ValueError(
-            "packed head is incompatible with TTA (dihedral inverses act "
-            "in pixel space); create the model with packed_head=False")
+            "packed heads are incompatible with TTA (dihedral inverses act "
+            "in pixel space); create the model without head packing")
 
     n_full = n_steps // chunk
     rem = n_steps - n_full * chunk
@@ -272,6 +273,15 @@ def make_chunked_fns(
         assert canvas_h % p == 0 and canvas_w % p == 0
         assert np.all(plan.output_origins % p == 0), "origins not packable"
         out_origins = jnp.asarray(plan.output_origins // p)
+    elif px > 1:
+        # packed-x layout (spec.pack_x): bytes equal the pixel layout, so
+        # only the x coordinates rescale; y stays pixel-exact
+        assert ow % px == 0 and canvas_w % px == 0, (ow, canvas_w, px)
+        assert np.all(plan.output_origins[:, 1] % px == 0), \
+            "x origins not pack_x-aligned (gate via pack_x_applicable)"
+        out_origins = jnp.asarray(np.stack(
+            [plan.output_origins[:, 0], plan.output_origins[:, 1] // px],
+            axis=1))
     else:
         out_origins = jnp.asarray(plan.output_origins)
     # Keep the jit-captured ramp constants compact ((T, oh) pixel ramps);
@@ -283,9 +293,16 @@ def make_chunked_fns(
     chans = np.arange(3 * p * p)
     ry_idx = jnp.asarray((chans // p) % p)
     rx_idx = jnp.asarray(chans % p)
-    poh, pow_, pc = oh // p, ow // p, 3 * p * p
+    if px > 1:
+        poh, pow_, pc = oh, ow // px, 3 * px
+        lane_rx = jnp.asarray(np.arange(3 * px) // 3)  # lane = 3*rx + c
+    else:
+        poh, pow_, pc = oh // p, ow // p, 3 * p * p
 
     def _blend_weights():
+        if px > 1:
+            cw = col_w_px.reshape(plan.tile_count, pow_, px)[:, :, lane_rx]
+            return row_w_px[:, :, None], cw
         if p == 1:
             return row_w_px[:, :, None], col_w_px[:, :, None]
         rw = row_w_px.reshape(plan.tile_count, poh, p)[:, :, ry_idx]
@@ -331,7 +348,11 @@ def make_chunked_fns(
 
     def finalize(*outs):
         row_w, col_w = _blend_weights()
-        canvas = jnp.zeros((canvas_h // p, canvas_w // p, pc), jnp.float32)
+        if px > 1:
+            canvas = jnp.zeros((canvas_h, canvas_w // px, pc), jnp.float32)
+        else:
+            canvas = jnp.zeros((canvas_h // p, canvas_w // p, pc),
+                               jnp.float32)
 
         def scatter(canvas, inp):
             # blend + fp32 cast fused into the per-tile update: the scan
@@ -368,6 +389,17 @@ def make_chunked_fns(
                     (c[:n], out_origins[start:start + n],
                      row_w[start:start + n], col_w[start:start + n]))
                 start += n
+        if px > 1:
+            # packed-x: u8 cast at 3*px lanes, then the pixel view is a
+            # FREE reshape (identical bytes); only the x crop copies.
+            gw = -(-out_w // px)
+            out = canvas[:out_h, :gw]
+            hh, ww16, cc = out.shape
+            flat = out.reshape(hh, ww16 * cc)
+            flat = jnp.clip(jnp.round(flat * 255.0), 0.0,
+                            255.0).astype(jnp.uint8)
+            out = flat.reshape(hh, ww16 * px, 3)
+            return out[:, :out_w] if ww16 * px != out_w else out
         out = canvas[: out_h // p, : out_w // p]
         if p > 1:  # single whole-canvas unpack (depth-to-space)
             hh, ww = out.shape[0], out.shape[1]
@@ -384,6 +416,14 @@ def make_chunked_fns(
     return prepare, finalize, plan, chunk_sizes
 
 
+def pack_x_applicable(plan, px: int) -> bool:
+    """True when the geometry lets the packed-x model layout scatter
+    exactly: output tile width and every output x-origin pack_x-aligned
+    (all CLI tile sizes x scales are; odd whole-frame widths are not)."""
+    return bool(px > 1 and plan.output_tile[1] % px == 0
+                and np.all(plan.output_origins[:, 1] % px == 0))
+
+
 class ChunkedPipeline:
     """Host-composed render pipeline: per-geometry prepare/finalize programs
     around one shared per-tile-config model program.
@@ -392,6 +432,13 @@ class ChunkedPipeline:
     after each model-chunk dispatch — the reference's "batch i/n @ it/s"
     seam (img2img_render.cpp:336-338). All stages run on device; the
     returned array is not fetched (async-dispatch friendly).
+
+    ``module_pack_x`` (optional): a packed-x-head twin of ``module`` over
+    the SAME parameters (registry packed_x_head). Geometries whose output
+    x-origins are pack_x-aligned render through it — the head
+    depth-to-space disappears into ops/head_pack.py and blend/scatter/u8
+    run in the byte-identical packed layout; unaligned geometries fall
+    back to the pixel module transparently.
     """
 
     def __init__(
@@ -400,6 +447,8 @@ class ChunkedPipeline:
         spec: ModelSpec,
         config: RenderConfig,
         sharding: Optional[jax.sharding.NamedSharding] = None,
+        module_pack_x=None,
+        spec_pack_x: Optional[ModelSpec] = None,
     ) -> None:
         from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
 
@@ -416,22 +465,50 @@ class ChunkedPipeline:
                 sharding.mesh.shape[a] for a in sharding.spec if a is not None
             ]))
         self._model_prog = jax.jit(tile_apply_fn(module), **self._jit_kw)
+        self._spec_px = spec_pack_x if module_pack_x is not None else None
+        self._model_prog_px = (
+            jax.jit(tile_apply_fn(module_pack_x), **self._jit_kw)
+            if module_pack_x is not None else None)
         self._geoms: dict[tuple[int, int], tuple] = {}
 
-    def set_module(self, module) -> None:
-        """Swap the model program (fused-kernel fallback seam); the
+    def set_module(self, module, module_pack_x=None) -> None:
+        """Swap the model program(s) (fused-kernel fallback seam); the
         per-geometry prepare/finalize programs are model-independent and
         stay valid."""
         from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
 
         self._model_prog = jax.jit(tile_apply_fn(module), **self._jit_kw)
+        if module_pack_x is not None:
+            self._model_prog_px = jax.jit(tile_apply_fn(module_pack_x),
+                                          **self._jit_kw)
+        elif self._model_prog_px is not None:
+            # twin not rebuilt: disable the packed path rather than mix
+            # old/new modules — and drop geometry entries whose finalize
+            # was traced for the packed layout
+            self._model_prog_px = None
+            self._spec_px = None
+            self._geoms = {k: e for k, e in self._geoms.items()
+                           if not e[0].use_pack_x}
+
+    def _model_for(self, prep_prog):
+        if (getattr(prep_prog, "use_pack_x", False)
+                and self._model_prog_px is not None):
+            return self._model_prog_px
+        return self._model_prog
 
     def get(self, frame_hw: tuple[int, int]):
         key = (int(frame_hw[0]), int(frame_hw[1]))
         entry = self._geoms.get(key)
         if entry is None:
+            spec_used = self._spec
+            use_px = False
+            if self._model_prog_px is not None and not self._config.tta:
+                plan_probe = resolve_tile_plan(self._spec, self._config, key)
+                use_px = pack_x_applicable(plan_probe, self._spec_px.pack_x)
+                if use_px:
+                    spec_used = self._spec_px
             prepare, finalize, plan, chunk_sizes = make_chunked_fns(
-                self._spec, self._config, key, self._n_dp
+                spec_used, self._config, key, self._n_dp
             )
             out_shardings = None
             if self._sharding is not None:
@@ -441,6 +518,7 @@ class ChunkedPipeline:
             fin_prog = jax.jit(finalize)
             entry = (prep_prog, fin_prog, plan, len(chunk_sizes))
             entry[0].chunk_sizes = chunk_sizes
+            entry[0].use_pack_x = use_px
             self._geoms[key] = entry
         return entry
 
@@ -449,11 +527,12 @@ class ChunkedPipeline:
         import time as _time
 
         prep_prog, fin_prog, plan, n_chunks = self.get(frame_u8.shape[:2])
+        model_prog = self._model_for(prep_prog)
         chunks = prep_prog(jnp.asarray(frame_u8))
         outs = []
         t_prev = _time.perf_counter()
         for i, c in enumerate(chunks):
-            outs.append(self._model_prog(params, c))
+            outs.append(model_prog(params, c))
             if progress is not None:
                 t_now = _time.perf_counter()
                 # dispatch-to-dispatch rate: at steady state XLA's queue
@@ -494,6 +573,7 @@ class TileStream:
         self._prep_flat = prep.flat
         self._fin = fin
         self._plan = plan
+        self._use_px = getattr(prep, "use_pack_x", False)
         steps_per_tile = DIHEDRAL_SIZE if pipeline._config.tta else 1
         self._n_steps = plan.tile_count * steps_per_tile
         self._sharding = pipeline._sharding
@@ -507,7 +587,10 @@ class TileStream:
     def _run_chunk(self, c):
         if self._sharding is not None:
             c = jax.device_put(c, self._sharding)
-        return self._pl._model_prog(self._params, c)
+        prog = (self._pl._model_prog_px
+                if self._use_px and self._pl._model_prog_px is not None
+                else self._pl._model_prog)
+        return prog(self._params, c)
 
     def _assemble(self, tiles):
         """ONE jitted dispatch turning (carry?, frame tiles) into the

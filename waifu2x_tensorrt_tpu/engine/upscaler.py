@@ -10,6 +10,7 @@ false (the CLI converts to exit codes, matching main.cpp:224-225,265-266).
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from typing import Optional
@@ -230,12 +231,31 @@ class Upscaler:
         self._sharding = sharding
         self._bucket = bucket
         self._fuse_frame = fuse_frame
+        # packed-x-head twin (same params): geometries with pack-aligned
+        # x-origins render through ops/head_pack.py — no head
+        # depth-to-space transpose; byte-identical output layout. MEASURED
+        # v5e 2026-08-17: 414.6 vs 475.3 MP/s streamed — the one-hot-dot
+        # kernel + 48-lane packed finalize cost more than the D2S they
+        # remove (BENCH_NOTES "packed-x head"); opt-in only.
+        module_px = spec_px = None
+        if (os.environ.get("WAIFU2X_PACK_X") == "1"
+                and not fuse_frame and not graph_backed and on_tpu
+                and spec.arch == "swin_unet" and scale > 1
+                and not config.tta):
+            module_px, spec_px = registry.create_model(
+                family, scale, noise, dtype=config.precision.dtype,
+                use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
+                packed_x_head=True, shuffle_via_deconv=on_tpu,
+            )
         if fuse_frame:
             self._renderers = RendererCache(module, spec, config, sharding)
         else:
-            self._renderers = ChunkedPipeline(module, spec, config, sharding)
+            self._renderers = ChunkedPipeline(
+                module, spec, config, sharding,
+                module_pack_x=module_px, spec_pack_x=spec_px)
         self._load_args = (family, scale, noise, config, sharding,
                            use_pallas)
+        self._had_px = module_px is not None
         self._fused = use_pallas and on_tpu
 
     def _load_graph_backend(self, onnx_path: Path, family: str, scale: int,
@@ -288,7 +308,14 @@ class Upscaler:
         self._module = module
         self._fused = False
         if isinstance(self._renderers, ChunkedPipeline):
-            self._renderers.set_module(module)
+            module_px = None
+            if getattr(self, "_had_px", False):
+                module_px, _ = registry.create_model(
+                    family, scale, noise, dtype=config.precision.dtype,
+                    use_pallas=use_pallas, fused_block=False,
+                    packed_x_head=True, shuffle_via_deconv=on_tpu,
+                )
+            self._renderers.set_module(module, module_px)
         else:
             self._renderers = RendererCache(module, spec, config, sharding)
 

@@ -43,6 +43,11 @@ class ModelSpec:
     # packing > 1: the model emits packed (oh/p, ow/p, 3*p*p) tiles
     # (swin packed_head) and the renderer unpacks once per canvas.
     packing: int = 1
+    # pack_x > 1: the model emits (oh, ow/pack_x, 3*pack_x) tiles whose
+    # row-major bytes EQUAL the pixel tiles (swin packed_x_head); the
+    # renderer blends/scatters in that layout and the final unpack is a
+    # free reshape. Requires all output x-origins % pack_x == 0.
+    pack_x: int = 1
 
     def output_tile(self, input_tile: int) -> int:
         """Model output spatial size for a given input tile."""
@@ -99,6 +104,8 @@ def create_model(
     packed_head: bool = False,
     block_windows: int = 32,
     shuffle_via_deconv: bool = False,
+    head_shuffle_2stage: bool = False,
+    packed_x_head: bool = False,
 ):
     """Build the Flax module + spec for a (family, scale, noise) choice.
 
@@ -121,14 +128,21 @@ def create_model(
             module = _cunet.UpCUNet(dtype=dtype, clamp=clamp)
     else:
         packed = packed_head and scale > 1
+        pack_x = packed_x_head and scale > 1 and not packed
         module = _swin.SwinUNet(scale=scale, dtype=dtype, clamp=clamp,
                                 use_pallas=use_pallas,
                                 fused_block=fused_block,
                                 packed_head=packed,
                                 block_windows=block_windows,
-                                shuffle_via_deconv=shuffle_via_deconv)
+                                shuffle_via_deconv=shuffle_via_deconv,
+                                head_shuffle_2stage=head_shuffle_2stage,
+                                packed_x_head=pack_x)
         if packed:
             spec = dataclasses.replace(spec, packing=scale)
+        if pack_x:
+            from waifu2x_tensorrt_tpu.ops.head_pack import PACK_X
+
+            spec = dataclasses.replace(spec, pack_x=PACK_X)
     return module, spec
 
 

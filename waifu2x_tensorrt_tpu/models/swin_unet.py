@@ -225,6 +225,24 @@ class _DenseParams(nn.Module):
         }
 
 
+class _ConvParams(nn.Module):
+    """Conv kernel/bias with nn.Conv's names/inits, without computing."""
+
+    fin: int
+    fout: int
+    ksize: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        return {
+            "kernel": self.param("kernel", nn.initializers.lecun_normal(),
+                                 (*self.ksize, self.fin, self.fout),
+                                 jnp.float32),
+            "bias": self.param("bias", nn.initializers.zeros,
+                               (self.fout,), jnp.float32),
+        }
+
+
 class _NormParams(nn.Module):
     """LayerNorm scale/bias params (names/inits matching nn.LayerNorm)."""
 
@@ -405,6 +423,21 @@ def _pixel_shuffle(x, r: int):
     return x.reshape(b, h * r, w * r, c)
 
 
+def _two_stage_shuffle_perm(out_channels: int, r: int) -> np.ndarray:
+    """Output-channel permutation that lets a D2S(r=4) run as two chained
+    CRD D2S(r=2) ops: new index n places the POSITION-HIGH bits in the low
+    channel bits (consumed by the first shuffle). Returns ``inv`` such that
+    ``kernel[..., inv]`` is the permuted kernel."""
+    assert r == 4
+    o = np.arange(out_channels * r * r)
+    c, rem = np.divmod(o, r * r)
+    ry, rx = np.divmod(rem, r)
+    n = c * 16 + (ry % 2) * 8 + (rx % 2) * 4 + (ry // 2) * 2 + (rx // 2)
+    inv = np.empty_like(n)
+    inv[n] = o
+    return inv
+
+
 def _dense_shuffle_as_deconv(x, kernel, bias, dtype):
     """Dense(C_in -> 4*C_out) followed by _pixel_shuffle(·, 2), expressed as
     ONE stride-2 transposed convolution (bit-identical math: the 2x2 deconv
@@ -463,9 +496,25 @@ class SwinUNet(nn.Module):
     packed_head: bool = False
     # shuffle_via_deconv: express the two decoder Dense+pixel-shuffle pairs
     # as single stride-2 transposed convolutions (bit-identical regrouping
-    # of the same parameters — _dense_shuffle_as_deconv). Layout experiment
-    # for the ~2.8 ms/chunk of v5e pixel-shuffle copies.
+    # of the same parameters — _dense_shuffle_as_deconv). Measured +3.7%
+    # streamed on v5e; the TPU default via create_model.
     shuffle_via_deconv: bool = False
+    # head_shuffle_2stage (scale 4 only): run the head depth-to-space as two
+    # chained r=2 shuffles with the required channel order folded into
+    # to_image's output channels at trace time (bit-identical). MEASURED
+    # v5e 2026-08-17: 435.6 vs 474.3 MP/s — LOSES; kept as the recorded
+    # negative result.
+    head_shuffle_2stage: bool = False
+    # packed_x_head: emit (B, rH, rW/16, 48) — the packed-x16 layout whose
+    # row-major bytes are IDENTICAL to the (B, rH, rW, 3) pixel tensor —
+    # via the fused clamp+shuffle Pallas kernel (ops/head_pack.py): no
+    # depth-to-space transpose in XLA, and the renderer's blend/scatter/u8
+    # run at 48 lanes with a FREE final reshape. Requires rW % 16 == 0.
+    # MEASURED v5e 2026-08-17: 414.6 vs 475.3 MP/s streamed — LOSES (the
+    # one-hot-dot kernel + packed finalize outweigh the removed D2S;
+    # BENCH_NOTES "packed-x head"). Opt-in (WAIFU2X_PACK_X=1), kept as an
+    # exactly-tested layout seam should Mosaic store costs change.
+    packed_x_head: bool = False
 
     offset: int = 0
 
@@ -543,14 +592,52 @@ class SwinUNet(nn.Module):
                         dtype=self.dtype, name="to_image")(d1)
             if self.clamp:
                 z = jnp.clip(z, 0.0, 1.0)
-        else:
+        elif self.packed_x_head and not packed:
             r = self.scale
+            if (w * r) % 16 or (wp * r) % 16:
+                raise ValueError(
+                    f"packed_x_head needs width*scale % 16 == 0, got "
+                    f"{w}x{r}")
+            if not self.clamp:
+                raise ValueError("packed_x_head fuses the [0,1] clamp")
+            from waifu2x_tensorrt_tpu.ops.head_pack import pack_head_x16
+
             z = nn.Conv(self.out_channels * r * r, (3, 3), padding="SAME",
                         dtype=self.dtype, name="to_image")(d1)
-            if self.clamp:
-                z = jnp.clip(z, 0.0, 1.0)
-            if not packed:
-                z = _pixel_shuffle(z, r)
+            z = pack_head_x16(z, r=r)  # clamp fused in-kernel
+            if ph or pw:
+                z = z[:, : h * r, : (w * r) // 16, :]
+            return z
+        else:
+            r = self.scale
+            two_stage = (self.head_shuffle_2stage and r == 4
+                         and not packed)
+            if two_stage:
+                # fold the two-stage channel order into the conv WEIGHTS
+                # (a (3,3,48,48) gather per call — negligible next to the
+                # conv; checkpoints unaffected, param tree matches nn.Conv)
+                inv = np.asarray(
+                    _two_stage_shuffle_perm(self.out_channels, r))
+                cout = self.out_channels * r * r
+                cp = _ConvParams(d1.shape[-1], cout, (3, 3),
+                                 name="to_image")()
+                z = jax.lax.conv_general_dilated(
+                    d1, cp["kernel"][..., inv].astype(self.dtype),
+                    window_strides=(1, 1), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                z = z + cp["bias"][inv].astype(self.dtype)
+                if self.clamp:
+                    z = jnp.clip(z, 0.0, 1.0)
+                z = _pixel_shuffle(_pixel_shuffle(z, 2), 2)
+            else:
+                z = nn.Conv(self.out_channels * r * r, (3, 3),
+                            padding="SAME", dtype=self.dtype,
+                            name="to_image")(d1)
+                if self.clamp:
+                    z = jnp.clip(z, 0.0, 1.0)
+                if not packed:
+                    z = _pixel_shuffle(z, r)
 
         # Crop internal padding (packed layout crops in input space).
         if ph or pw:
