@@ -165,3 +165,30 @@ def test_shuffle_via_deconv_is_equivalent():
     y1 = np.asarray(m1.apply({"params": p}, x))
     y2 = np.asarray(m2.apply({"params": p}, x))
     assert np.abs(y1 - y2).max() < 1e-5
+
+
+def test_head_via_deconv_is_equivalent():
+    """The stride-r transposed-conv form of the head sub-pixel conv
+    (swin_unet._conv_shuffle_as_deconv) is the SAME math as
+    Conv3x3 + clamp + pixel-shuffle over the identical parameter tree,
+    for both scales."""
+    import jax.numpy as jnp
+    import jax.tree_util as tu
+
+    from waifu2x_tensorrt_tpu.models.registry import init_params
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    for scale in (2, 4):
+        m1 = SwinUNet(scale=scale, base_dim=32, depths=(2, 2, 2, 2, 2),
+                      dtype=jnp.float32)
+        m2 = SwinUNet(scale=scale, base_dim=32, depths=(2, 2, 2, 2, 2),
+                      dtype=jnp.float32, head_via_deconv=True)
+        p = init_params(m1, tile=32)
+        assert (tu.tree_structure(p)
+                == tu.tree_structure(init_params(m2, tile=32)))
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (2, 32, 48, 3)).astype(np.float32))
+        y1 = np.asarray(m1.apply({"params": p}, x))
+        y2 = np.asarray(m2.apply({"params": p}, x))
+        assert y1.shape == y2.shape
+        assert np.abs(y1 - y2).max() < 1e-5

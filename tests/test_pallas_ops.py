@@ -275,3 +275,49 @@ def test_pack_head_x16_matches_reference(r, h, w):
     np.testing.assert_array_equal(got, want)
     pix = np.asarray(_pixel_shuffle(jnp.clip(z, 0, 1), r))
     assert got.tobytes() == pix.tobytes()
+
+
+@pytest.mark.parametrize("C,nh", [(96, 3), (192, 6)])
+def test_fused_block_paired_windows_bitwise(C, nh):
+    """pair=True (two windows per attention row block, M=128 MXU matmuls,
+    cross-window terms masked to exact 0) must be BITWISE identical to the
+    per-window form, for both dtypes and both shift settings."""
+    from waifu2x_tensorrt_tpu.ops.swin_block import fused_swin_block
+
+    rng = np.random.default_rng(0)
+    N, ws, BW = 64, 8, 24
+    params = {
+        "n1_scale": jnp.asarray(rng.normal(1, 0.1, C).astype(np.float32)),
+        "n1_bias": jnp.asarray(rng.normal(0, 0.1, C).astype(np.float32)),
+        "qkv_kernel": jnp.asarray(
+            rng.normal(0, 0.05, (C, 3 * C)).astype(np.float32)),
+        "qkv_bias": jnp.asarray(
+            rng.normal(0, 0.05, 3 * C).astype(np.float32)),
+        "proj_kernel": jnp.asarray(
+            rng.normal(0, 0.05, (C, C)).astype(np.float32)),
+        "proj_bias": jnp.asarray(rng.normal(0, 0.05, C).astype(np.float32)),
+        "n2_scale": jnp.asarray(rng.normal(1, 0.1, C).astype(np.float32)),
+        "n2_bias": jnp.asarray(rng.normal(0, 0.1, C).astype(np.float32)),
+        "fc1_kernel": jnp.asarray(
+            rng.normal(0, 0.05, (C, 2 * C)).astype(np.float32)),
+        "fc1_bias": jnp.asarray(
+            rng.normal(0, 0.05, 2 * C).astype(np.float32)),
+        "fc2_kernel": jnp.asarray(
+            rng.normal(0, 0.05, (2 * C, C)).astype(np.float32)),
+        "fc2_bias": jnp.asarray(rng.normal(0, 0.05, C).astype(np.float32)),
+    }
+    bias = jnp.asarray(rng.normal(0, 0.2, (nh, N, N)).astype(np.float32))
+    flags = jnp.asarray(rng.integers(0, 4, BW).astype(np.int32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        x = jnp.asarray(
+            rng.normal(0, 1, (BW, N, C)).astype(np.float32)).astype(dtype)
+        for shift in (0, 4):
+            y0 = np.asarray(fused_swin_block(
+                x, params, bias, flags, num_heads=nh, shift=shift, ws=ws,
+                block_windows=8, interpret=True,
+                pair=False).astype(jnp.float32))
+            y1 = np.asarray(fused_swin_block(
+                x, params, bias, flags, num_heads=nh, shift=shift, ws=ws,
+                block_windows=8, interpret=True,
+                pair=True).astype(jnp.float32))
+            np.testing.assert_array_equal(y0, y1)

@@ -106,6 +106,7 @@ def create_model(
     shuffle_via_deconv: bool = False,
     head_shuffle_2stage: bool = False,
     packed_x_head: bool = False,
+    head_via_deconv: bool = False,
 ):
     """Build the Flax module + spec for a (family, scale, noise) choice.
 
@@ -136,7 +137,8 @@ def create_model(
                                 block_windows=block_windows,
                                 shuffle_via_deconv=shuffle_via_deconv,
                                 head_shuffle_2stage=head_shuffle_2stage,
-                                packed_x_head=pack_x)
+                                packed_x_head=pack_x,
+                                head_via_deconv=head_via_deconv)
         if packed:
             spec = dataclasses.replace(spec, packing=scale)
         if pack_x:

@@ -476,6 +476,42 @@ def _dense_shuffle_as_deconv(x, kernel, bias, dtype):
     return y.reshape(b_, hh, ww, cout)
 
 
+def _conv_shuffle_as_deconv(x, kernel, bias, r: int, dtype):
+    """Conv k*k SAME (C_in -> C_out*r^2) + _pixel_shuffle(.., r) as ONE
+    stride-r transposed convolution (bit-identical regrouping — the
+    generalization of _dense_shuffle_as_deconv from k=1 to any odd k).
+
+    Output pixel (r*y+ry, r*x+rx, c) of the sub-pixel form reads input
+    rows y+dy-p (p = (k-1)//2, SAME zero-pad); with lhs_dilation r the
+    same read is tap ky = r*dy + (r-1-ry) of a (k*r, k*r) kernel under
+    lo-pad r*p + r - 1 / hi-pad r*(k-p) - 1. Every tap of the big kernel
+    is one original weight (no zeros). The conv bias is per pre-shuffle
+    channel (c, ry, rx): added on a parity-expanded view (free reshape,
+    fuses into the conv epilogue)."""
+    k, k2, cin, corr = kernel.shape
+    assert k == k2 and k % 2 == 1, kernel.shape
+    cout = corr // (r * r)
+    p = (k - 1) // 2
+    w = kernel.reshape(k, k, cin, cout, r, r)     # (dy, dx, i, c, ry, rx)
+    w = w.transpose(0, 4, 1, 5, 2, 3)             # (dy, ry, dx, rx, i, c)
+    w = w[:, ::-1, :, ::-1]                       # ry -> r-1-ry, rx alike
+    w = w.reshape(k * r, k * r, cin, cout)
+    pad = (r * p + r - 1, r * (k - p) - 1)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype),
+        window_strides=(1, 1),
+        padding=(pad, pad),
+        lhs_dilation=(r, r),
+        rhs_dilation=(1, 1),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    b_, hh, ww, _ = y.shape
+    bmap = bias.reshape(cout, r, r).transpose(1, 2, 0).astype(dtype)
+    y = y.reshape(b_, hh // r, r, ww // r, r, cout)
+    y = y + bmap[None, None, :, None, :, :]
+    return y.reshape(b_, hh, ww, cout)
+
+
 class SwinUNet(nn.Module):
     """U-Net over Swin stages; output is input*scale exactly (offset 0)."""
 
@@ -515,6 +551,12 @@ class SwinUNet(nn.Module):
     # BENCH_NOTES "packed-x head"). Opt-in (WAIFU2X_PACK_X=1), kept as an
     # exactly-tested layout seam should Mosaic store costs change.
     packed_x_head: bool = False
+    # head_via_deconv: the head sub-pixel conv (Conv3x3 -> 3r^2 channels +
+    # D2S(r)) as ONE stride-r transposed conv with the (3r, 3r) regrouped
+    # kernel (_conv_shuffle_as_deconv; bit-identical). Kills the last
+    # D2S transpose copies (~2.8 ms/chunk on v5e) the same way
+    # shuffle_via_deconv killed the decoder ones.
+    head_via_deconv: bool = False
 
     offset: int = 0
 
@@ -612,7 +654,15 @@ class SwinUNet(nn.Module):
             r = self.scale
             two_stage = (self.head_shuffle_2stage and r == 4
                          and not packed)
-            if two_stage:
+            if self.head_via_deconv and not packed:
+                cout = self.out_channels * r * r
+                cp = _ConvParams(d1.shape[-1], cout, (3, 3),
+                                 name="to_image")()
+                z = _conv_shuffle_as_deconv(d1, cp["kernel"], cp["bias"],
+                                            r, self.dtype)
+                if self.clamp:
+                    z = jnp.clip(z, 0.0, 1.0)
+            elif two_stage:
                 # fold the two-stage channel order into the conv WEIGHTS
                 # (a (3,3,48,48) gather per call — negligible next to the
                 # conv; checkpoints unaffected, param tree matches nn.Conv)

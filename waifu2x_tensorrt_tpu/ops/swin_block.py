@@ -33,11 +33,22 @@ from waifu2x_tensorrt_tpu.ops.kernel_math import layernorm as _layernorm
 from waifu2x_tensorrt_tpu.ops.kernel_math import softmax_lastdim as _softmax
 
 
-def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
-                n2s, n2b, fc1k, fc1b, fc2k, fc2b, *, ws, shift, wb, nh, hd):
-    """The whole transformer block on VMEM values: x (wb, N, C) window
-    tokens -> (wb, N, C). flags: (wb, 1) int32 (used only when shift)."""
+def _block_body(x, flags, flags_b, n1s, n1b, qkvk, qkvb, bias, projk,
+                projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b,
+                *, ws, shift, wb, nh, hd, pair):
+    """The whole transformer block on VMEM values: x (wb, Nt, C) window
+    tokens -> (wb, Nt, C). flags/flags_b: (wb, 1) int32 shift-boundary
+    bits (flags_b only when ``pair``).
+
+    ``pair``: each row block holds TWO windows (Nt = 2*ws*ws) — the
+    attention matmuls run at M=K=128 (full MXU sublanes; the unpaired
+    M=64 wastes half) and the (Nt, Nt) softmax at full 128-lane VPU
+    width. Cross-window entries are killed by a same-window mask
+    multiplied in after exp (exactly like the shift masks), so the
+    result is bitwise the per-window math; FLOPs double on QK/AV but
+    MXU passes halve."""
     N = ws * ws
+    Nt = x.shape[1]
     C = nh * hd
     dtype = x.dtype
     # bf16 compute opts into the fast VPU math (kernel_math precision
@@ -49,22 +60,35 @@ def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
         h, qkvk.astype(dtype),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (wb, N, 3C)
+    )  # (wb, Nt, 3C)
     qkv = (qkv + qkvb.astype(jnp.float32)).astype(dtype)
 
+    keep = None
+    if shift or pair:
+        tok = jax.lax.broadcasted_iota(jnp.int32, (Nt, Nt), 0)
+        tok_m = jax.lax.broadcasted_iota(jnp.int32, (Nt, Nt), 1)
+        if pair:
+            keep = ((tok // N) == (tok_m // N))[None]  # (1, Nt, Nt)
     if shift:
-        tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-        tok_m = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        row_cross = ((tok // ws) >= (ws - shift)) != (
-            (tok_m // ws) >= (ws - shift))
-        col_cross = ((tok % ws) >= (ws - shift)) != (
-            (tok_m % ws) >= (ws - shift))
-        bottom = ((flags & 1) > 0)[:, :, None]
-        right = ((flags & 2) > 0)[:, :, None]
+        tl, tml = tok % N, tok_m % N
+        row_cross = ((tl // ws) >= (ws - shift)) != (
+            (tml // ws) >= (ws - shift))
+        col_cross = ((tl % ws) >= (ws - shift)) != (
+            (tml % ws) >= (ws - shift))
+        if pair:
+            # the flag governing an entry is the ROW token's window's —
+            # select via int arithmetic (Mosaic rejects bool selects)
+            rw = jax.lax.broadcasted_iota(jnp.int32, (Nt, 1), 0) // N
+            f_row = (flags[:, None, :] * (1 - rw)[None]
+                     + flags_b[:, None, :] * rw[None])  # (wb, Nt, 1)
+            bottom = (f_row & 1) > 0
+            right = (f_row & 2) > 0
+        else:
+            bottom = ((flags & 1) > 0)[:, :, None]
+            right = ((flags & 2) > 0)[:, :, None]
         crossing = (bottom & row_cross[None]) | (right & col_cross[None])
-        keep = ~crossing  # (wb, N, N); zeroed after exp in softmax
-    else:
-        keep = None
+        # (wb, Nt, Nt); zeroed after exp in softmax
+        keep = ~crossing if keep is None else (keep & ~crossing)
 
     scale = jnp.asarray(hd ** -0.5, dtype)
     # MXU-fill variants, each bitwise-exact vs the plain per-head form and
@@ -78,7 +102,7 @@ def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
     #   the per-head slicing.
     wide_attn = C <= 96 and hd < 128
     if wide_attn:
-        zpad = jnp.zeros((wb, N, 128 - hd), dtype)
+        zpad = jnp.zeros((x.shape[0], Nt, 128 - hd), dtype)
         v_all = qkv[:, :, 2 * C:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, C), 2)
     head_outs = []
@@ -146,21 +170,21 @@ def _block_body(x, flags, n1s, n1b, qkvk, qkvb, bias, projk, projb,
 
 
 def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
-            flags_ref, projk_ref, projb_ref, n2s_ref, n2b_ref,
+            flags_ref, flagsb_ref, projk_ref, projb_ref, n2s_ref, n2b_ref,
             fc1k_ref, fc1b_ref, fc2k_ref, fc2b_ref, o_ref,
-            *, ws, shift, wb, nh, hd):
+            *, ws, shift, wb, nh, hd, pair):
     o_ref[:] = _block_body(
-        x_ref[:], flags_ref[:], n1s_ref[0], n1b_ref[0], qkvk_ref[:],
-        qkvb_ref[0], bias_ref[:], projk_ref[:], projb_ref[0], n2s_ref[0],
-        n2b_ref[0], fc1k_ref[:], fc1b_ref[0], fc2k_ref[:], fc2b_ref[0],
-        ws=ws, shift=shift, wb=wb, nh=nh, hd=hd)
+        x_ref[:], flags_ref[:], flagsb_ref[:], n1s_ref[0], n1b_ref[0],
+        qkvk_ref[:], qkvb_ref[0], bias_ref[:], projk_ref[:], projb_ref[0],
+        n2s_ref[0], n2b_ref[0], fc1k_ref[:], fc1b_ref[0], fc2k_ref[:],
+        fc2b_ref[0], ws=ws, shift=shift, wb=wb, nh=nh, hd=hd, pair=pair)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_heads", "shift", "ws", "block_windows", "interpret"))
+    "num_heads", "shift", "ws", "block_windows", "interpret", "pair"))
 def fused_swin_block(x, params, bias, flags, *, num_heads: int,
                      shift: int = 0, ws: int = 8, block_windows: int = 32,
-                     interpret: bool = False):
+                     interpret: bool = False, pair: bool = False):
     """Run one full Swin block over window-partitioned tokens.
 
     Args:
@@ -170,17 +194,38 @@ def fused_swin_block(x, params, bias, flags, *, num_heads: int,
         fc1_bias, fc2_kernel (2C,C), fc2_bias — float32.
       bias: (nh, N, N) float32 relative-position bias (pre-gathered).
       flags: (BW,) int32 shift-boundary bits.
+      pair: fold two consecutive windows per attention row block (M=128
+        MXU matmuls + 128-lane softmax; see _block_body). Requires BW
+        even; same math, cross-window terms masked to exactly 0.
     Returns:
       (BW, N, C) in x.dtype.
     """
     BW, N, C = x.shape
     hd = C // num_heads
-    wb = min(block_windows, BW)
-    pad = (-BW) % wb
+    pair = pair and BW % 2 == 0 and N * 2 <= 256
+    if pair:
+        rows, Nt = BW // 2, 2 * N
+        # leading-dim merge: the two windows of a pair are contiguous in
+        # memory, so this reshape is layout-free
+        x = x.reshape(rows, Nt, C)
+        flags_a = flags[0::2]
+        flags_b = flags[1::2]
+        zb = jnp.zeros_like(bias)
+        bias = jnp.concatenate([
+            jnp.concatenate([bias, zb], -1),
+            jnp.concatenate([zb, bias], -1)], -2)  # (nh, Nt, Nt) blockdiag
+        wb = max(1, min(block_windows, BW) // 2)
+    else:
+        rows, Nt = BW, N
+        flags_a = flags
+        flags_b = flags  # unused in-kernel when not pair
+        wb = min(block_windows, BW)
+    pad = (-rows) % wb
     if pad:
         x = jnp.pad(x, [(0, pad), (0, 0), (0, 0)])
-        flags = jnp.pad(flags, (0, pad))
-    n_blocks = (BW + pad) // wb
+        flags_a = jnp.pad(flags_a, (0, pad))
+        flags_b = jnp.pad(flags_b, (0, pad))
+    n_blocks = (rows + pad) // wb
 
     def vec(name, dim):
         return params[name].reshape(1, dim)
@@ -188,17 +233,18 @@ def fused_swin_block(x, params, bias, flags, *, num_heads: int,
     mlp_dim = params["fc1_kernel"].shape[1]
     full = lambda shape: pl.BlockSpec(shape, lambda i: tuple([0] * len(shape)),
                                       memory_space=pltpu.VMEM)
-    blocked3 = pl.BlockSpec((wb, N, C), lambda i: (i, 0, 0),
+    blocked3 = pl.BlockSpec((wb, Nt, C), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    flag_spec = pl.BlockSpec((wb, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(n_blocks,),
         in_specs=[
             blocked3,                                   # x
             full((1, C)), full((1, C)),                 # n1 scale/bias
             full((C, 3 * C)), full((1, 3 * C)),         # qkv
-            full((num_heads, N, N)),                    # rel bias
-            pl.BlockSpec((wb, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),      # flags
+            full((num_heads, Nt, Nt)),                  # rel bias
+            flag_spec, flag_spec,                       # flags a/b
             full((C, C)), full((1, C)),                 # proj
             full((1, C)), full((1, C)),                 # n2 scale/bias
             full((C, mlp_dim)), full((1, mlp_dim)),     # fc1
@@ -208,20 +254,23 @@ def fused_swin_block(x, params, bias, flags, *, num_heads: int,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, ws=ws, shift=shift, wb=wb,
-                          nh=num_heads, hd=hd),
+                          nh=num_heads, hd=hd, pair=pair),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BW + pad, N, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows + pad, Nt, C), x.dtype),
         interpret=interpret,
     )(
         x,
         vec("n1_scale", C), vec("n1_bias", C),
         params["qkv_kernel"], vec("qkv_bias", 3 * C),
         bias,
-        flags.reshape(-1, 1).astype(jnp.int32),
+        flags_a.reshape(-1, 1).astype(jnp.int32),
+        flags_b.reshape(-1, 1).astype(jnp.int32),
         params["proj_kernel"], vec("proj_bias", C),
         vec("n2_scale", C), vec("n2_bias", C),
         params["fc1_kernel"], vec("fc1_bias", mlp_dim),
         params["fc2_kernel"], vec("fc2_bias", C),
     )
-    return out[:BW] if pad else out
+    if pad:
+        out = out[:rows]
+    return out.reshape(BW, N, C) if pair else out
 
