@@ -217,3 +217,46 @@ def test_load_graph_model_end_to_end(tmp_path):
     got = np.asarray(module_g.apply({"params": gparams}, jnp.asarray(x)))
     want = np.asarray(module.apply({"params": params}, jnp.asarray(x)))
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_upscaler_rejects_whole_frame_for_graph_backend(tmp_path):
+    """--tileSize 0 sizes tiles from the frame; a parsed graph cannot
+    self-pad, so load() must reject it with the real constraint instead of
+    an opaque trace-time reshape error (round-3 review finding)."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=1, height=0,
+                       width=0, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir, allow_random_init=False)
+    with pytest.raises(ValueError, match="whole-frame"):
+        up.load("swin_unet/art", 2, -1, cfg)
+
+
+def test_build_compiles_graph_backend_for_bare_onnx(tmp_path):
+    """build() must AOT-compile the program load() will actually serve:
+    for a bare .onnx artifact that is the graph backend, not the flax
+    reconstruction (which would also hard-fail without a .npz)."""
+    from waifu2x_tensorrt_tpu.engine.config import BuildConfig, Precision
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    cfg = BuildConfig(precision=Precision.TF32,
+                      min_batch_size=1, opt_batch_size=1, max_batch_size=1,
+                      min_height=32, opt_height=32, max_height=32,
+                      min_width=32, opt_width=32, max_width=32)
+    up = Upscaler(models_dir=models_dir, allow_random_init=False)
+    up.build("swin_unet/art", 2, -1, cfg)  # used to raise (no .npz)
+    sidecars = list(art_dir.glob("*.engine.json"))
+    assert sidecars, "build must still write the engine sidecar"

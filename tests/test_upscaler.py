@@ -447,3 +447,33 @@ def test_open_stream_sharded_matches_plain_render(tmp_path):
     for a, b in zip(got, want):
         diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
         assert diff.max() <= 1, diff.max()
+
+
+def test_stream_warm_recovers_from_fused_failure(tmp_path):
+    """_StreamSession.warm() triggers the first model compile, so it must
+    share the fused-kernel fallback submit()/flush() have — a compile
+    flake during the CLI's eager warm used to kill the whole video render
+    (round-3 review finding)."""
+    config = RenderConfig(
+        precision=Precision.TF32, batch_size=2, height=64, width=64,
+        scaling=2, overlap=(1 / 16, 1 / 16),
+    )
+    engine = Upscaler(allow_random_init=True, models_dir=tmp_path / "models")
+    messages = []
+    engine.set_message_callback(lambda s, m: messages.append(m))
+    engine.load("cunet/art", 2, 1, config)
+    sess = engine.open_stream((70, 70))
+    assert sess is not None
+    _force_fused_explosion(engine, config)
+    sess._make()  # rebuild the session streams over the armed renderer
+    n = sess.warm()
+    assert n >= 1
+    assert engine._fused is False
+    assert any("falling back" in m for m in messages)
+    # the recovered stream still renders correctly end-to-end
+    rng = np.random.default_rng(5)
+    frame = rng.integers(0, 256, (70, 70, 3), np.uint8)
+    outs = list(sess.submit(frame)) + list(sess.flush())
+    assert len(outs) == 1
+    want = np.asarray(engine.render(frame))
+    np.testing.assert_array_equal(np.asarray(outs[0]), want)

@@ -385,8 +385,16 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
         capture.release()
         if total < 0:
             # segment grids need the exact count; pay the counting decode
-            # only on this path (ordinary renders stream to EOF instead)
-            total = capture._count_frames(Path(file))
+            # only on this path (ordinary renders stream to EOF instead).
+            # Missing ffprobe / probe failure must follow the normal
+            # error protocol (rc=-1 + message), not a raw traceback.
+            try:
+                total = capture._count_frames(Path(file))
+            except Exception as e:
+                message_cb(Severity.error,
+                           f"Cannot determine frame count of {file} for "
+                           f"segmented rendering: {e}.")
+                return -1
         return _render_video_segmented(args, engine, file, out_path, state,
                                        message_cb, total, fps)
     writer = VideoWriter()

@@ -85,18 +85,34 @@ class Upscaler:
         if use_pallas is None:
             use_pallas = on_tpu
         # must match load()'s model so the persistent-cache entry is the
-        # one render() will look up
-        module, spec = registry.create_model(
-            family, scale, noise, dtype=config.precision.dtype,
-            use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
-            packed_head=False, shuffle_via_deconv=on_tpu,
-        )
-        params, loaded = registry.load_or_init_params(
-            module, self.models_dir, family, scale, noise,
-            tile=config.opt_height,
-            warn=lambda m: self.logger.log(Severity.warn, m),
-            allow_random=self.allow_random_init,
-        )
+        # one render() will look up — including load()'s backend choice:
+        # a bare .onnx artifact is served through the graph backend, so
+        # THAT is the program to AOT-compile (compiling the flax
+        # reconstruction would warm programs render() never runs)
+        stem_b = registry.weights_path(self.models_dir, family, scale,
+                                       noise)
+        onnx_artifact = stem_b.with_suffix(".onnx")
+        if not stem_b.exists() and onnx_artifact.exists():
+            module, spec, params = self._load_graph_backend(
+                onnx_artifact, family, scale, noise)
+            for _, hh, _w in engine_config.compiled_shapes(config):
+                if hh % spec.tile_divisor:
+                    raise ValueError(
+                        f"profile tile size {hh} is not a multiple of "
+                        f"{spec.tile_divisor} (required by the parsed "
+                        f"artifact {onnx_artifact.name})")
+        else:
+            module, spec = registry.create_model(
+                family, scale, noise, dtype=config.precision.dtype,
+                use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
+                packed_head=False, shuffle_via_deconv=on_tpu,
+            )
+            params, loaded = registry.load_or_init_params(
+                module, self.models_dir, family, scale, noise,
+                tile=config.opt_height,
+                warn=lambda m: self.logger.log(Severity.warn, m),
+                allow_random=self.allow_random_init,
+            )
         # Commit params exactly as load() will: the persistent-cache key
         # covers input shardings, so lowering with uncommitted host arrays
         # would write an entry render() never hits.
@@ -220,6 +236,17 @@ class Upscaler:
             raise ValueError(
                 f"tile size {config.height} is not a multiple of "
                 f"{spec.tile_divisor} (required by this model backend)")
+        if graph_backed and not config.height:
+            # whole-frame mode sizes the tile from the frame; the parsed
+            # graph cannot self-pad arbitrary geometries the way the flax
+            # reconstruction does, so the trace would die in a window-
+            # partition reshape — reject with the real constraint instead
+            raise ValueError(
+                "--tileSize 0 (whole-frame) is not supported when serving "
+                "a parsed .onnx artifact directly; use a fixed tile size "
+                f"(multiple of {spec.tile_divisor}), or convert the "
+                "artifact to .npz (models/validate.py) for whole-frame "
+                "rendering")
         self._module = module
         self._spec = spec
         # Committed placement: with a mesh sharding the mesh governs
@@ -446,7 +473,14 @@ class _StreamSession:
         """Pre-compile one full carry cycle of stream programs (see
         TileStream.warm); call before a live video loop to avoid
         first-seconds compile stutter."""
-        return self._stream.warm()
+        try:
+            return self._stream.warm()
+        except Exception as e:  # scoped-vmem compile flake seam: warm
+            # triggers the first model compile, so it needs the same
+            # fused-kernel fallback submit()/flush() have (no in-flight
+            # frames exist yet, so _recover only swaps the model)
+            self._recover(e, flush=False)
+            return self._stream.warm()
 
     def submit(self, frame_u8: np.ndarray):
         """Feed one frame; returns ready outputs (device arrays, cropped,

@@ -299,7 +299,10 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
                 continue
             w, transposed = got
             if op == "Gemm":
-                transposed = bool(node.attrs.get("transB", 0))
+                # transB composes with any Transpose the walk crossed
+                # (e.g. Gemm fed by Transpose(initializer)): XOR, don't
+                # overwrite
+                transposed ^= bool(node.attrs.get("transB", 0))
             kernel = np.ascontiguousarray(w.T) if transposed else w
             # kernel is now (in, out) == the flax Dense layout
             if cur is not None and not block_complete(cur):

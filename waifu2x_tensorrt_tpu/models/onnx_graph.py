@@ -223,8 +223,17 @@ def _conv(x, w, b, attrs, xp=np):
     group = int(attrs.get("group", 1))
     pads = attrs.get("pads", [0, 0, 0, 0])
     auto_pad = attrs.get("auto_pad", "NOTSET")
-    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+    if auto_pad == "SAME_UPPER":
         padding = "SAME"
+    elif auto_pad == "SAME_LOWER":
+        # lax "SAME" puts the odd pad at the END of each dim (SAME_UPPER
+        # semantics); mapping SAME_LOWER onto it would silently shift the
+        # output by one pixel for even kernels / strided convs. Refuse —
+        # torch exporters emit explicit pads, so this never fires for the
+        # supported artifact families.
+        raise NotImplementedError(
+            "Conv auto_pad=SAME_LOWER (asymmetric leading pad) is not "
+            "supported; re-export with explicit pads")
     else:
         padding = [(pads[0], pads[2]), (pads[1], pads[3])]
     y = lax.conv_general_dilated(
