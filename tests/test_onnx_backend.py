@@ -260,3 +260,27 @@ def test_build_compiles_graph_backend_for_bare_onnx(tmp_path):
     up.build("swin_unet/art", 2, -1, cfg)  # used to raise (no .npz)
     sidecars = list(art_dir.glob("*.engine.json"))
     assert sidecars, "build must still write the engine sidecar"
+
+
+def test_validate_tool_end_to_end(tmp_path):
+    """The user-facing artifact tool (models/validate.py — the
+    nvonnxparser-analogue workflow) runs end-to-end on an export: checks
+    pass, rc == 0, and --save-npz writes a checkpoint the registry loads
+    and renders with."""
+    from waifu2x_tensorrt_tpu.models import validate
+
+    _swin_graph(tmp_path, scale=2, base_dim=32, depths=(2, 2, 2, 2, 2),
+                hw=(32, 32))
+    npz = tmp_path / "out" / "scale2x.npz"
+    rc = validate.main([
+        str(tmp_path / "swin2.onnx"), "--family", "swin_unet/art",
+        "--scale", "2", "--tile", "32", "--save-npz", str(npz),
+    ])
+    assert rc == 0
+    # converted weights written and loadable (the registry's own loader
+    # requires the flagship base_dim-96 geometry, so the miniature test
+    # export is only checked for save integrity here; engine serving of
+    # artifacts is covered by test_upscaler_serves_bare_onnx_artifact)
+    assert npz.exists()
+    loaded = np.load(npz)
+    assert any(k.endswith("patch_conv1/kernel") for k in loaded.files)

@@ -278,3 +278,31 @@ class TestDihedral:
             a = dihedral_apply(x, i)
             b = np.asarray(dihedral_apply(jnp.asarray(x), i))
             np.testing.assert_array_equal(a, b)
+
+
+def test_identity_reconstruction_randomized_sweep():
+    """40 random geometries (frame, tile, overlap, scale, context shrink)
+    must all reconstruct the upsampled input exactly — the blend ramps'
+    sum-to-1 property has no corner exceptions."""
+    rng = np.random.default_rng(7)
+    for case in range(40):
+        scale = int(rng.choice([1, 2, 4]))
+        in_tile = int(rng.choice([32, 64, 96]))
+        full = in_tile * scale
+        if rng.random() < 0.3 and full > 4 * scale:
+            # cunet-style context shrink: even per-side offset in output px
+            k = int(rng.integers(1, min(8, full // (2 * scale))))
+            out_tile = full - 2 * k * scale
+        else:
+            out_tile = full
+        overlap = float(rng.choice([0.0, 1 / 32, 1 / 16, 1 / 8]))
+        h = int(rng.integers(1, 220))
+        w = int(rng.integers(1, 220))
+        img = rng.random((h, w, 3)).astype(np.float32)
+        model = _upsample_model(scale, out_tile, in_tile)
+        got = plan_render(img, in_tile, out_tile, scale, overlap, model)
+        expected = np.repeat(np.repeat(img, scale, 0), scale, 1)
+        np.testing.assert_allclose(
+            got, expected, atol=1e-5,
+            err_msg=f"case {case}: hw=({h},{w}) tile={in_tile} "
+                    f"out={out_tile} scale={scale} overlap={overlap}")
