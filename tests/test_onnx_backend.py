@@ -284,3 +284,41 @@ def test_validate_tool_end_to_end(tmp_path):
     assert npz.exists()
     loaded = np.load(npz)
     assert any(k.endswith("patch_conv1/kernel") for k in loaded.files)
+
+
+def test_positional_conversion_handles_decomposed_layernorm(tmp_path):
+    """Pre-opset-17 exports decompose LayerNorm into ReduceMean/Sub/Pow/
+    Sqrt/Div/Mul/Add; the positional converter must classify the Mul+Add
+    tail as norm scale/bias (and the executor must run the chain) so older
+    upstream exports convert day-one."""
+    from test_onnx_executor import _torch_state_from_flax
+    from waifu2x_tensorrt_tpu.models.registry import _flatten, init_params
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    scale, base_dim, depths = 2, 32, (2, 2, 2, 2, 2)
+    module = SwinUNet(scale=scale, base_dim=base_dim, depths=depths,
+                      dtype=jnp.float32)
+    params = init_params(module, tile=32)
+    flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    state = _torch_state_from_flax(flat, swin_mapping(scale, depths))
+    f = build_swin_onnx(state, scale, (32, 32), tmp_path / "swin_old.onnx",
+                        base_dim=base_dim, depths=depths,
+                        decomposed_ln=True)
+    graph = read_graph(f)
+    assert not any(n.op_type == "LayerNormalization" for n in graph.nodes)
+
+    # executor runs the decomposed chain == flax forward
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.1, 0.9, (1, 3, 32, 32)).astype(np.float32)
+    got = run_graph(graph, {graph.inputs[0]: x})[graph.outputs[0]]
+    want = np.asarray(module.apply(
+        {"params": params},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))).transpose(0, 3, 1, 2)
+    assert np.abs(got - want).max() < 1e-4
+
+    # positional conversion recovers the identical param tree
+    conv = swin_params_from_graph(graph)
+    cflat = _flatten(conv)
+    for k, v in flat.items():
+        np.testing.assert_array_equal(np.asarray(cflat[k]), v, err_msg=k)
+    assert set(cflat) == set(flat)

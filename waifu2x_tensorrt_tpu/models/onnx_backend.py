@@ -249,9 +249,11 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
     the walk doesn't parse — the honest failure mode for an architecture
     that actually differs from the reconstruction.
 
-    Expects fused LayerNormalization nodes (opset >= 17, as nunif exports
-    use); a pre-opset-17 decomposed-LN export needs a rename table +
-    convert.swin_from_torch instead.
+    Handles BOTH fused LayerNormalization nodes (opset >= 17) and the
+    pre-opset-17 decomposed chain (ReduceMean/Sub/Pow/Sqrt/Div/Mul/Add —
+    the Mul-by-channel-vector-after-Div tail marks the norm, the
+    following Add its bias); ``--rename-json`` + convert.swin_from_torch
+    remains the escape hatch for exports neither form parses.
     """
     producers: dict[str, "object"] = {}
     for n in graph.nodes:
@@ -263,9 +265,21 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
     standalone: list[dict] = []
     cur: Optional[dict] = None
     pending: Optional[tuple[dict, str, str]] = None  # (slot dict, key, out)
+    norm_pending: Optional[tuple[dict, str, str]] = None
 
     def block_complete(b: Optional[dict]) -> bool:
         return b is not None and "fc2/kernel" in b
+
+    def start_norm(s):
+        nonlocal cur
+        if cur is None or block_complete(cur) or "norm2/scale" in cur:
+            cur = {}
+            blocks.append(cur)
+            key = "norm1"
+        else:
+            key = "norm2"
+        cur[f"{key}/scale"] = s
+        return key
 
     for node in graph.nodes:
         op = node.op_type
@@ -282,16 +296,30 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
                  if len(node.inputs) > 2 else None)
             if s is None:
                 continue
-            if cur is None or block_complete(cur) or "norm2/scale" in cur:
-                cur = {}
-                blocks.append(cur)
-                key = "norm1"
-            else:
-                key = "norm2"
-            cur[f"{key}/scale"] = s
+            key = start_norm(s)
             if b is not None:
                 cur[f"{key}/bias"] = b
             pending = None
+        elif op == "Mul":
+            # decomposed pre-opset-17 LayerNorm tail: Mul(Div(x-mu, std),
+            # scale_1d) followed by Add(·, bias_1d). Guards: the 1-D
+            # initializer must be a real channel vector (size > 1 — GELU/
+            # attention scalar Muls have size 1) and the other input must
+            # come from a Div (the normalize step).
+            sc = None
+            div_in = False
+            for inp in node.inputs:
+                cand = graph.initializers.get(inp)
+                if (cand is not None and cand.ndim == 1 and cand.size > 1
+                        and cand.dtype.kind == "f"):
+                    sc = cand
+                else:
+                    prod = producers.get(inp)
+                    if prod is not None and prod.op_type == "Div":
+                        div_in = True
+            if sc is not None and div_in:
+                key = start_norm(sc)
+                norm_pending = (cur, key, node.outputs[0])
         elif op in ("MatMul", "Gemm"):
             got = _weight_through(graph, producers, node.inputs[1])
             if got is None:
@@ -320,14 +348,24 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
                 pending = None
             else:
                 pending = (target, key, node.outputs[0])
-        elif op == "Add" and pending is not None:
-            target, key, mm_out = pending
-            if mm_out in node.inputs:
-                other = [i for i in node.inputs if i != mm_out]
+        elif op == "Add" and (pending is not None
+                              or norm_pending is not None):
+            if norm_pending is not None and norm_pending[2] in node.inputs:
+                target, key, nm_out = norm_pending
+                other = [i for i in node.inputs if i != nm_out]
                 b = graph.initializers.get(other[0]) if other else None
                 if b is not None and b.ndim == 1:
-                    target[f"{key}/bias" if key else "bias"] = b
-            pending = None
+                    target[f"{key}/bias"] = b
+                norm_pending = None
+                continue
+            if pending is not None:
+                target, key, mm_out = pending
+                if mm_out in node.inputs:
+                    other = [i for i in node.inputs if i != mm_out]
+                    b = graph.initializers.get(other[0]) if other else None
+                    if b is not None and b.ndim == 1:
+                        target[f"{key}/bias" if key else "bias"] = b
+                pending = None
         elif op == "Gather":
             data = graph.initializers.get(node.inputs[0])
             if (data is not None and data.ndim == 2

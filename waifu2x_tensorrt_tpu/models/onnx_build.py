@@ -323,17 +323,37 @@ def build_cunet_onnx(state: Mapping[str, np.ndarray], scale: int,
 # --------------------------------------------------------------------------
 
 
+def _ln(g: GraphBuilder, x: str, prefix: str, state,
+        decomposed: bool = False) -> str:
+    """LayerNorm over the last axis: the fused opset>=17 node, or the
+    pre-opset-17 decomposed chain (ReduceMean/Sub/Pow/ReduceMean/Add/
+    Sqrt/Div/Mul/Add — what older torch exporters emit)."""
+    ln_w = g.init(f"{prefix}.weight", state[f"{prefix}.weight"])
+    ln_b = g.init(f"{prefix}.bias", state[f"{prefix}.bias"])
+    if not decomposed:
+        return g.emit("LayerNormalization", [x, ln_w, ln_b], axis=-1,
+                      epsilon=1e-5)
+    mu = g.emit("ReduceMean", [x], axes=[-1], keepdims=1)
+    d = g.emit("Sub", [x, mu])
+    two = g.const(np.float32(2.0), "two")
+    var = g.emit("ReduceMean", [g.emit("Pow", [d, two])], axes=[-1],
+                 keepdims=1)
+    eps = g.const(np.float32(1e-5), "eps")
+    std = g.emit("Sqrt", [g.add(var, eps)])
+    y = g.emit("Mul", [g.emit("Div", [d, std]), ln_w])
+    return g.add(y, ln_b)
+
+
 def _swin_block(g: GraphBuilder, x: str, prefix: str, state,
                 h: int, w: int, dim: int, heads: int, shift: int,
-                mlp_ratio: int = 2, ws: int = 8) -> str:
+                mlp_ratio: int = 2, ws: int = 8,
+                decomposed_ln: bool = False) -> str:
     """One pre-norm Swin block on NHWC tokens x: (1, h, w, dim)."""
     n_tok = ws * ws
     hd = dim // heads
     nw = (h // ws) * (w // ws)
 
-    ln_w = g.init(f"{prefix}.norm1.weight", state[f"{prefix}.norm1.weight"])
-    ln_b = g.init(f"{prefix}.norm1.bias", state[f"{prefix}.norm1.bias"])
-    y = g.emit("LayerNormalization", [x, ln_w, ln_b], axis=-1, epsilon=1e-5)
+    y = _ln(g, x, f"{prefix}.norm1", state, decomposed_ln)
 
     if shift:
         y = g.roll2d(y, -shift, hw_axes=(1, 2))
@@ -380,26 +400,26 @@ def _swin_block(g: GraphBuilder, x: str, prefix: str, state,
         out = g.roll2d(out, shift, hw_axes=(1, 2))
     x = g.add(x, out)
 
-    ln2_w = g.init(f"{prefix}.norm2.weight", state[f"{prefix}.norm2.weight"])
-    ln2_b = g.init(f"{prefix}.norm2.bias", state[f"{prefix}.norm2.bias"])
-    y = g.emit("LayerNormalization", [x, ln2_w, ln2_b], axis=-1,
-               epsilon=1e-5)
+    y = _ln(g, x, f"{prefix}.norm2", state, decomposed_ln)
     y = g.gelu_erf(g.linear(y, f"{prefix}.mlp_fc1", state))
     y = g.linear(y, f"{prefix}.mlp_fc2", state)
     return g.add(x, y)
 
 
-def _swin_stage(g, x, stage, state, h, w, dim, heads, depth, ws=8):
+def _swin_stage(g, x, stage, state, h, w, dim, heads, depth, ws=8,
+                decomposed_ln=False):
     for i in range(depth):
         x = _swin_block(g, x, f"{stage}.block{i}", state, h, w, dim, heads,
-                        shift=0 if i % 2 == 0 else ws // 2, ws=ws)
+                        shift=0 if i % 2 == 0 else ws // 2, ws=ws,
+                        decomposed_ln=decomposed_ln)
     return x
 
 
 def build_swin_onnx(state: Mapping[str, np.ndarray], scale: int,
                     hw: tuple[int, int], path: str | Path,
                     base_dim: int = 96,
-                    depths: tuple = (2, 2, 6, 2, 2)) -> Path:
+                    depths: tuple = (2, 2, 6, 2, 2),
+                    decomposed_ln: bool = False) -> Path:
     """Serialize the SwinUNet graph (static input (1,3,h,w), h,w % 32 == 0)
     with the given torch state_dict arrays; input 'x', output 'y'."""
     h, w = hw
@@ -414,20 +434,23 @@ def build_swin_onnx(state: Mapping[str, np.ndarray], scale: int,
     e1 = g.conv(s, "down1", state, strides=(2, 2))
     e1 = g.transpose(e1, (0, 2, 3, 1))  # NHWC tokens
     e1 = _swin_stage(g, e1, "swin1", state, h // 2, w // 2, c,
-                     max(c // 32, 1), depths[0])
+                     max(c // 32, 1), depths[0],
+                     decomposed_ln=decomposed_ln)
 
     e2 = g.conv(g.transpose(e1, (0, 3, 1, 2)), "down2", state,
                 strides=(2, 2))
     e2 = g.transpose(e2, (0, 2, 3, 1))
     e2 = _swin_stage(g, e2, "swin2", state, h // 4, w // 4, 2 * c,
-                     max((2 * c) // 32, 1), depths[2])
+                     max((2 * c) // 32, 1), depths[2],
+                     decomposed_ln=decomposed_ln)
 
     d2 = g.linear(e2, "up2", state)  # (1, h/4, w/4, 4c)
     d2 = g.emit("DepthToSpace", [g.transpose(d2, (0, 3, 1, 2))],
                 blocksize=2, mode="CRD")
     d2 = g.add(g.transpose(d2, (0, 2, 3, 1)), e1)
     d2 = _swin_stage(g, d2, "swin3", state, h // 2, w // 2, c,
-                     max(c // 32, 1), depths[3])
+                     max(c // 32, 1), depths[3],
+                     decomposed_ln=decomposed_ln)
 
     d1 = g.linear(d2, "up1", state)  # (1, h/2, w/2, 4*half)
     d1 = g.emit("DepthToSpace", [g.transpose(d1, (0, 3, 1, 2))],
