@@ -163,6 +163,139 @@ def _open_stream(engine, frame_hw):
     return stream
 
 
+class _ImageStreamBatcher:
+    """Cross-file tile streaming for still images (TPU extension).
+
+    The reference renders each image independently and pads the final
+    model batch with zero tiles (img2img_render.cpp:281) — a 512x512
+    image at tile 256 fills 9 slots of a 16-tile batch, so nearly half
+    of every boundary dispatch is dead work. Here, runs of same-size
+    images share one cross-frame TileStream (the video hot path):
+    leftover tiles of each image ride in the next image's chunk, so
+    every accelerator dispatch stays full-batch across FILES. Outputs
+    trail submission by at most one chunk and are written (and
+    verified) in submission order through the same PNG writer path as
+    per-file renders; output bytes are identical to per-image renders
+    (the stream/per-frame equality is pinned by tests/test_renderer.py).
+
+    Because writes are deferred, a failure writing image A can surface
+    while a later file is being read; the error message names A's
+    output path. Progress callbacks fired by a boundary chunk may
+    likewise be attributed to the next file."""
+
+    def __init__(self, args, engine, message_cb) -> None:
+        from collections import deque
+
+        self._args = args
+        self._engine = engine
+        self._cb = message_cb
+        self._stream = None
+        self._hw = None
+        self._pending = deque()  # (out_path, raw frame) awaiting outputs
+
+    def submit(self, frame_u8: np.ndarray, out_path: Path) -> int:
+        """Queue one decoded image; write whatever renders complete.
+        A geometry change flushes the previous run first. Returns 0/-1."""
+        hw = (int(frame_u8.shape[0]), int(frame_u8.shape[1]))
+        rc = 0
+        if self._stream is None or hw != self._hw:
+            rc = self.drain()
+            if rc != 0 and not self._args.continue_on_error:
+                return rc
+            stream = _open_stream(self._engine, hw)
+            if stream is None:  # defensive: engine stopped streaming
+                try:
+                    out = np.asarray(self._engine.render(frame_u8))
+                except Exception as e:
+                    self._cb(Severity.error, f"Render failed: {e}.")
+                    return -1
+                wrc = self._write_one(Path(out_path), out)
+                return wrc if wrc != 0 else rc
+            self._stream = stream
+            self._hw = hw
+        self._pending.append((Path(out_path), frame_u8))
+        try:
+            outs = self._stream.submit(frame_u8)
+        except Exception as e:
+            return self._salvage(e)
+        wrc = self._write(outs)
+        return wrc if wrc != 0 else rc
+
+    def drain(self) -> int:
+        """Flush the open stream and write every pending image."""
+        if self._stream is None:
+            return 0
+        stream, self._stream, self._hw = self._stream, None, None
+        try:
+            outs = stream.flush()
+        except Exception as e:
+            return self._salvage(e)
+        rc = self._write(outs)
+        if self._pending:  # contract: flush yields one output per input
+            return self._salvage(
+                RuntimeError("stream flushed fewer outputs than inputs"))
+        return rc
+
+    def _write(self, outs) -> int:
+        rc = 0
+        for out in outs:
+            out_path, _ = self._pending.popleft()
+            if self._write_one(out_path, np.asarray(out)) != 0:
+                rc = -1
+                if not self._args.continue_on_error:
+                    break
+        return rc
+
+    def _write_one(self, out_path: Path, frame_u8: np.ndarray) -> int:
+        """Write one finished image exactly like the per-file path
+        (PNG writer mode + zero-frame verification on release)."""
+        writer = VideoWriter()
+        writer.set_constant_rate_factor(self._args.crf)
+        writer.set_frame_rate(1).set_pixel_format("").set_codec("")
+        writer.set_frame_size(frame_u8.shape[1], frame_u8.shape[0])
+        writer.set_output_file(out_path)
+        rc = 0
+        try:
+            writer.open()
+            writer.write(frame_u8)
+        except Exception as e:
+            self._cb(Severity.error, f"Render failed: {e}.")
+            rc = -1
+        finally:
+            try:
+                writer.release()
+            except Exception as e:
+                if rc == 0:
+                    self._cb(Severity.error, f"Render failed: {e}.")
+                    rc = -1
+        if rc == 0:
+            self._cb(Severity.info, f"Wrote {out_path}")
+        return rc
+
+    def _salvage(self, exc: Exception) -> int:
+        """Stream failure: report it, then re-render every pending image
+        through the independent per-image path (byte-identical output)
+        so already-read files are not lost."""
+        self._cb(
+            Severity.error,
+            f"Image stream failed ({exc}); re-rendering "
+            f"{len(self._pending)} pending image(s) individually.")
+        self._stream = None
+        self._hw = None
+        # the stream error already makes this run a failure (rc=-1), but
+        # salvage every pending frame regardless of --continue-on-error so
+        # no already-read file is silently dropped
+        while self._pending:
+            out_path, frame = self._pending.popleft()
+            try:
+                out = np.asarray(self._engine.render(frame))
+            except Exception as e:
+                self._cb(Severity.error, f"Render failed: {e}.")
+                continue
+            self._write_one(out_path, out)
+        return -1
+
+
 def output_suffix(model: str, noise: int, scale: int, tta: bool) -> str:
     """``(model)(noiseN)(scaleS)(tta)`` with '/'->'_' (src/main.cpp:205-209)."""
     s = f"({model.replace('/', '_')})"
@@ -332,7 +465,16 @@ def main(argv=None) -> int:
     suffix = output_suffix(args.model, args.noise, args.scale, args.tta)
     out_dir = Path(args.output) if args.output else None
 
+    from waifu2x_tensorrt_tpu.io.video import IMAGE_SUFFIXES
     from waifu2x_tensorrt_tpu.utils.profiling import trace
+
+    # Two or more still images in the worklist: stream them through one
+    # cross-file TileStream so image boundaries never pad a model batch
+    # (see _ImageStreamBatcher; single images keep the leaner inline path).
+    n_images = sum(1 for f in files
+                   if Path(f).suffix.lower() in IMAGE_SUFFIXES)
+    batcher = (_ImageStreamBatcher(args, engine, message_cb)
+               if n_images > 1 and engine.can_stream else None)
 
     exit_code = 0
     capture = VideoCapture()
@@ -340,10 +482,16 @@ def main(argv=None) -> int:
         for file_index, file in enumerate(files):
             state["file"] = file_index + 1
             rc = _render_one(args, engine, capture, file, out_dir, suffix,
-                             state, message_cb)
+                             state, message_cb, batcher)
             if rc != 0:
                 if not args.continue_on_error:
+                    if batcher is not None:
+                        batcher.drain()  # salvage already-read images
                     return rc
+                exit_code = rc
+        if batcher is not None:
+            rc = batcher.drain()
+            if rc != 0:
                 exit_code = rc
     return exit_code
 
@@ -365,7 +513,7 @@ def _frames(capture):
 
 
 def _render_one(args, engine, capture, file, out_dir, suffix, state,
-                message_cb) -> int:
+                message_cb, batcher=None) -> int:
     try:
         capture.open(file)
     except Exception as e:
@@ -378,6 +526,29 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
         message_cb(Severity.info, f"Skipping {file} (output exists)")
         capture.release()
         return 0
+    rc0 = 0
+    if batcher is not None:
+        if is_image:
+            rc = 0
+            try:
+                frame = capture.read()
+                if frame is None:
+                    raise RuntimeError("decoder ended early")
+                state["frames"] = 1
+                state["frame"] = 1
+                src = batcher.submit(frame, out_path)
+                rc = src if src != 0 else rc
+            except Exception as e:
+                message_cb(Severity.error, f"Render failed: {e}.")
+                rc = -1
+            finally:
+                capture.release()
+            return rc
+        # a video ends the image run: flush pending image outputs first
+        rc0 = batcher.drain()
+        if rc0 != 0 and not args.continue_on_error:
+            capture.release()
+            return rc0
     if not is_image and (getattr(args, "segment_frames", 0) > 0
                          or args.multihost):
         total = capture.frame_count
@@ -395,8 +566,9 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
                            f"Cannot determine frame count of {file} for "
                            f"segmented rendering: {e}.")
                 return -1
-        return _render_video_segmented(args, engine, file, out_path, state,
-                                       message_cb, total, fps)
+        rc = _render_video_segmented(args, engine, file, out_path, state,
+                                     message_cb, total, fps)
+        return rc if rc != 0 else rc0
     writer = VideoWriter()
     writer.set_constant_rate_factor(args.crf)
     if is_image:
@@ -462,7 +634,7 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
     if rc != 0:
         return rc
     message_cb(Severity.info, f"Wrote {out_path}")
-    return 0
+    return rc0
 
 
 def _render_video_segmented(args, engine, file, out_path, state, message_cb,

@@ -407,11 +407,18 @@ class Upscaler:
         per-device batch). Returns None when streaming does not apply
         (monolithic fuse_frame programs), in which case callers use
         render_async per frame."""
-        from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
-
-        if not isinstance(self._renderers, ChunkedPipeline):
+        if not self.can_stream:
             return None
         return _StreamSession(self, (int(frame_hw[0]), int(frame_hw[1])))
+
+    @property
+    def can_stream(self) -> bool:
+        """True when the loaded engine supports cross-frame tile
+        streaming (chunked pipeline; monolithic fuse_frame programs
+        render whole frames and cannot)."""
+        from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+
+        return isinstance(self._renderers, ChunkedPipeline)
 
     @property
     def spec(self) -> Optional[registry.ModelSpec]:
