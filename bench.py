@@ -414,6 +414,39 @@ def main() -> None:
             log(f"[bench] config5_4k_tile640_photo2x: "
                 f"{configs['config5_4k_tile640_photo2x']}")
             flush_aux()
+        # config 6: image-DIRECTORY workload — 512x512 stills, headline
+        # model/geometry (swin_unet/art 4x, tile 256, batch 16, bf16).
+        # 9 tiles/image vs a 16-tile batch: per-image renders zero-pad 7
+        # slots of every boundary dispatch (what the reference always
+        # does, img2img_render.cpp:281); cross-file streaming
+        # (cli._ImageStreamBatcher over TileStream) keeps dispatches
+        # full-batch across images. Reuses the already-compiled headline
+        # model program (same tile/batch/dtype).
+        if not over_budget("config6_image_dir_512"):
+          try:
+            img_hw = (512, 512)
+            img = jax.device_put(jnp.asarray(
+                rng.integers(0, 256, (*img_hw, 3), np.uint8)))
+            run6 = make_pipeline("swin_unet/art", 4, 3, config, img_hw,
+                                 fused_block=True)
+            force(run6(img))
+            v_per, f_per = measure(run6, img, 4, img_hw, iters=8)
+            v_str, f_str = measure_stream(run6, img, 4, img_hw, iters=12)
+            configs["config6_image_dir_512"] = {
+                "per_image_MPps": round(v_per, 1),
+                "streamed_MPps": round(v_str, 1),
+                "images_per_s_streamed": round(f_str, 2),
+                "stream_speedup": round(v_str / v_per, 2),
+                "tiles_per_image": run6.plan.tile_count,
+            }
+            log(f"[bench] config6_image_dir_512: "
+                f"{configs['config6_image_dir_512']}")
+            flush_aux()
+          except Exception as e:
+            configs["config6_image_dir_512"] = f"failed: {type(e).__name__}"
+            log(f"[bench] config6_image_dir_512: "
+                f"{configs['config6_image_dir_512']}")
+            flush_aux()
 
     log(json.dumps({"aux": aux}))
     flush_aux()
