@@ -322,3 +322,103 @@ def test_positional_conversion_handles_decomposed_layernorm(tmp_path):
     for k, v in flat.items():
         np.testing.assert_array_equal(np.asarray(cflat[k]), v, err_msg=k)
     assert set(cflat) == set(flat)
+
+
+def test_run_graph_jax_bf16_tracks_flax_bf16_drift(tmp_path):
+    """compute_dtype=bf16 (the --precision fp16 graph-serving mode) must
+    drift from the export's fp32 math no more than the PRODUCTION flax
+    bf16 path drifts from its own fp32 truth on the same weights/input —
+    i.e. the casting scheme (fp32 islands at _PRECISE_OPS) adds no error
+    class of its own. Absolute drift on random-init weights is inherently
+    loose (cf. test_models.test_bf16_close_to_fp32's 0.25 bound); the
+    relative contract is the meaningful one."""
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    graph, module, fparams = _swin_graph(tmp_path)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0.0, 1.0, (1, 3, 32, 32)).astype(np.float32)
+    params = graph_params(graph)
+    want = np.asarray(jax.jit(
+        lambda p, xx: run_graph_jax(graph, {"x": xx}, params=p)["y"])(
+            params, jnp.asarray(x)))
+    p16 = {k: v.astype(jnp.bfloat16) for k, v in params.items()}
+    got = np.asarray(jax.jit(
+        lambda p, xx: run_graph_jax(graph, {"x": xx}, params=p,
+                                    compute_dtype=jnp.bfloat16)["y"])(
+            p16, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
+    assert got.shape == want.shape
+    graph_err = np.abs(got - want)
+
+    mod16 = SwinUNet(scale=2, base_dim=32, depths=(2, 2, 2, 2, 2),
+                     dtype=jnp.bfloat16)
+    tiles = np.transpose(x[0], (1, 2, 0))[None]
+    f32 = np.asarray(module.apply({"params": fparams}, jnp.asarray(tiles)))
+    f16 = np.asarray(mod16.apply(
+        {"params": fparams},
+        jnp.asarray(tiles, jnp.bfloat16)).astype(jnp.float32))
+    flax_err = np.abs(f16 - f32)
+
+    assert graph_err.max() < 0.25  # same loose sanity bound as the flax test
+    assert graph_err.max() < 1.5 * flax_err.max() + 1 / 255, (
+        graph_err.max(), flax_err.max())
+    assert (np.quantile(graph_err, 0.99)
+            < 1.5 * np.quantile(flax_err, 0.99) + 1 / 255)
+
+
+def test_upscaler_graph_backend_honors_precision(tmp_path):
+    """--precision fp16 with a bare .onnx serves the parsed graph at bf16
+    (TensorRT's fp16-engine-from-fp32-artifact behavior, with bf16 weights
+    cast once at load); the u8 output must drift from the tf32
+    (export-exact fp32) serve no more than the production flax bf16 path
+    drifts from its fp32 twin on the same weights."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.models.registry import get_spec
+
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _, _, fparams = _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    frame = np.random.default_rng(11).integers(0, 256, (48, 64, 3), np.uint8)
+
+    outs = {}
+    for prec in (Precision.TF32, Precision.FP16):
+        cfg = RenderConfig(precision=prec, batch_size=2, height=32,
+                           width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+        up = Upscaler(models_dir=models_dir, allow_random_init=False)
+        up.load("swin_unet/art", 2, -1, cfg)
+        if prec is Precision.FP16:  # bf16 weights cast once at load
+            leaf = next(iter(up._params.values()))
+            while isinstance(leaf, dict):
+                leaf = next(iter(leaf.values()))
+            assert leaf.dtype == jnp.bfloat16
+        outs[prec] = up.render(frame)
+
+    a = outs[Precision.TF32].astype(np.int32)
+    b = outs[Precision.FP16].astype(np.int32)
+    assert a.shape == b.shape == (96, 128, 3)
+    graph_diff = np.abs(a - b)
+
+    # the flax reconstruction's own bf16-vs-fp32 u8 drift on these weights
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    spec = get_spec("swin_unet/art", 2, -1)
+    flax_outs = {}
+    for prec in (Precision.TF32, Precision.FP16):
+        cfg = RenderConfig(precision=prec, batch_size=2, height=32,
+                           width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+        mod = SwinUNet(scale=2, base_dim=32, depths=(2, 2, 2, 2, 2),
+                       dtype=prec.dtype)
+        flax_outs[prec] = np.asarray(
+            ChunkedPipeline(mod, spec, cfg).render(fparams, frame))
+    flax_diff = np.abs(flax_outs[Precision.TF32].astype(np.int32)
+                       - flax_outs[Precision.FP16].astype(np.int32))
+
+    assert graph_diff.max() <= max(2 * flax_diff.max(), 8), (
+        graph_diff.max(), flax_diff.max())
+    assert (np.quantile(graph_diff, 0.99)
+            <= max(2 * np.quantile(flax_diff, 0.99), 2))

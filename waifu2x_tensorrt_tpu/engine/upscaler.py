@@ -94,7 +94,7 @@ class Upscaler:
         onnx_artifact = stem_b.with_suffix(".onnx")
         if not stem_b.exists() and onnx_artifact.exists():
             module, spec, params = self._load_graph_backend(
-                onnx_artifact, family, scale, noise)
+                onnx_artifact, family, scale, noise, config)
             for _, hh, _w in engine_config.compiled_shapes(config):
                 if hh % spec.tile_divisor:
                     raise ValueError(
@@ -193,10 +193,10 @@ class Upscaler:
         if graph_backed:
             # Serve the parsed release artifact directly (the reference's
             # behavior: hand any ONNX to the accelerator,
-            # img2img_build.cpp:88). Fidelity-first fp32 path; the flax +
+            # img2img_build.cpp:88) at the requested precision; the flax +
             # Pallas reconstruction (converted .npz) is the fast path.
             module, spec, params = self._load_graph_backend(
-                onnx_artifact, family, scale, noise)
+                onnx_artifact, family, scale, noise, config)
             from_file = True
             use_pallas = False
         else:
@@ -286,15 +286,25 @@ class Upscaler:
         self._fused = use_pallas and on_tpu
 
     def _load_graph_backend(self, onnx_path: Path, family: str, scale: int,
-                            noise: int):
+                            noise: int, config):  # Render- or BuildConfig
         """Parse + derive + wrap an ONNX artifact for direct serving
         (models/onnx_backend.py). Raises when the artifact's derived scale
-        contradicts the requested one."""
+        contradicts the requested one.
+
+        Honors ``config.precision`` the way the reference's builder does
+        with an fp32 artifact (img2img_build.cpp:88 — TensorRT assigns
+        fp16 per layer regardless of the ONNX dtypes): fp16 runs the
+        parsed graph at bf16 MXU rate with fp32 islands, tf32 runs the
+        export's own fp32 math (the validate.py ground-truth mode)."""
         import dataclasses
 
         from waifu2x_tensorrt_tpu.models.onnx_backend import load_graph_model
 
-        module, arch, params = load_graph_model(onnx_path)
+        compute_dtype = (config.precision.dtype
+                         if config.precision is engine_config.Precision.FP16
+                         else None)
+        module, arch, params = load_graph_model(
+            onnx_path, compute_dtype=compute_dtype)
         if arch.scale != scale:
             raise ValueError(
                 f"{onnx_path.name}: artifact scale {arch.scale} != "
@@ -309,8 +319,9 @@ class Upscaler:
                                    tile_divisor=tile_divisor)
         self.logger.log(
             Severity.info,
-            f"serving parsed ONNX graph {onnx_path.name} directly "
-            f"(derived arch: {arch.summary()}); tile sizes must be "
+            f"serving parsed ONNX graph {onnx_path.name} directly at "
+            f"{'bf16 (fp32 islands)' if compute_dtype is not None else 'fp32'}"
+            f" (derived arch: {arch.summary()}); tile sizes must be "
             f"multiples of {tile_divisor}",
         )
         return module, spec, params

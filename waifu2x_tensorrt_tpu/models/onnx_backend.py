@@ -446,39 +446,52 @@ class GraphModule:
     batch 1 — the export layout) under ``jax.vmap``, with the float
     initializers as traced arguments. Fully jit-able: the chunked render
     pipeline, the engine cache, and the multi-chip shardings all apply
-    unchanged. Math is the export's own fp32 graph — the fidelity-first
-    backend; the flax reconstruction with Pallas kernels stays the
-    performance path.
+    unchanged.
+
+    ``compute_dtype=None`` (default) runs the export's own fp32 math —
+    the fidelity-first / ground-truth mode ``validate.py`` cross-checks
+    against. ``compute_dtype=jnp.bfloat16`` runs the graph at bf16 MXU
+    rate with fp32 islands (onnx_graph._PRECISE_OPS) — the reference's
+    fp16-engine-from-fp32-artifact behavior (img2img_build.cpp:88);
+    ``init_params`` then returns bf16 weights so the cast happens once at
+    load, not per dispatch.
     """
 
-    def __init__(self, graph: OnnxGraph) -> None:
+    def __init__(self, graph: OnnxGraph, compute_dtype=None) -> None:
         self.graph = graph
+        self.compute_dtype = compute_dtype
         self._in = graph.inputs[0]
         self._out = graph.outputs[0]
 
     def init_params(self) -> dict[str, np.ndarray]:
-        return graph_params(self.graph)
+        p = graph_params(self.graph)
+        if self.compute_dtype is not None:
+            p = {k: v.astype(self.compute_dtype) for k, v in p.items()}
+        return p
 
     def apply(self, variables: dict, x):
         import jax
         import jax.numpy as jnp
 
         p = variables["params"]
+        cd = self.compute_dtype
+        in_dtype = jnp.float32 if cd is None else cd
 
         def one(img):  # (H, W, 3) -> (oh, ow, 3)
             feeds = {self._in: jnp.transpose(img, (2, 0, 1))[None]}
-            y = run_graph_jax(self.graph, feeds, params=p)[self._out]
+            y = run_graph_jax(self.graph, feeds, params=p,
+                              compute_dtype=cd)[self._out]
             return jnp.transpose(y[0], (1, 2, 0))
 
-        return jax.vmap(one)(x.astype(jnp.float32)).astype(x.dtype)
+        return jax.vmap(one)(x.astype(in_dtype)).astype(x.dtype)
 
 
-def load_graph_model(onnx_path: str | Path):
+def load_graph_model(onnx_path: str | Path, compute_dtype=None):
     """Parse an artifact and return (module, arch, params) ready for the
     render pipeline: ``module`` is a GraphModule, ``arch`` the derived
     ArchInfo (for spec construction + reconstruction diffing), ``params``
-    the traced-weight dict."""
+    the traced-weight dict (cast once to ``compute_dtype`` when set)."""
     graph = read_graph(onnx_path)
     arch = derive_arch(graph)
-    module = GraphModule(graph)
+    module = GraphModule(graph, compute_dtype=compute_dtype)
     return module, arch, module.init_params()

@@ -547,8 +547,20 @@ def run_graph(
     return {name: env[name] for name in graph.outputs}
 
 
+# fp32 islands for reduced-precision graph execution: transcendentals and
+# reductions run in f32 even when the rest of the graph runs bf16 (the
+# same per-layer precision assignment TensorRT's fp16 builder applies to
+# an fp32 ONNX graph — reference img2img_build.cpp:88 builds fp16 engines
+# from fp32 artifacts without any Cast nodes in them).
+_PRECISE_OPS = frozenset({
+    "Softmax", "LayerNormalization", "Erf", "Gelu", "Pow", "Sqrt", "Exp",
+    "Sigmoid", "Tanh", "ReduceMean", "GlobalAveragePool", "AveragePool",
+})
+
+
 def run_graph_jax(graph: OnnxGraph, feeds: dict,
-                  params: Optional[dict] = None) -> dict:
+                  params: Optional[dict] = None,
+                  compute_dtype=None) -> dict:
     """Execute the graph with jax.numpy — traceable under jit/vmap.
 
     ``feeds`` values become traced; initializers stay static host values
@@ -557,6 +569,13 @@ def run_graph_jax(graph: OnnxGraph, feeds: dict,
     serves any weight values — see ``graph_params``). Nodes whose inputs
     are all static constant-fold on the host with the numpy executor, so
     shape vectors / slice indices / masks never enter the traced graph.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) runs every traced node at
+    that dtype — MatMul/Conv hit the MXU at the reduced-precision rate —
+    except the ``_PRECISE_OPS`` fp32 islands, whose float inputs are
+    upcast and whose outputs are cast back. Like the TensorRT fp16
+    builder, this overrides any dtypes the export itself encodes (explicit
+    Cast nodes included); pass ``None`` to run the export's own fp32 math.
     """
     import jax.numpy as jnp
 
@@ -575,11 +594,30 @@ def run_graph_jax(graph: OnnxGraph, feeds: dict,
     def is_static(name: str) -> bool:
         return isinstance(env[name], (np.ndarray, np.generic))
 
+    def is_float(v) -> bool:
+        return (hasattr(v, "dtype")
+                and jnp.issubdtype(v.dtype, jnp.floating))
+
     for node in graph.nodes:
         if all(is_static(i) for i in node.inputs if i):
             _eval_node(node, env, np)  # host constant folding
-        else:
+            continue
+        if compute_dtype is None:
             _eval_node(node, env, jnp)
+            continue
+        to = jnp.float32 if node.op_type in _PRECISE_OPS else compute_dtype
+        saved = {}
+        for name in {i for i in node.inputs if i}:
+            v = env[name]
+            if is_float(v) and v.dtype != to:
+                saved[name] = v
+                env[name] = v.astype(to)
+        _eval_node(node, env, jnp)
+        env.update(saved)
+        for out in node.outputs:
+            v = env.get(out)
+            if v is not None and is_float(v) and v.dtype != compute_dtype:
+                env[out] = v.astype(compute_dtype)
     return {name: env[name] for name in graph.outputs}
 
 
