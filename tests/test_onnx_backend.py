@@ -422,3 +422,32 @@ def test_upscaler_graph_backend_honors_precision(tmp_path):
         graph_diff.max(), flax_diff.max())
     assert (np.quantile(graph_diff, 0.99)
             <= max(2 * np.quantile(flax_diff, 0.99), 2))
+
+
+def test_graph_backend_sharded_matches_unsharded(tmp_path):
+    """Serving a bare .onnx composes with --dp multi-chip sharding: the
+    vmapped traced graph shards over the tile batch exactly like the flax
+    path, and the sharded render is bit-identical to single-device."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.parallel import (
+        data_parallel_mesh,
+        tile_sharding,
+    )
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    frame = np.random.default_rng(13).integers(0, 256, (60, 90, 3), np.uint8)
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=4, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    plain = Upscaler(models_dir=models_dir)
+    plain.load("swin_unet/art", 2, -1, cfg)
+    sharded = Upscaler(models_dir=models_dir)
+    sharded.load("swin_unet/art", 2, -1, cfg,
+                 sharding=tile_sharding(data_parallel_mesh(8)))
+    np.testing.assert_array_equal(plain.render(frame), sharded.render(frame))
