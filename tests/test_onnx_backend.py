@@ -451,3 +451,36 @@ def test_graph_backend_sharded_matches_unsharded(tmp_path):
     sharded.load("swin_unet/art", 2, -1, cfg,
                  sharding=tile_sharding(data_parallel_mesh(8)))
     np.testing.assert_array_equal(plain.render(frame), sharded.render(frame))
+
+
+def test_graph_backend_composes_with_tta(tmp_path):
+    """8-way TTA over the graph-served model: the dihedral transforms live
+    in the render pipeline (tiling.py), so the TTA render through the
+    traced-graph backend must match the flax TTA render with the same
+    weights to the u8 LSB (graph fp32 == flax fp32 to <1e-4, identical
+    pipeline around both)."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.registry import get_spec
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _, module, fparams = _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    frame = np.random.default_rng(17).integers(0, 256, (32, 32, 3), np.uint8)
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2,
+                       height=32, width=32, scaling=2,
+                       overlap=(1 / 16, 1 / 16), tta=True)
+    up = Upscaler(models_dir=models_dir)
+    up.load("swin_unet/art", 2, -1, cfg)
+    got = up.render(frame)
+    assert got.shape == (64, 64, 3)
+
+    pl_ = ChunkedPipeline(module, get_spec("swin_unet/art", 2, -1), cfg)
+    want = np.asarray(pl_.render(fparams, frame))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
