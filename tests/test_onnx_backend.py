@@ -484,3 +484,34 @@ def test_graph_backend_composes_with_tta(tmp_path):
     want = np.asarray(pl_.render(fparams, frame))
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1, diff.max()
+
+
+def test_upscaler_serves_bare_cunet_onnx(tmp_path):
+    """The graph backend is family-agnostic: a bare cunet export (valid
+    convs, offset-36 context shrink, SE blocks) serves through the full
+    render pipeline and matches the flax reconstruction."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.registry import get_spec
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "cunet" / "art"
+    art_dir.mkdir(parents=True)
+    _, module, params = _cunet_graph(tmp_path, scale=2)
+    (art_dir / "noise1_scale2x.onnx").write_bytes(
+        (tmp_path / "cunet2.onnx").read_bytes())
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=128,
+                       width=128, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir)
+    up.load("cunet/art", 2, 1, cfg)
+    frame = np.random.default_rng(19).integers(0, 256, (96, 120, 3),
+                                               np.uint8)
+    got = up.render(frame)
+    assert got.shape == (192, 240, 3)
+
+    pl_ = ChunkedPipeline(module, get_spec("cunet/art", 2, 1), cfg)
+    want = np.asarray(pl_.render(params, frame))
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
