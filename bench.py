@@ -447,6 +447,81 @@ def main() -> None:
             log(f"[bench] config6_image_dir_512: "
                 f"{configs['config6_image_dir_512']}")
             flush_aux()
+        # config 7: graph-backed serving — a bare full-size .onnx export
+        # (no converted .npz) served through the parsed-graph backend at
+        # bf16 (--precision fp16 semantics; onnx_backend.GraphModule).
+        # The reference's hand-any-ONNX workflow (img2img_build.cpp:88)
+        # measured on its own terms. LAST row: the batch-vmapped 1500-op
+        # graph compile is ~55 s warm-cache but up to tens of minutes on
+        # a cold remote compile.
+        if not over_budget("config7_graph_serving_bf16"):
+          try:
+            import dataclasses as _dc
+            import pathlib
+            import tempfile
+
+            from waifu2x_tensorrt_tpu.engine.renderer import (
+                ChunkedPipeline as _CP,
+            )
+            from waifu2x_tensorrt_tpu.models.convert import swin_mapping
+            from waifu2x_tensorrt_tpu.models.onnx_backend import (
+                load_graph_model,
+            )
+            from waifu2x_tensorrt_tpu.models.onnx_build import (
+                build_swin_onnx,
+            )
+            from waifu2x_tensorrt_tpu.models.registry import (
+                _flatten,
+                get_spec,
+                init_params_host,
+            )
+            from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tests"))
+            from test_onnx_executor import _torch_state_from_flax
+
+            depths = (2, 2, 6, 2, 2)
+            mod7 = SwinUNet(scale=4, base_dim=96, depths=depths,
+                            dtype=jnp.float32)
+            # fresh host init (NOT _PARAMS_CACHE: those are device arrays;
+            # flattening would fetch hundreds of leaves through the tunnel)
+            flat7 = {k: np.asarray(v) for k, v in _flatten(
+                init_params_host(mod7, tile=32)).items()}
+            state7 = _torch_state_from_flax(flat7, swin_mapping(4, depths))
+            art7 = pathlib.Path(tempfile.mkdtemp()) / "scale4x.onnx"
+            build_swin_onnx(state7, 4, (256, 256), art7, base_dim=96,
+                            depths=depths)
+            gmod, arch7, gparams = load_graph_model(
+                art7, compute_dtype=jnp.bfloat16)
+            base7 = get_spec("swin_unet/art", 4, -1)
+            spec7 = _dc.replace(
+                base7, offset=arch7.offset,
+                tile_divisor=max(base7.tile_divisor, arch7.window * 4))
+            cfg7 = RenderConfig(
+                precision=Precision.FP16, batch_size=4, height=256,
+                width=256, scaling=4, overlap=(1 / 16, 1 / 16))
+            pl7 = _CP(gmod, spec7, cfg7)
+            gparams = jax.device_put(gparams)
+            run7 = lambda fr: pl7.render(gparams, fr)  # noqa: E731
+            t0 = time.perf_counter()
+            force(run7(frame))
+            log(f"[bench] graph-backed pipeline ready in "
+                f"{time.perf_counter() - t0:.1f}s")
+            v7, f7 = measure(run7, frame, 4, frame_hw, iters=6)
+            configs["config7_graph_serving_bf16"] = {
+                "MPps": round(v7, 1), "fps": round(f7, 2),
+                "artifact_MB": round(art7.stat().st_size / 1e6, 1),
+                "mode": "bare .onnx, bf16 + fp32 islands",
+            }
+            log(f"[bench] config7_graph_serving_bf16: "
+                f"{configs['config7_graph_serving_bf16']}")
+            flush_aux()
+          except Exception as e:
+            configs["config7_graph_serving_bf16"] = (
+                f"failed: {type(e).__name__}")
+            log(f"[bench] config7_graph_serving_bf16: "
+                f"{configs['config7_graph_serving_bf16']}")
+            flush_aux()
 
     log(json.dumps({"aux": aux}))
     flush_aux()

@@ -157,6 +157,21 @@ def main(argv=None) -> int:
         return 1
     print("OK: per-tile forward matches the executed ONNX graph on both "
           "the flax and the jax-serving paths")
+    # informational: expected drift of the bf16 serving mode
+    # (--precision fp16 with a bare .onnx — engine/upscaler.py graph
+    # backend) for THIS artifact's weights. Not gated by --tolerance:
+    # reduced precision is a user choice, this prints its cost.
+    p16 = {k: v.astype(jnp.bfloat16) for k, v in gp.items()}
+    bf16_out = np.asarray(jax.jit(
+        lambda pp, xx: run_graph_jax(
+            graph, {graph.inputs[0]: xx}, params=pp,
+            compute_dtype=jnp.bfloat16)[graph.outputs[0]]
+    )(p16, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32))
+    berr = np.abs(bf16_out - got)
+    print(f"bf16 serving drift (--precision fp16): "
+          f"max {float(berr.max()):.3e}, "
+          f"p99 {float(np.quantile(berr, 0.99)):.3e} "
+          f"(u8 LSB = {1 / 255:.3e})")
     if args.save_npz:
         save_params(args.save_npz, params)
         print(f"converted weights written to {args.save_npz}")
