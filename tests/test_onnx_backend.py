@@ -515,3 +515,35 @@ def test_upscaler_serves_bare_cunet_onnx(tmp_path):
     want = np.asarray(pl_.render(params, frame))
     diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
     assert diff.max() <= 1, diff.max()
+
+
+def test_graph_backend_streams_across_frames(tmp_path):
+    """Cross-frame tile streaming (the video hot path) over the
+    graph-served backend: TileStream carries remainder tiles into the
+    next frame's batch and every frame must still equal its per-frame
+    render bit-for-bit."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir)
+    up.load("swin_unet/art", 2, -1, cfg)
+    assert up.can_stream
+
+    rng = np.random.default_rng(23)
+    frames = [rng.integers(0, 256, (64, 96, 3), np.uint8) for _ in range(4)]
+    stream = up.open_stream((64, 96))
+    outs = []
+    for f in frames:
+        outs.extend(stream.submit(f))
+    outs.extend(stream.flush())
+    assert len(outs) == len(frames)
+    for f, o in zip(frames, outs):
+        np.testing.assert_array_equal(np.asarray(o), up.render(f))
