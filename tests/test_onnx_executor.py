@@ -208,3 +208,25 @@ def test_real_artifact_matches_flax():
                          jnp.asarray(x.transpose(0, 2, 3, 1)))
         ).transpose(0, 3, 1, 2)
         assert np.abs(got - flax_out).max() < 1e-3, family
+
+
+def test_read_graph_rejects_non_onnx_files(tmp_path):
+    """Corrupt/foreign files must fail with a clear ValueError at parse
+    time (the nvonnxparser-failure analogue), not an empty graph that
+    dies later in derive_arch, nor a leaked IndexError."""
+    import pytest
+
+    from waifu2x_tensorrt_tpu.models.onnx_graph import read_graph
+
+    cases = {
+        "empty.onnx": b"",
+        "image.onnx": b"\x89PNG\r\n\x1a\n" + b"\x00" * 500,
+        "garbage.onnx": bytes(range(256)) * 40,
+        "truncated.onnx": b"\x3a\xff\xff\xff\xff\xff\xff",
+    }
+    for name, data in cases.items():
+        p = tmp_path / name
+        p.write_bytes(data)
+        with pytest.raises(ValueError,
+                           match="ModelProto|no graph nodes"):
+            read_graph(p)

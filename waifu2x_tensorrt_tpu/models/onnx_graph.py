@@ -153,27 +153,39 @@ def _value_info_name(buf: bytes) -> str:
 
 def read_graph(path: str | Path) -> OnnxGraph:
     """Parse ModelProto.graph: node=1, name=2, initializer=5, input=11,
-    output=12."""
+    output=12. Raises ValueError for files that are not a parseable
+    ModelProto (truncated, corrupt, or some other format entirely) — the
+    honest analogue of nvonnxparser's parse failure (img2img_build.cpp:88
+    error path) instead of an empty graph or a leaked low-level error."""
     data = Path(path).read_bytes()
     graph = OnnxGraph("", [], {}, [], [])
-    for field, wire, value in _iter_fields(data):
-        if field == 7 and wire == 2:  # ModelProto.graph
-            raw_inputs: list[str] = []
-            for gf, gw, gv in _iter_fields(value):
-                if gf == 1 and gw == 2:
-                    graph.nodes.append(_parse_node(gv))
-                elif gf == 2 and gw == 2:
-                    graph.name = gv.decode()
-                elif gf == 5 and gw == 2:
-                    name, arr = _parse_tensor(gv)
-                    graph.initializers[name] = arr
-                elif gf == 11 and gw == 2:
-                    raw_inputs.append(_value_info_name(gv))
-                elif gf == 12 and gw == 2:
-                    graph.outputs.append(_value_info_name(gv))
-            graph.inputs = [
-                n for n in raw_inputs if n not in graph.initializers
-            ]
+    try:
+        for field, wire, value in _iter_fields(data):
+            if field == 7 and wire == 2:  # ModelProto.graph
+                raw_inputs: list[str] = []
+                for gf, gw, gv in _iter_fields(value):
+                    if gf == 1 and gw == 2:
+                        graph.nodes.append(_parse_node(gv))
+                    elif gf == 2 and gw == 2:
+                        graph.name = gv.decode()
+                    elif gf == 5 and gw == 2:
+                        name, arr = _parse_tensor(gv)
+                        graph.initializers[name] = arr
+                    elif gf == 11 and gw == 2:
+                        raw_inputs.append(_value_info_name(gv))
+                    elif gf == 12 and gw == 2:
+                        graph.outputs.append(_value_info_name(gv))
+                graph.inputs = [
+                    n for n in raw_inputs if n not in graph.initializers
+                ]
+    except (ValueError, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"{path}: not a parseable ONNX ModelProto "
+            f"(corrupt or truncated protobuf: {e})") from e
+    if not graph.nodes or not graph.outputs:
+        raise ValueError(
+            f"{path}: no graph nodes/outputs found — not an ONNX "
+            f"ModelProto (wrong file format?)")
     return graph
 
 
