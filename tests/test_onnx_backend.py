@@ -172,7 +172,7 @@ def test_upscaler_serves_bare_onnx_artifact(tmp_path):
     cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
                        width=32, scaling=2, overlap=(1 / 16, 1 / 16))
     up = Upscaler(models_dir=models_dir, allow_random_init=False)
-    up.load("swin_unet/art", 2, -1, cfg)
+    up.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
     assert up.spec.tile_divisor == 32  # graph cannot self-pad
 
     frame = np.random.default_rng(5).integers(0, 256, (48, 64, 3), np.uint8)
@@ -203,8 +203,10 @@ def test_upscaler_rejects_misaligned_tile_for_graph_backend(tmp_path):
     cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=40,
                        width=40, scaling=2, overlap=(1 / 16, 1 / 16))
     up = Upscaler(models_dir=models_dir, allow_random_init=False)
-    with pytest.raises(ValueError, match="multiple of"):
-        up.load("swin_unet/art", 2, -1, cfg)
+    # the static test export trips the fixed-geometry guard; a dynamic
+    # export with the same misalignment would trip the divisor guard
+    with pytest.raises(ValueError, match="FIXED geometry|multiple of"):
+        up.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
 
 
 def test_load_graph_model_end_to_end(tmp_path):
@@ -236,7 +238,7 @@ def test_upscaler_rejects_whole_frame_for_graph_backend(tmp_path):
                        width=0, scaling=2, overlap=(1 / 16, 1 / 16))
     up = Upscaler(models_dir=models_dir, allow_random_init=False)
     with pytest.raises(ValueError, match="whole-frame"):
-        up.load("swin_unet/art", 2, -1, cfg)
+        up.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
 
 
 def test_build_compiles_graph_backend_for_bare_onnx(tmp_path):
@@ -390,7 +392,7 @@ def test_upscaler_graph_backend_honors_precision(tmp_path):
         cfg = RenderConfig(precision=prec, batch_size=2, height=32,
                            width=32, scaling=2, overlap=(1 / 16, 1 / 16))
         up = Upscaler(models_dir=models_dir, allow_random_init=False)
-        up.load("swin_unet/art", 2, -1, cfg)
+        up.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
         if prec is Precision.FP16:  # bf16 weights cast once at load
             leaf = next(iter(up._params.values()))
             while isinstance(leaf, dict):
@@ -446,9 +448,9 @@ def test_graph_backend_sharded_matches_unsharded(tmp_path):
     cfg = RenderConfig(precision=Precision.TF32, batch_size=4, height=32,
                        width=32, scaling=2, overlap=(1 / 16, 1 / 16))
     plain = Upscaler(models_dir=models_dir)
-    plain.load("swin_unet/art", 2, -1, cfg)
+    plain.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
     sharded = Upscaler(models_dir=models_dir)
-    sharded.load("swin_unet/art", 2, -1, cfg,
+    sharded.load("swin_unet/art", 2, -1, cfg, graph_exact=True,
                  sharding=tile_sharding(data_parallel_mesh(8)))
     np.testing.assert_array_equal(plain.render(frame), sharded.render(frame))
 
@@ -534,7 +536,7 @@ def test_graph_backend_streams_across_frames(tmp_path):
     cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
                        width=32, scaling=2, overlap=(1 / 16, 1 / 16))
     up = Upscaler(models_dir=models_dir)
-    up.load("swin_unet/art", 2, -1, cfg)
+    up.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
     assert up.can_stream
 
     rng = np.random.default_rng(23)
@@ -547,3 +549,145 @@ def test_graph_backend_streams_across_frames(tmp_path):
     assert len(outs) == len(frames)
     for f, o in zip(frames, outs):
         np.testing.assert_array_equal(np.asarray(o), up.render(f))
+
+
+def test_bare_onnx_serves_verified_optimized_path(tmp_path):
+    """Default serving of a bare .onnx is TensorRT-style parse->optimize:
+    the conversion is numerically VERIFIED against the artifact's own
+    graph (host-side re-export comparison), the flax module serves, the
+    proof is cached in a sha-keyed .verify.json sidecar, and the render
+    equals the graph-exact serve to the u8 LSB."""
+    import json
+
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.onnx_backend import GraphModule
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    frame = np.random.default_rng(29).integers(0, 256, (50, 70, 3), np.uint8)
+
+    msgs = []
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir)
+    up.set_message_callback(lambda s, m: msgs.append(m))
+    up.load("swin_unet/art", 2, -1, cfg)
+    assert isinstance(up._module, SwinUNet)
+    assert any("VERIFIED" in m for m in msgs), msgs
+
+    sidecar = art_dir / "scale2x.onnx.verify.json"
+    assert sidecar.exists()
+    rec = json.loads(sidecar.read_text())
+    assert len(rec["sha16"]) == 16 and rec["max_err"] <= 1e-4
+
+    got = up.render(frame)
+
+    exact = Upscaler(models_dir=models_dir)
+    exact.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
+    assert isinstance(exact._module, GraphModule)
+    want = exact.render(frame)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+
+    # second load skips re-verification (sha sidecar hit): breaking the
+    # verifier must not matter
+    import waifu2x_tensorrt_tpu.models.onnx_backend as ob
+
+    orig = ob.verify_swin_conversion
+    ob.verify_swin_conversion = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("must not re-verify"))
+    try:
+        up2 = Upscaler(models_dir=models_dir)
+        up2.load("swin_unet/art", 2, -1, cfg)
+        assert isinstance(up2._module, SwinUNet)
+    finally:
+        ob.verify_swin_conversion = orig
+
+
+def test_artifact_optimization_failure_falls_back_to_graph(tmp_path):
+    """Conversion or verification failure must not kill serving: the
+    parsed graph serves instead (with a warning naming the reason)."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.onnx_backend import GraphModule
+
+    import waifu2x_tensorrt_tpu.models.onnx_backend as ob
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    frame = np.random.default_rng(31).integers(0, 256, (40, 40, 3), np.uint8)
+
+    for attr, exc in (("swin_params_from_graph",
+                       ValueError("expected 5 convs, found 6")),
+                      ("verify_swin_conversion",
+                       ValueError("artifact diverges"))):
+        orig = getattr(ob, attr)
+        setattr(ob, attr, lambda *a, _e=exc, **k: (_ for _ in ()).throw(_e))
+        try:
+            msgs = []
+            up = Upscaler(models_dir=models_dir)
+            up.set_message_callback(lambda s, m: msgs.append(m))
+            up.load("swin_unet/art", 2, -1, cfg)
+            assert isinstance(up._module, GraphModule), attr
+            assert any("optimized serving unavailable" in m
+                       for m in msgs), (attr, msgs)
+            out = up.render(frame)
+            assert out.shape == (80, 80, 3)
+        finally:
+            setattr(ob, attr, orig)
+
+
+def test_optimized_artifact_supports_whole_frame(tmp_path):
+    """--tileSize 0 is rejected for graph-exact serving (the parsed graph
+    cannot self-pad) but works through the verified-optimized flax path,
+    which pads internally like any flax engine."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=1, height=0,
+                       width=0, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir)
+    up.load("swin_unet/art", 2, -1, cfg)
+    frame = np.random.default_rng(37).integers(0, 256, (45, 61, 3), np.uint8)
+    out = up.render(frame)
+    assert out.shape == (90, 122, 3)
+
+
+def test_graph_exact_rejects_mismatched_static_geometry(tmp_path):
+    """A static-geometry export (input size baked into the graph) can only
+    graph-exact-serve at its exported tile size; any other tile must fail
+    at load with the real constraint, not a trace-time reshape error."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2, hw=(32, 32))
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
+                       width=64, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir)
+    with pytest.raises(ValueError, match="FIXED geometry"):
+        up.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
+    # the optimized default is geometry-free: same config loads fine
+    up.load("swin_unet/art", 2, -1, cfg)

@@ -20,6 +20,7 @@ import pytest
 from waifu2x_tensorrt_tpu.models.convert import (
     cunet_from_onnx,
     cunet_mapping,
+    state_from_flax,
     swin_from_torch,
     swin_mapping,
 )
@@ -36,43 +37,9 @@ from waifu2x_tensorrt_tpu.models.onnx_reader import read_initializers
 from waifu2x_tensorrt_tpu.models.registry import _flatten, init_params
 
 
-def _inv_conv(k):  # flax (kh,kw,I,O) -> torch (O,I,kh,kw)
-    return np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
-
-
-def _inv_deconv(k):  # flax (kh,kw,I,O) -> torch (I,O,kh,kw), taps flipped
-    w = np.transpose(k, (2, 3, 0, 1))
-    return np.ascontiguousarray(w[:, :, ::-1, ::-1])
-
-
-def _inv_dense(k):  # flax (I,O) -> torch (O,I)
-    return np.ascontiguousarray(k.T)
-
-
-def _torch_state_from_flax(flat, mapping):
-    """Inverse of the converter's layout transforms: build the torch-style
-    state_dict arrays an upstream checkpoint/export would contain."""
-    state = {}
-    for src, dst, kind in mapping:
-        if kind == "table":
-            state[src] = np.asarray(flat[dst])
-            continue
-        k = np.asarray(flat[f"{dst}/kernel"]) if kind != "norm" else None
-        if kind == "conv":
-            state[f"{src}.weight"] = _inv_conv(k)
-        elif kind == "deconv":
-            state[f"{src}.weight"] = _inv_deconv(k)
-        elif kind == "dense":
-            w = _inv_dense(k)
-            if ".conv.4." in src:  # SE blocks are 1x1 convs upstream
-                w = w[:, :, None, None]
-            state[f"{src}.weight"] = np.ascontiguousarray(w)
-        elif kind == "norm":
-            state[f"{src}.weight"] = np.asarray(flat[f"{dst}/scale"])
-        bias = flat.get(f"{dst}/bias")
-        if bias is not None:
-            state[f"{src}.bias"] = np.asarray(bias)
-    return state
+# the inverse transforms live in the package now (convert.state_from_flax,
+# also used by load-time artifact verification); tests keep this alias
+_torch_state_from_flax = state_from_flax
 
 
 def _tree_equal(a, b, path=""):

@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Shard input files across JAX processes "
                         "(round-robin by process_index; run one process "
                         "per host with jax.distributed initialized)")
+    p.add_argument("--graph-exact", action="store_true",
+                   dest="graph_exact",
+                   help="When serving a bare .onnx artifact, always run "
+                        "the export's own parsed graph (export-exact "
+                        "math) instead of the verified flax+Pallas "
+                        "optimized path (~2x faster)")
     p.add_argument("--allow-random-weights", action="store_true",
                    dest="allow_random_weights",
                    help="Render with randomly initialized weights when no "
@@ -356,7 +362,8 @@ def main(argv=None) -> int:
             max_height=args.tile_size,
         )
         try:
-            engine.build(args.model, args.scale, args.noise, config)
+            engine.build(args.model, args.scale, args.noise, config,
+                         graph_exact=args.graph_exact)
         except Exception as e:
             message_cb(Severity.error, f"Engine build failed: {e}.")
             return -1
@@ -457,7 +464,8 @@ def main(argv=None) -> int:
     engine.set_progress_callback(progress_cb)
     try:
         engine.load(args.model, args.scale, args.noise, config,
-                    sharding=sharding, bucket=getattr(args, "bucket", 0))
+                    sharding=sharding, bucket=getattr(args, "bucket", 0),
+                    graph_exact=args.graph_exact)
     except Exception as e:
         message_cb(Severity.error, f"Engine load failed: {e}.")
         return -1

@@ -48,6 +48,7 @@ class Upscaler:
         self._sharding = None
         self._bucket = 0
         self._device = None
+        self._artifact_arch = None
 
     def _select_device(self, device_id: int):
         """Bind this engine to one accelerator (reference cudaSetDevice,
@@ -77,24 +78,25 @@ class Upscaler:
     # -- build: AOT compile + sidecar (img2img_build.cpp:54-173) -----------
     def build(self, family: str, scale: int, noise: int,
               config: BuildConfig,
-              use_pallas: Optional[bool] = None) -> None:
+              use_pallas: Optional[bool] = None,
+              graph_exact: bool = False) -> None:
         registry.validate(family, scale, noise)
         self._select_device(config.device_id)
+        self._artifact_arch = None
         engine_cache.enable_persistent_cache(self.models_dir)
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use_pallas is None:
             use_pallas = on_tpu
         # must match load()'s model so the persistent-cache entry is the
-        # one render() will look up — including load()'s backend choice:
-        # a bare .onnx artifact is served through the graph backend, so
-        # THAT is the program to AOT-compile (compiling the flax
-        # reconstruction would warm programs render() never runs)
+        # one render() will look up — including load()'s backend choice
+        # for bare .onnx artifacts (verified-optimized flax module or
+        # graph backend): THAT is the program to AOT-compile
         stem_b = registry.weights_path(self.models_dir, family, scale,
                                        noise)
         onnx_artifact = stem_b.with_suffix(".onnx")
         if not stem_b.exists() and onnx_artifact.exists():
-            module, spec, params = self._load_graph_backend(
-                onnx_artifact, family, scale, noise, config)
+            module, spec, params, _optimized = self._load_graph_backend(
+                onnx_artifact, family, scale, noise, config, graph_exact)
             for _, hh, _w in engine_config.compiled_shapes(config):
                 if hh % spec.tile_divisor:
                     raise ValueError(
@@ -156,8 +158,14 @@ class Upscaler:
              require_engine: bool = False,
              use_pallas: Optional[bool] = None,
              bucket: int = 0,
-             fuse_frame: bool = False) -> None:
+             fuse_frame: bool = False,
+             graph_exact: bool = False) -> None:
         """Select/compile the engine and prepare render programs.
+
+        ``graph_exact=True`` disables the parse->optimize path for bare
+        .onnx artifacts: the export's own graph serves even when the
+        conversion verifies (export-exact math at the graph-backend
+        rate).
 
         ``fuse_frame=True`` uses one monolithic XLA program per frame
         geometry (model inlined; exact-size remainder chunk, no per-chunk
@@ -167,6 +175,7 @@ class Upscaler:
         """
         registry.validate(family, scale, noise)
         device = self._select_device(config.device_id)
+        self._artifact_arch = None
         engine_cache.enable_persistent_cache(self.models_dir)
         stem = registry.weights_path(self.models_dir, family, scale, noise)
         found = engine_cache.find_engine(stem, config)
@@ -191,14 +200,17 @@ class Upscaler:
         onnx_artifact = stem.with_suffix(".onnx")
         graph_backed = not stem.exists() and onnx_artifact.exists()
         if graph_backed:
-            # Serve the parsed release artifact directly (the reference's
-            # behavior: hand any ONNX to the accelerator,
-            # img2img_build.cpp:88) at the requested precision; the flax +
-            # Pallas reconstruction (converted .npz) is the fast path.
-            module, spec, params = self._load_graph_backend(
-                onnx_artifact, family, scale, noise, config)
+            # Serve the release artifact (the reference's behavior: hand
+            # any ONNX to the accelerator, img2img_build.cpp:88):
+            # verified-conversion artifacts run the flax + Pallas fast
+            # path, the rest the parsed graph at the requested precision.
+            module, spec, params, optimized = self._load_graph_backend(
+                onnx_artifact, family, scale, noise, config, graph_exact)
             from_file = True
-            use_pallas = False
+            if optimized:
+                graph_backed = False  # flax path: self-pads, whole-frame ok
+            else:
+                use_pallas = False
         else:
             # Packed head (blend/scatter in (oh/r, ow/r, 48) layout, one
             # canvas unpack) was measured v5e 2026-08: model -1.5 ms/chunk
@@ -267,6 +279,7 @@ class Upscaler:
         module_px = spec_px = None
         if (os.environ.get("WAIFU2X_PACK_X") == "1"
                 and not fuse_frame and not graph_backed and on_tpu
+                and self._artifact_arch is None
                 and spec.arch == "swin_unet" and scale > 1
                 and not config.tta):
             module_px, spec_px = registry.create_model(
@@ -286,35 +299,65 @@ class Upscaler:
         self._fused = use_pallas and on_tpu
 
     def _load_graph_backend(self, onnx_path: Path, family: str, scale: int,
-                            noise: int, config):  # Render- or BuildConfig
-        """Parse + derive + wrap an ONNX artifact for direct serving
-        (models/onnx_backend.py). Raises when the artifact's derived scale
-        contradicts the requested one.
-
-        Honors ``config.precision`` the way the reference's builder does
-        with an fp32 artifact (img2img_build.cpp:88 — TensorRT assigns
-        fp16 per layer regardless of the ONNX dtypes): fp16 runs the
-        parsed graph at bf16 MXU rate with fp32 islands, tf32 runs the
-        export's own fp32 math (the validate.py ground-truth mode)."""
+                            noise: int, config,  # Render- or BuildConfig
+                            graph_exact: bool = False):
+        """Parse an ONNX artifact for serving; returns (module, spec,
+        params, optimized). TensorRT-style parse -> optimize
+        (img2img_build.cpp:88): when the artifact converts positionally
+        AND the conversion is numerically VERIFIED against the artifact's
+        own graph (onnx_backend.verify_swin_conversion, sha-cached in a
+        .verify.json sidecar), it serves through the flax + Pallas fast
+        path (~2x the traced-graph rate). Otherwise — or with
+        ``graph_exact=True`` — the parsed graph itself serves, honoring
+        ``config.precision`` the way the reference's builder does with an
+        fp32 artifact: fp16 runs bf16 on the MXU with fp32 islands, tf32
+        runs the export's own fp32 math (the validate.py ground-truth
+        mode). Raises when the artifact's derived scale contradicts the
+        requested one."""
         import dataclasses
 
-        from waifu2x_tensorrt_tpu.models.onnx_backend import load_graph_model
+        from waifu2x_tensorrt_tpu.models.onnx_backend import (
+            GraphModule,
+            derive_arch,
+        )
+        from waifu2x_tensorrt_tpu.models.onnx_graph import read_graph
 
-        compute_dtype = (config.precision.dtype
-                         if config.precision is engine_config.Precision.FP16
-                         else None)
-        module, arch, params = load_graph_model(
-            onnx_path, compute_dtype=compute_dtype)
+        graph = read_graph(onnx_path)
+        arch = derive_arch(graph)
         if arch.scale != scale:
             raise ValueError(
                 f"{onnx_path.name}: artifact scale {arch.scale} != "
                 f"requested scale {scale}")
+        if (not graph_exact and arch.arch == "swin_unet"
+                and arch.stage_depths):
+            try:
+                module, spec, params = self._load_optimized_artifact(
+                    graph, arch, onnx_path, family, scale, noise, config)
+                return module, spec, params, True
+            except Exception as e:
+                self.logger.log(
+                    Severity.warn,
+                    f"{onnx_path.name}: optimized serving unavailable "
+                    f"({e}); serving the parsed graph directly",
+                )
+        compute_dtype = (config.precision.dtype
+                         if config.precision is engine_config.Precision.FP16
+                         else None)
+        module = GraphModule(graph, compute_dtype=compute_dtype)
+        params = module.init_params()
         base = registry.get_spec(family, scale, noise)
         tile_divisor = base.tile_divisor
         if arch.arch == "swin_unet" and arch.window:
             # the graph cannot self-pad like the flax reconstruction: tile
             # sizes must be window*4-divisible (two stride-2 stages)
             tile_divisor = max(tile_divisor, arch.window * 4)
+        if arch.static_hw and config.height and (
+                (config.height, config.width) != tuple(arch.static_hw)):
+            raise ValueError(
+                f"{onnx_path.name} was exported at a FIXED geometry "
+                f"{tuple(arch.static_hw)}: graph-exact serving requires "
+                f"--tileSize {arch.static_hw[0]} (or convert the artifact "
+                f"— models/validate.py — for any tile size)")
         spec = dataclasses.replace(base, offset=arch.offset,
                                    tile_divisor=tile_divisor)
         self.logger.log(
@@ -323,6 +366,67 @@ class Upscaler:
             f"{'bf16 (fp32 islands)' if compute_dtype is not None else 'fp32'}"
             f" (derived arch: {arch.summary()}); tile sizes must be "
             f"multiples of {tile_divisor}",
+        )
+        return module, spec, params, False
+
+    def _load_optimized_artifact(self, graph, arch, onnx_path: Path,
+                                 family: str, scale: int, noise: int,
+                                 config):
+        """Convert + VERIFY a swin artifact, then build the flax + Pallas
+        serving module from the DERIVED architecture. Verification
+        re-exports the converted weights and compares both graphs under
+        the numpy executor (host-only, no device compile) — per-artifact
+        proof that the reconstruction reproduces the artifact's math; the
+        result is cached in ``<artifact>.verify.json`` keyed by the
+        artifact's sha256, the engine-cache pattern applied to fidelity."""
+        import dataclasses
+        import hashlib
+        import json
+
+        from waifu2x_tensorrt_tpu.models.onnx_backend import (
+            swin_params_from_graph,
+            verify_swin_conversion,
+        )
+        from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+        params = swin_params_from_graph(graph)
+        sha16 = hashlib.sha256(onnx_path.read_bytes()).hexdigest()[:16]
+        sidecar = onnx_path.parent / (onnx_path.name + ".verify.json")
+        err = None
+        if sidecar.exists():
+            try:
+                cached = json.loads(sidecar.read_text())
+                if cached.get("sha16") == sha16:
+                    err = float(cached["max_err"])
+            except (OSError, ValueError, KeyError, TypeError):
+                err = None
+        if err is None:
+            err = verify_swin_conversion(graph, arch, params)
+            try:
+                sidecar.write_text(json.dumps(
+                    {"sha16": sha16, "max_err": err,
+                     "arch": arch.summary()}, default=str))
+            except OSError:
+                pass
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        d = arch.stage_depths
+        module = SwinUNet(
+            scale=scale, base_dim=arch.base_dim,
+            depths=(d[0], d[0], d[1], d[2], d[2]),
+            dtype=config.precision.dtype,
+            use_pallas=on_tpu, fused_block=on_tpu,
+            shuffle_via_deconv=on_tpu,
+        )
+        base = registry.get_spec(family, scale, noise)
+        spec = dataclasses.replace(base, offset=arch.offset)
+        self._artifact_arch = arch
+        self.logger.log(
+            Severity.info,
+            f"{onnx_path.name}: conversion VERIFIED against the "
+            f"artifact's own graph (max abs err {err:.2e} on a "
+            f"{tuple(arch.probe_hw)} probe); serving the optimized "
+            f"flax+Pallas path (~2x the graph-exact rate — pass "
+            f"--graph-exact for the export's own math)",
         )
         return module, spec, params
 
@@ -337,12 +441,28 @@ class Upscaler:
         )
         family, scale, noise, config, sharding, use_pallas = self._load_args
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        module, spec = registry.create_model(
-            family, scale, noise, dtype=config.precision.dtype,
-            use_pallas=use_pallas, fused_block=False,
-            packed_head=self._spec.packing > 1,
-            shuffle_via_deconv=on_tpu,
-        )
+        if self._artifact_arch is not None:
+            # optimized-artifact serving: rebuild from the DERIVED arch
+            # (registry.create_model would assume flagship dimensions)
+            from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+            arch = self._artifact_arch
+            d = arch.stage_depths
+            module = SwinUNet(
+                scale=scale, base_dim=arch.base_dim,
+                depths=(d[0], d[0], d[1], d[2], d[2]),
+                dtype=config.precision.dtype,
+                use_pallas=use_pallas, fused_block=False,
+                shuffle_via_deconv=on_tpu,
+            )
+            spec = self._spec
+        else:
+            module, spec = registry.create_model(
+                family, scale, noise, dtype=config.precision.dtype,
+                use_pallas=use_pallas, fused_block=False,
+                packed_head=self._spec.packing > 1,
+                shuffle_via_deconv=on_tpu,
+            )
         self._module = module
         self._fused = False
         if isinstance(self._renderers, ChunkedPipeline):

@@ -41,6 +41,7 @@ __all__ = [
     "cunet_from_onnx",
     "swin_from_torch",
     "swin_mapping",
+    "state_from_flax",
 ]
 
 
@@ -221,3 +222,56 @@ def _to_np(t) -> np.ndarray:
         return t
     # torch tensor without importing torch at module scope
     return t.detach().cpu().numpy()
+
+
+# -- inverse direction: flax tree -> torch-style state arrays ---------------
+# Exact inverses of conv_weight / conv_transpose_weight / dense_weight.
+# Used by the round-trip fidelity tests AND by load-time artifact
+# verification (onnx_backend.verify_swin_conversion): converted weights are
+# re-exported through onnx_build's writer and the re-export is compared
+# against the artifact's own graph under the numpy executor.
+
+
+def inv_conv_weight(k: np.ndarray) -> np.ndarray:
+    """flax (kH, kW, I, O) -> torch (O, I, kH, kW)."""
+    return np.ascontiguousarray(np.transpose(k, (3, 2, 0, 1)))
+
+
+def inv_conv_transpose_weight(k: np.ndarray) -> np.ndarray:
+    """flax (kH, kW, I, O) -> torch (I, O, kH, kW), spatial taps flipped."""
+    w = np.transpose(k, (2, 3, 0, 1))
+    return np.ascontiguousarray(w[:, :, ::-1, ::-1])
+
+
+def inv_dense_weight(k: np.ndarray) -> np.ndarray:
+    """flax (I, O) -> torch (O, I)."""
+    return np.ascontiguousarray(np.asarray(k).T)
+
+
+def state_from_flax(flat: Mapping[str, np.ndarray],
+                    mapping: list) -> dict[str, np.ndarray]:
+    """Build the torch-style state_dict arrays an upstream checkpoint or
+    export would contain from a FLAT flax param dict (registry._flatten
+    layout), given a (torch_prefix, flax_path, kind) mapping — the exact
+    inverse of swin_from_torch / cunet_from_torch."""
+    state: dict[str, np.ndarray] = {}
+    for src, dst, kind in mapping:
+        if kind == "table":
+            state[src] = np.asarray(flat[dst])
+            continue
+        k = np.asarray(flat[f"{dst}/kernel"]) if kind != "norm" else None
+        if kind == "conv":
+            state[f"{src}.weight"] = inv_conv_weight(k)
+        elif kind == "deconv":
+            state[f"{src}.weight"] = inv_conv_transpose_weight(k)
+        elif kind == "dense":
+            w = inv_dense_weight(k)
+            if ".conv.4." in src:  # SE blocks are 1x1 convs upstream
+                w = w[:, :, None, None]
+            state[f"{src}.weight"] = np.ascontiguousarray(w)
+        elif kind == "norm":
+            state[f"{src}.weight"] = np.asarray(flat[f"{dst}/scale"])
+        bias = flat.get(f"{dst}/bias")
+        if bias is not None:
+            state[f"{src}.bias"] = np.asarray(bias)
+    return state
