@@ -476,9 +476,7 @@ def main() -> None:
                 init_params_host,
             )
             from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tests"))
-            from test_onnx_executor import _torch_state_from_flax
+            from waifu2x_tensorrt_tpu.models.convert import state_from_flax
 
             depths = (2, 2, 6, 2, 2)
             mod7 = SwinUNet(scale=4, base_dim=96, depths=depths,
@@ -487,7 +485,7 @@ def main() -> None:
             # flattening would fetch hundreds of leaves through the tunnel)
             flat7 = {k: np.asarray(v) for k, v in _flatten(
                 init_params_host(mod7, tile=32)).items()}
-            state7 = _torch_state_from_flax(flat7, swin_mapping(4, depths))
+            state7 = state_from_flax(flat7, swin_mapping(4, depths))
             art7 = pathlib.Path(tempfile.mkdtemp()) / "scale4x.onnx"
             build_swin_onnx(state7, 4, (256, 256), art7, base_dim=96,
                             depths=depths)

@@ -138,6 +138,53 @@ def test_batcher_salvages_pending_images_on_stream_failure(tmp_path):
     assert b.drain() == 0  # batcher is reusable after salvage
 
 
+def test_batcher_write_failure_keeps_outputs_aligned(tmp_path):
+    """A failed write must still consume its batch's remaining outputs:
+    stopping mid-batch would leave the pending deque misaligned, and a
+    later drain would write the NEXT image's pixels to the dropped
+    image's path."""
+
+    class _Lag2Stream:
+        """Returns outputs two submits late, two at a time."""
+
+        def __init__(self):
+            self.q = []
+
+        def warm(self):
+            return 0
+
+        def submit(self, frame):
+            self.q.append(frame)
+            if len(self.q) == 3:
+                return [255 - self.q.pop(0), 255 - self.q.pop(0)]
+            return []
+
+        def flush(self):
+            out = [255 - f for f in self.q]
+            self.q.clear()
+            return out
+
+    engine = _FakeEngine()
+    engine.open_stream = lambda hw: _Lag2Stream()
+    b, msgs = _batcher(tmp_path, engine)  # continue_on_error=False
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (8, 10, 3), np.uint8) for _ in range(3)]
+    bad = tmp_path / "blocker" / "a.png"
+    (tmp_path / "blocker").write_text("")  # a FILE where a dir must go
+    assert b.submit(imgs[0], bad) == 0
+    assert b.submit(imgs[1], tmp_path / "b.png") == 0
+    # boundary chunk delivers [outA, outB]: A's write fails, B's output
+    # must still be written (it is already computed), and C stays queued
+    assert b.submit(imgs[2], tmp_path / "c.png") == -1
+    np.testing.assert_array_equal(
+        read_image(tmp_path / "b.png"), 255 - imgs[1])
+    assert b.drain() == 0
+    np.testing.assert_array_equal(
+        read_image(tmp_path / "c.png"), 255 - imgs[2])
+    assert not any("fewer outputs than inputs" in m for _, m in msgs)
+    assert engine.rendered == 0  # no bogus salvage re-renders
+
+
 def test_batcher_write_failure_is_reported(tmp_path):
     engine = _FakeEngine()
     b, msgs = _batcher(tmp_path, engine)

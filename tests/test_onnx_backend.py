@@ -671,6 +671,122 @@ def test_optimized_artifact_supports_whole_frame(tmp_path):
     assert out.shape == (90, 122, 3)
 
 
+def _bare_artifact(tmp_path, hw=(32, 32)):
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _swin_graph(tmp_path, scale=2, hw=hw)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "swin2.onnx").read_bytes())
+    return models_dir, art_dir
+
+
+def test_failed_verification_is_cached_in_sidecar(tmp_path):
+    """A divergent-but-parseable artifact must not re-pay the full
+    host-side verification on every load: the FAILURE verdict is cached
+    in the .verify.json sidecar alongside the success path."""
+    import json
+
+    import waifu2x_tensorrt_tpu.models.onnx_backend as ob
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir, art_dir = _bare_artifact(tmp_path)
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+
+    orig = ob.verify_swin_conversion
+    ob.verify_swin_conversion = lambda *a, **k: (_ for _ in ()).throw(
+        ValueError("artifact diverges: max abs err 3.1e-02"))
+    try:
+        up = Upscaler(models_dir=models_dir)
+        up.load("swin_unet/art", 2, -1, cfg)
+        assert isinstance(up._module, GraphModule)
+    finally:
+        ob.verify_swin_conversion = orig
+
+    sidecar = art_dir / "scale2x.onnx.verify.json"
+    rec = json.loads(sidecar.read_text())
+    assert "diverges" in rec["error"] and len(rec["sha16"]) == 16
+
+    # second load must consume the cached verdict, not re-verify
+    ob.verify_swin_conversion = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("must not re-verify a cached failure"))
+    try:
+        msgs = []
+        up2 = Upscaler(models_dir=models_dir)
+        up2.set_message_callback(lambda s, m: msgs.append(m))
+        up2.load("swin_unet/art", 2, -1, cfg)
+        assert isinstance(up2._module, GraphModule)
+        assert any("cached verification" in m for m in msgs), msgs
+    finally:
+        ob.verify_swin_conversion = orig
+
+
+def test_sidecar_beyond_tolerance_is_not_trusted(tmp_path):
+    """A sha-matching sidecar recording an error ABOVE the current gate
+    (older tool tolerance, hand-edited, NaN) must trigger re-verification
+    instead of silently enabling the optimized path."""
+    import hashlib
+    import json
+
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    models_dir, art_dir = _bare_artifact(tmp_path)
+    onnx_path = art_dir / "scale2x.onnx"
+    sha16 = hashlib.sha256(onnx_path.read_bytes()).hexdigest()[:16]
+    sidecar = art_dir / "scale2x.onnx.verify.json"
+    for bogus in (0.5, float("nan")):
+        sidecar.write_text(json.dumps({"sha16": sha16, "max_err": bogus}))
+        up = Upscaler(models_dir=models_dir)
+        cfg = RenderConfig(precision=Precision.TF32, batch_size=2,
+                           height=32, width=32, scaling=2,
+                           overlap=(1 / 16, 1 / 16))
+        up.load("swin_unet/art", 2, -1, cfg)
+        # this artifact verifies clean, so re-verification succeeds and
+        # REPLACES the bogus record
+        assert isinstance(up._module, SwinUNet)
+        assert json.loads(sidecar.read_text())["max_err"] <= 1e-4
+
+
+def test_optimized_artifact_honors_use_pallas(tmp_path):
+    """load(use_pallas=...) must reach the verified-optimized module the
+    same way it reaches registry-built models — the opt-out exists so a
+    Pallas kernel failure can be avoided entirely."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    models_dir, _ = _bare_artifact(tmp_path)
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    for flag in (True, False):
+        up = Upscaler(models_dir=models_dir)
+        up.load("swin_unet/art", 2, -1, cfg, use_pallas=flag)
+        assert isinstance(up._module, SwinUNet)
+        assert up._module.use_pallas is flag
+
+
+def test_build_rejects_mismatched_static_geometry_profile(tmp_path):
+    """build() hands _load_graph_backend a BuildConfig (no height/width
+    attributes): a static-geometry export whose shape disagrees with the
+    requested profile must raise the clear FIXED-geometry error, not an
+    AttributeError."""
+    from waifu2x_tensorrt_tpu.engine.config import BuildConfig, Precision
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir, _ = _bare_artifact(tmp_path, hw=(32, 32))
+    bcfg = BuildConfig(precision=Precision.TF32,
+                       min_batch_size=1, opt_batch_size=1, max_batch_size=1,
+                       min_height=64, opt_height=64, max_height=64,
+                       min_width=64, opt_width=64, max_width=64)
+    up = Upscaler(models_dir=models_dir)
+    with pytest.raises(ValueError, match="FIXED geometry"):
+        up.build("swin_unet/art", 2, -1, bcfg, graph_exact=True)
+
+
 def test_graph_exact_rejects_mismatched_static_geometry(tmp_path):
     """A static-geometry export (input size baked into the graph) can only
     graph-exact-serve at its exported tile size; any other tile must fail

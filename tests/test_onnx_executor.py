@@ -190,6 +190,12 @@ def test_read_graph_rejects_non_onnx_files(tmp_path):
         "image.onnx": b"\x89PNG\r\n\x1a\n" + b"\x00" * 500,
         "garbage.onnx": bytes(range(256)) * 40,
         "truncated.onnx": b"\x3a\xff\xff\xff\xff\xff\xff",
+        # graph->node->attribute with a float field truncated mid-fixed32:
+        # struct.unpack must not leak a raw struct.error
+        "cut_float.onnx": b"\x3a\x07\x0a\x05\x2a\x03\x15\x00\x00",
+        # initializer raw_data whose length is not a multiple of 4
+        "odd_floats.onnx": b"\x3a\x0b\x2a\x09\x08\x01\x4a\x05"
+                           b"\x00\x00\x80\x3f\x00",
     }
     for name, data in cases.items():
         p = tmp_path / name

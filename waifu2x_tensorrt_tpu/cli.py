@@ -169,6 +169,36 @@ def _open_stream(engine, frame_hw):
     return stream
 
 
+def _write_image(crf: int, out_path: Path, frame_u8: np.ndarray,
+                 message_cb) -> int:
+    """Write one finished still image through the PNG writer path
+    (src/main.cpp:248-252: codec/pix_fmt empty, fps=1) with the
+    zero-frame verification on release. The single writer protocol for
+    both per-file renders and the image-stream batcher."""
+    writer = VideoWriter()
+    writer.set_constant_rate_factor(crf)
+    writer.set_frame_rate(1).set_pixel_format("").set_codec("")
+    writer.set_frame_size(frame_u8.shape[1], frame_u8.shape[0])
+    writer.set_output_file(out_path)
+    rc = 0
+    try:
+        writer.open()
+        writer.write(frame_u8)
+    except Exception as e:
+        message_cb(Severity.error, f"Render failed: {e}.")
+        rc = -1
+    finally:
+        try:
+            writer.release()
+        except Exception as e:
+            if rc == 0:
+                message_cb(Severity.error, f"Render failed: {e}.")
+                rc = -1
+    if rc == 0:
+        message_cb(Severity.info, f"Wrote {out_path}")
+    return rc
+
+
 class _ImageStreamBatcher:
     """Cross-file tile streaming for still images (TPU extension).
 
@@ -181,8 +211,14 @@ class _ImageStreamBatcher:
     every accelerator dispatch stays full-batch across FILES. Outputs
     trail submission by at most one chunk and are written (and
     verified) in submission order through the same PNG writer path as
-    per-file renders; output bytes are identical to per-image renders
-    (the stream/per-frame equality is pinned by tests/test_renderer.py).
+    per-file renders. Tile math is identical to per-image renders; when
+    a chunk spans files the tiles run in a full-batch XLA program where
+    the per-image path would have used an exact-size remainder program,
+    and different program shapes may round differently (byte-identical
+    for exact-math models and when chunks align to file boundaries;
+    within normal fp tolerance otherwise — pinned by
+    tests/test_renderer.py::test_tile_stream_matches_per_frame and the
+    exact NearestUp stream tests).
 
     Because writes are deferred, a failure writing image A can surface
     while a later file is being read; the error message names A's
@@ -243,40 +279,21 @@ class _ImageStreamBatcher:
         return rc
 
     def _write(self, outs) -> int:
+        # every output must be consumed even after a write failure:
+        # stopping mid-batch would leave _pending misaligned, and a later
+        # drain would write the NEXT image's pixels to this image's path.
+        # The remaining outputs are already computed, so writing them is
+        # strictly better than dropping them regardless of
+        # --continue-on-error (the nonzero rc still stops the RUN there).
         rc = 0
         for out in outs:
             out_path, _ = self._pending.popleft()
             if self._write_one(out_path, np.asarray(out)) != 0:
                 rc = -1
-                if not self._args.continue_on_error:
-                    break
         return rc
 
     def _write_one(self, out_path: Path, frame_u8: np.ndarray) -> int:
-        """Write one finished image exactly like the per-file path
-        (PNG writer mode + zero-frame verification on release)."""
-        writer = VideoWriter()
-        writer.set_constant_rate_factor(self._args.crf)
-        writer.set_frame_rate(1).set_pixel_format("").set_codec("")
-        writer.set_frame_size(frame_u8.shape[1], frame_u8.shape[0])
-        writer.set_output_file(out_path)
-        rc = 0
-        try:
-            writer.open()
-            writer.write(frame_u8)
-        except Exception as e:
-            self._cb(Severity.error, f"Render failed: {e}.")
-            rc = -1
-        finally:
-            try:
-                writer.release()
-            except Exception as e:
-                if rc == 0:
-                    self._cb(Severity.error, f"Render failed: {e}.")
-                    rc = -1
-        if rc == 0:
-            self._cb(Severity.info, f"Wrote {out_path}")
-        return rc
+        return _write_image(self._args.crf, out_path, frame_u8, self._cb)
 
     def _salvage(self, exc: Exception) -> int:
         """Stream failure: report it, then re-render every pending image
@@ -577,54 +594,64 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
         rc = _render_video_segmented(args, engine, file, out_path, state,
                                      message_cb, total, fps)
         return rc if rc != 0 else rc0
-    writer = VideoWriter()
-    writer.set_constant_rate_factor(args.crf)
-    if is_image:
-        writer.set_frame_rate(1).set_pixel_format("").set_codec("")
-    else:
-        writer.set_frame_rate(capture.frame_rate) \
-              .set_pixel_format(args.pix_fmt).set_codec(args.codec)
-    writer.set_frame_size(capture.frame_width * args.scale,
-                          capture.frame_height * args.scale)
-    writer.set_output_file(out_path)
     state["frames"] = capture.frame_count if capture.frame_count > 0 else "?"
-
-    rc = 0
-    try:
-        writer.open()
-        if capture.frame_count == 1:
+    if is_image:
+        # single still without a batcher: render, then write through the
+        # same PNG writer protocol the batcher uses
+        rc = 0
+        out = None
+        try:
             frame = capture.read()
             if frame is None:
                 raise RuntimeError("decoder ended early")
             state["frame"] = 1
-            writer.write(engine.render(frame))
-        else:
-            # Streaming video loop: cross-frame full-batch tile streaming
-            # (Upscaler.open_stream) keeps every model dispatch at full
-            # batch; outputs lag submission by <= one chunk, which also
-            # overlaps decode/encode with accelerator compute (the design
-            # goal the reference's single synchronous stream lacks,
-            # SURVEY.md §2 item 3). Falls back to the double-buffered
-            # per-frame loop when streaming does not apply.
-            stream = _open_stream(engine,
-                (capture.frame_height, capture.frame_width))
-            if stream is not None:
-                for frame_index, frame in enumerate(_frames(capture)):
-                    state["frame"] = frame_index + 1
-                    for out in stream.submit(frame):
-                        writer.write(np.asarray(out))
-                for out in stream.flush():
+            out = np.asarray(engine.render(frame))
+        except Exception as e:
+            message_cb(Severity.error, f"Render failed: {e}.")
+            rc = -1
+        finally:
+            capture.release()
+        if rc == 0:
+            rc = _write_image(args.crf, out_path, out, message_cb)
+        return rc if rc != 0 else rc0
+
+    writer = VideoWriter()
+    writer.set_constant_rate_factor(args.crf)
+    writer.set_frame_rate(capture.frame_rate) \
+          .set_pixel_format(args.pix_fmt).set_codec(args.codec)
+    writer.set_frame_size(capture.frame_width * args.scale,
+                          capture.frame_height * args.scale)
+    writer.set_output_file(out_path)
+
+    rc = 0
+    try:
+        writer.open()
+        # Streaming video loop: cross-frame full-batch tile streaming
+        # (Upscaler.open_stream) keeps every model dispatch at full
+        # batch; outputs lag submission by <= one chunk, which also
+        # overlaps decode/encode with accelerator compute (the design
+        # goal the reference's single synchronous stream lacks,
+        # SURVEY.md §2 item 3). Falls back to the double-buffered
+        # per-frame loop when streaming does not apply.
+        stream = _open_stream(engine,
+            (capture.frame_height, capture.frame_width))
+        if stream is not None:
+            for frame_index, frame in enumerate(_frames(capture)):
+                state["frame"] = frame_index + 1
+                for out in stream.submit(frame):
                     writer.write(np.asarray(out))
-            else:
-                pending = None
-                for frame_index, frame in enumerate(_frames(capture)):
-                    state["frame"] = frame_index + 1
-                    fut = engine.render_async(frame)
-                    if pending is not None:
-                        writer.write(np.asarray(pending))
-                    pending = fut
+            for out in stream.flush():
+                writer.write(np.asarray(out))
+        else:
+            pending = None
+            for frame_index, frame in enumerate(_frames(capture)):
+                state["frame"] = frame_index + 1
+                fut = engine.render_async(frame)
                 if pending is not None:
                     writer.write(np.asarray(pending))
+                pending = fut
+            if pending is not None:
+                writer.write(np.asarray(pending))
     except Exception as e:
         message_cb(Severity.error, f"Render failed: {e}.")
         rc = -1

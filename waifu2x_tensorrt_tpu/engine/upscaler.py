@@ -96,7 +96,8 @@ class Upscaler:
         onnx_artifact = stem_b.with_suffix(".onnx")
         if not stem_b.exists() and onnx_artifact.exists():
             module, spec, params, _optimized = self._load_graph_backend(
-                onnx_artifact, family, scale, noise, config, graph_exact)
+                onnx_artifact, family, scale, noise, config, graph_exact,
+                use_pallas)
             for _, hh, _w in engine_config.compiled_shapes(config):
                 if hh % spec.tile_divisor:
                     raise ValueError(
@@ -205,7 +206,8 @@ class Upscaler:
             # verified-conversion artifacts run the flax + Pallas fast
             # path, the rest the parsed graph at the requested precision.
             module, spec, params, optimized = self._load_graph_backend(
-                onnx_artifact, family, scale, noise, config, graph_exact)
+                onnx_artifact, family, scale, noise, config, graph_exact,
+                use_pallas)
             from_file = True
             if optimized:
                 graph_backed = False  # flax path: self-pads, whole-frame ok
@@ -300,7 +302,8 @@ class Upscaler:
 
     def _load_graph_backend(self, onnx_path: Path, family: str, scale: int,
                             noise: int, config,  # Render- or BuildConfig
-                            graph_exact: bool = False):
+                            graph_exact: bool = False,
+                            use_pallas: bool = True):
         """Parse an ONNX artifact for serving; returns (module, spec,
         params, optimized). TensorRT-style parse -> optimize
         (img2img_build.cpp:88): when the artifact converts positionally
@@ -332,7 +335,8 @@ class Upscaler:
                 and arch.stage_depths):
             try:
                 module, spec, params = self._load_optimized_artifact(
-                    graph, arch, onnx_path, family, scale, noise, config)
+                    graph, arch, onnx_path, family, scale, noise, config,
+                    use_pallas)
                 return module, spec, params, True
             except Exception as e:
                 self.logger.log(
@@ -351,13 +355,24 @@ class Upscaler:
             # the graph cannot self-pad like the flax reconstruction: tile
             # sizes must be window*4-divisible (two stride-2 stages)
             tile_divisor = max(tile_divisor, arch.window * 4)
-        if arch.static_hw and config.height and (
-                (config.height, config.width) != tuple(arch.static_hw)):
-            raise ValueError(
-                f"{onnx_path.name} was exported at a FIXED geometry "
-                f"{tuple(arch.static_hw)}: graph-exact serving requires "
-                f"--tileSize {arch.static_hw[0]} (or convert the artifact "
-                f"— models/validate.py — for any tile size)")
+        if arch.static_hw:
+            # RenderConfig carries one geometry; BuildConfig carries the
+            # whole min/opt/max profile — every compiled corner must match
+            # the export's fixed shape.
+            if hasattr(config, "height"):
+                geoms = [(config.height, config.width)] if config.height \
+                    else []
+            else:
+                geoms = sorted({(hh, ww) for _, hh, ww in
+                                engine_config.compiled_shapes(config)})
+            bad = [g for g in geoms if g != tuple(arch.static_hw)]
+            if bad:
+                raise ValueError(
+                    f"{onnx_path.name} was exported at a FIXED geometry "
+                    f"{tuple(arch.static_hw)} (requested {bad[0]}): "
+                    f"graph-exact serving requires --tileSize "
+                    f"{arch.static_hw[0]} (or convert the artifact "
+                    f"— models/validate.py — for any tile size)")
         spec = dataclasses.replace(base, offset=arch.offset,
                                    tile_divisor=tile_divisor)
         self.logger.log(
@@ -371,7 +386,7 @@ class Upscaler:
 
     def _load_optimized_artifact(self, graph, arch, onnx_path: Path,
                                  family: str, scale: int, noise: int,
-                                 config):
+                                 config, use_pallas: bool = True):
         """Convert + VERIFY a swin artifact, then build the flax + Pallas
         serving module from the DERIVED architecture. Verification
         re-exports the converted weights and compares both graphs under
@@ -384,6 +399,7 @@ class Upscaler:
         import json
 
         from waifu2x_tensorrt_tpu.models.onnx_backend import (
+            VERIFY_TOL,
             swin_params_from_graph,
             verify_swin_conversion,
         )
@@ -392,29 +408,49 @@ class Upscaler:
         params = swin_params_from_graph(graph)
         sha16 = hashlib.sha256(onnx_path.read_bytes()).hexdigest()[:16]
         sidecar = onnx_path.parent / (onnx_path.name + ".verify.json")
+
+        def _write_sidecar(payload: dict) -> None:
+            try:
+                sidecar.write_text(json.dumps(
+                    {"sha16": sha16, "arch": arch.summary(), **payload},
+                    default=str))
+            except OSError:
+                pass
+
         err = None
+        cached_failure = None
         if sidecar.exists():
+            # both verdicts are cached: a divergent-but-parseable artifact
+            # must not re-pay the full host-side verification every load
             try:
                 cached = json.loads(sidecar.read_text())
                 if cached.get("sha16") == sha16:
-                    err = float(cached["max_err"])
+                    if "error" in cached:
+                        cached_failure = str(cached["error"])
+                    else:
+                        err = float(cached["max_err"])
+                        # never trust a sidecar past the CURRENT gate
+                        # (older tolerance, hand-edited, NaN): re-verify
+                        if not err <= VERIFY_TOL:
+                            err = None
             except (OSError, ValueError, KeyError, TypeError):
                 err = None
+        if cached_failure is not None:
+            raise ValueError(f"{cached_failure} (cached verification)")
         if err is None:
-            err = verify_swin_conversion(graph, arch, params)
             try:
-                sidecar.write_text(json.dumps(
-                    {"sha16": sha16, "max_err": err,
-                     "arch": arch.summary()}, default=str))
-            except OSError:
-                pass
+                err = verify_swin_conversion(graph, arch, params)
+            except ValueError as e:
+                _write_sidecar({"error": str(e)})
+                raise
+            _write_sidecar({"max_err": err})
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         d = arch.stage_depths
         module = SwinUNet(
             scale=scale, base_dim=arch.base_dim,
             depths=(d[0], d[0], d[1], d[2], d[2]),
             dtype=config.precision.dtype,
-            use_pallas=on_tpu, fused_block=on_tpu,
+            use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
             shuffle_via_deconv=on_tpu,
         )
         base = registry.get_spec(family, scale, noise)

@@ -441,8 +441,14 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
 # ---------------------------------------------------------------------------
 
 
+# fp32 agreement gate between an artifact's graph and the converted
+# reconstruction's re-export (both under the numpy executor); also the
+# ceiling a .verify.json sidecar's cached max_err is trusted up to.
+VERIFY_TOL = 1e-4
+
+
 def verify_swin_conversion(graph: OnnxGraph, arch: ArchInfo,
-                           params: dict, tol: float = 1e-4) -> float:
+                           params: dict, tol: float = VERIFY_TOL) -> float:
     """Prove the positional conversion faithful for THIS artifact, fully
     host-side: re-export the converted flax params through onnx_build's
     writer (whose conventions are test-pinned equal to the flax forward,

@@ -178,7 +178,7 @@ def read_graph(path: str | Path) -> OnnxGraph:
                 graph.inputs = [
                     n for n in raw_inputs if n not in graph.initializers
                 ]
-    except (ValueError, IndexError, UnicodeDecodeError) as e:
+    except (ValueError, IndexError, UnicodeDecodeError, struct.error) as e:
         raise ValueError(
             f"{path}: not a parseable ONNX ModelProto "
             f"(corrupt or truncated protobuf: {e})") from e
