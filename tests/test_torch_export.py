@@ -102,6 +102,42 @@ def test_torch_export_converts_positionally(torch_export):
     assert np.abs(got - want).max() < 1e-4
 
 
+@pytest.mark.parametrize("scale,opset", [(4, 13), (1, 17)])
+def test_torch_export_variants(tmp_path, scale, opset):
+    """The adversarial exporter variants: opset 13 decomposes LayerNorm
+    into ReduceMean/Pow/Sqrt/Div chains and emits the head pixel-shuffle
+    as DepthToSpace; scale 1 drops the head shuffle entirely. Parse,
+    execute, derive, and positionally convert each in one pass."""
+    import jax.numpy as jnp
+
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    model, path = export_torch_swin(
+        tmp_path / f"s{scale}_o{opset}.onnx", scale=scale, opset=opset,
+        base_dim=32, tile=64)
+    graph = read_graph(path)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.0, 1.0, (1, 3, 64, 64)).astype(np.float32)
+    want = _torch_forward(model, x)
+
+    got = run_graph(graph, {graph.inputs[0]: x})[graph.outputs[0]]
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-4
+
+    arch = derive_arch(graph)
+    assert (arch.arch, arch.scale, arch.window) == ("swin_unet", scale, 8)
+    assert arch.stage_depths == (2, 2, 2)
+
+    params = swin_params_from_graph(graph)
+    module = SwinUNet(scale=scale, base_dim=32, depths=(2, 2, 2, 2, 2),
+                      dtype=jnp.float32)
+    flax = np.asarray(
+        module.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    assert np.abs(flax - want).max() < 1e-4
+
+
 def test_torch_export_serves_through_upscaler(tmp_path, torch_export):
     """End-to-end: drop the torch export into a model dir and render — the
     default path must VERIFY the conversion and serve the optimized flax
