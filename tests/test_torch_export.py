@@ -13,11 +13,13 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-from torch_mirror import export_torch_swin  # noqa: E402
+from torch_mirror import export_torch_cunet, export_torch_swin  # noqa: E402
 
 from waifu2x_tensorrt_tpu.models.onnx_backend import (  # noqa: E402
+    cunet_params_from_graph,
     derive_arch,
     swin_params_from_graph,
+    verify_cunet_conversion,
 )
 from waifu2x_tensorrt_tpu.models.onnx_graph import (  # noqa: E402
     read_graph,
@@ -136,6 +138,76 @@ def test_torch_export_variants(tmp_path, scale, opset):
                      jnp.asarray(x.transpose(0, 2, 3, 1)))
     ).transpose(0, 3, 1, 2)
     assert np.abs(flax - want).max() < 1e-4
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+def test_torch_cunet_export_full_loop(tmp_path, scale):
+    """The cunet family through a genuine torch-tracer graph: parse,
+    numpy-execute, derive (scale + context offset), positionally convert
+    (SE squeezes traced as 1x1 Convs, deconv heads), verify."""
+    import jax.numpy as jnp
+
+    from waifu2x_tensorrt_tpu.models.cunet import CUNet, UpCUNet
+
+    model, path = export_torch_cunet(tmp_path / f"c{scale}.onnx",
+                                     scale=scale)
+    graph = read_graph(path)
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0.0, 1.0, (1, 3, 76, 76)).astype(np.float32)
+    want = _torch_forward(model, x)
+
+    got = run_graph(graph, {graph.inputs[0]: x})[graph.outputs[0]]
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-5
+
+    arch = derive_arch(graph)
+    assert (arch.arch, arch.scale) == ("cunet", scale)
+    assert arch.offset == (36 if scale == 2 else 28)
+
+    params = cunet_params_from_graph(graph)
+    module = (UpCUNet if scale == 2 else CUNet)(dtype=jnp.float32)
+    flax = np.asarray(
+        module.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    assert np.abs(flax - want).max() < 1e-5
+    assert verify_cunet_conversion(graph, arch, params) < 1e-5
+
+
+def test_torch_cunet_serves_verified_through_upscaler(tmp_path):
+    """A bare torch-traced UpCUNet artifact must load VERIFIED and serve
+    the optimized flax module, matching the torch forward to the u8 LSB
+    through the full tiled render pipeline."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.cunet import UpCUNet
+
+    model, path = export_torch_cunet(tmp_path / "up2x.onnx", scale=2)
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "cunet" / "art"
+    art_dir.mkdir(parents=True)
+    (art_dir / "noise1_scale2x.onnx").write_bytes(path.read_bytes())
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=128,
+                       width=128, scaling=2, overlap=(1 / 16, 1 / 16))
+    msgs = []
+    up = Upscaler(models_dir=models_dir)
+    up.set_message_callback(lambda s, m: msgs.append(m))
+    up.load("cunet/art", 2, 1, cfg)
+    assert isinstance(up._module, UpCUNet), msgs
+    assert any("VERIFIED" in m for m in msgs), msgs
+
+    # whole frame fits one tile (128-72 context): compare torch directly
+    frame = np.random.default_rng(6).integers(0, 256, (56, 56, 3), np.uint8)
+    got = np.asarray(up.render(frame))
+    x = (frame.astype(np.float32) / 255.0).transpose(2, 0, 1)[None]
+    pad = 36 // 2  # replicate-pad to cover the context shrink
+    x = np.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge")
+    want = _torch_forward(model, x)[0].transpose(1, 2, 0)
+    want_u8 = np.clip(np.rint(want * 255.0), 0, 255).astype(np.uint8)
+    assert got.shape == (112, 112, 3)
+    diff = np.abs(got.astype(int) - want_u8.astype(int))
+    assert diff.max() <= 1, diff.max()
 
 
 def test_torch_export_serves_through_upscaler(tmp_path, torch_export):

@@ -196,26 +196,15 @@ class TorchSwinUNet(nn.Module):
         return z
 
 
-def export_torch_swin(path, scale: int = 2, base_dim: int = 32,
-                      depths: tuple = (2, 2, 2, 2, 2), tile: int = 64,
-                      seed: int = 0, opset: int = 17):
-    """Build a randomly-initialized mirror and export it through the
-    legacy torch.onnx tracer (the exporter lineage of the real release
-    artifacts). Returns (model, path)."""
-    torch.manual_seed(seed)
-    model = TorchSwinUNet(scale=scale, base_dim=base_dim, depths=depths,
-                          tile=tile).eval()
-    # non-degenerate bias table (zeros would hide conversion transposes)
-    with torch.no_grad():
-        for m in model.modules():
-            if isinstance(m, WindowAttention):
-                m.relative_position_bias_table.normal_(0.0, 0.02)
-    x = torch.rand(1, 3, tile, tile)
-    # torch's torchscript exporter builds the full ModelProto bytes in C++
-    # and then round-trips them through the `onnx` python package ONLY to
-    # append custom onnxscript functions (none here). That package is not
-    # installed in this image, so bypass the no-op step — the exported
-    # bytes are exactly what the C++ exporter produced.
+def _trace_export(model, x, path, opset: int):
+    """Export through the legacy torch.onnx tracer (the exporter lineage
+    of the real release artifacts).
+
+    torch's torchscript exporter builds the full ModelProto bytes in C++
+    and then round-trips them through the `onnx` python package ONLY to
+    append custom onnxscript functions (none here). That package is not
+    installed in this image, so bypass the no-op step — the exported
+    bytes are exactly what the C++ exporter produced."""
     from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
 
     orig = onnx_proto_utils._add_onnxscript_fn
@@ -229,4 +218,135 @@ def export_torch_swin(path, scale: int = 2, base_dim: int = 32,
         )
     finally:
         onnx_proto_utils._add_onnxscript_fn = orig
+
+
+def export_torch_swin(path, scale: int = 2, base_dim: int = 32,
+                      depths: tuple = (2, 2, 2, 2, 2), tile: int = 64,
+                      seed: int = 0, opset: int = 17):
+    """Build a randomly-initialized mirror and export it through the
+    legacy torch.onnx tracer. Returns (model, path)."""
+    torch.manual_seed(seed)
+    model = TorchSwinUNet(scale=scale, base_dim=base_dim, depths=depths,
+                          tile=tile).eval()
+    # non-degenerate bias table (zeros would hide conversion transposes)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, WindowAttention):
+                m.relative_position_bias_table.normal_(0.0, 0.02)
+    _trace_export(model, torch.rand(1, 3, tile, tile), path, opset)
+    return model, path
+
+
+# --------------------------------------------------------------------------
+# CUNet / UpCUNet torch mirror (upstream nunif cunet lineage; the flax
+# reconstruction is models/cunet.py, the name conventions cunet_mapping's
+# left column: unetN.convK.conv.{0,2,4.conv1,4.conv2})
+# --------------------------------------------------------------------------
+
+
+class TorchSEBlock(nn.Module):
+    def __init__(self, ch: int, reduction: int = 8):
+        super().__init__()
+        self.conv1 = nn.Conv2d(ch, ch // reduction, 1)
+        self.conv2 = nn.Conv2d(ch // reduction, ch, 1)
+
+    def forward(self, x):
+        z = F.adaptive_avg_pool2d(x, 1)
+        z = F.relu(self.conv1(z))
+        z = torch.sigmoid(self.conv2(z))
+        return x * z
+
+
+class TorchUNetConv(nn.Module):
+    """conv3x3(valid) → lrelu → conv3x3(valid) → lrelu → optional SE,
+    packed in an nn.Sequential so state_dict names match upstream
+    (``.conv.0`` / ``.conv.2`` / ``.conv.4.convN``)."""
+
+    def __init__(self, cin: int, mid: int, out: int, se: bool):
+        super().__init__()
+        layers = [nn.Conv2d(cin, mid, 3), nn.LeakyReLU(0.1),
+                  nn.Conv2d(mid, out, 3), nn.LeakyReLU(0.1)]
+        if se:
+            layers.append(TorchSEBlock(out))
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+def _crop(x, p: int):
+    return x[:, :, p:-p, p:-p]
+
+
+class TorchUNet1(nn.Module):
+    def __init__(self, out_ch: int = 3, deconv: bool = False):
+        super().__init__()
+        self.conv1 = TorchUNetConv(3, 32, 64, se=False)
+        self.conv1_down = nn.Conv2d(64, 64, 2, stride=2)
+        self.conv2 = TorchUNetConv(64, 128, 64, se=True)
+        self.conv2_up = nn.ConvTranspose2d(64, 64, 2, stride=2)
+        self.conv3 = nn.Conv2d(64, 64, 3)
+        if deconv:
+            self.conv_bottom = nn.ConvTranspose2d(64, out_ch, 4, stride=2,
+                                                  padding=3)
+        else:
+            self.conv_bottom = nn.Conv2d(64, out_ch, 3)
+
+    def forward(self, x):
+        x1 = self.conv1(x)
+        x2 = F.leaky_relu(self.conv1_down(x1), 0.1)
+        x2 = self.conv2(x2)
+        x2 = F.leaky_relu(self.conv2_up(x2), 0.1)
+        x3 = F.leaky_relu(self.conv3(_crop(x1, 4) + x2), 0.1)
+        return self.conv_bottom(x3)
+
+
+class TorchUNet2(nn.Module):
+    def __init__(self, out_ch: int = 3):
+        super().__init__()
+        self.conv1 = TorchUNetConv(3, 32, 64, se=False)
+        self.conv1_down = nn.Conv2d(64, 64, 2, stride=2)
+        self.conv2 = TorchUNetConv(64, 64, 128, se=True)
+        self.conv2_down = nn.Conv2d(128, 128, 2, stride=2)
+        self.conv3 = TorchUNetConv(128, 256, 128, se=True)
+        self.conv3_up = nn.ConvTranspose2d(128, 128, 2, stride=2)
+        self.conv4 = TorchUNetConv(128, 64, 64, se=True)
+        self.conv4_up = nn.ConvTranspose2d(64, 64, 2, stride=2)
+        self.conv5 = nn.Conv2d(64, 64, 3)
+        self.conv_bottom = nn.Conv2d(64, out_ch, 3)
+
+    def forward(self, x):
+        x1 = self.conv1(x)
+        x2 = F.leaky_relu(self.conv1_down(x1), 0.1)
+        x2 = self.conv2(x2)
+        x3 = F.leaky_relu(self.conv2_down(x2), 0.1)
+        x3 = self.conv3(x3)
+        x3 = F.leaky_relu(self.conv3_up(x3), 0.1)
+        x4 = self.conv4(_crop(x2, 4) + x3)
+        x4 = F.leaky_relu(self.conv4_up(x4), 0.1)
+        x5 = F.leaky_relu(self.conv5(_crop(x1, 16) + x4), 0.1)
+        return self.conv_bottom(x5)
+
+
+class TorchCUNet(nn.Module):
+    """Scale-1 cascade (out = in - 56); UpCUNet when ``deconv``."""
+
+    def __init__(self, deconv: bool = False):
+        super().__init__()
+        self.unet1 = TorchUNet1(3, deconv=deconv)
+        self.unet2 = TorchUNet2(3)
+
+    def forward(self, x):
+        z1 = self.unet1(x)
+        z2 = self.unet2(z1)
+        return torch.clamp(_crop(z1, 20) + z2, 0.0, 1.0)
+
+
+def export_torch_cunet(path, scale: int = 1, tile: int = 76,
+                       seed: int = 0, opset: int = 17):
+    """Randomly-initialized CUNet (1x) / UpCUNet (2x) mirror exported
+    through the legacy torch.onnx tracer. Returns (model, path)."""
+    torch.manual_seed(seed)
+    model = TorchCUNet(deconv=(scale == 2)).eval()
+    _trace_export(model, torch.rand(1, 3, tile, tile), path, opset)
     return model, path

@@ -298,7 +298,9 @@ class Upscaler:
         self._load_args = (family, scale, noise, config, sharding,
                            use_pallas)
         self._had_px = module_px is not None
-        self._fused = use_pallas and on_tpu
+        # cunet has no fused Pallas kernels: never route its failures
+        # through the fused-fallback resubmission path
+        self._fused = use_pallas and on_tpu and spec.arch == "swin_unet"
 
     def _load_graph_backend(self, onnx_path: Path, family: str, scale: int,
                             noise: int, config,  # Render- or BuildConfig
@@ -331,8 +333,9 @@ class Upscaler:
             raise ValueError(
                 f"{onnx_path.name}: artifact scale {arch.scale} != "
                 f"requested scale {scale}")
-        if (not graph_exact and arch.arch == "swin_unet"
-                and arch.stage_depths):
+        if not graph_exact and (
+                arch.arch == "cunet"
+                or (arch.arch == "swin_unet" and arch.stage_depths)):
             try:
                 module, spec, params = self._load_optimized_artifact(
                     graph, arch, onnx_path, family, scale, noise, config,
@@ -387,25 +390,32 @@ class Upscaler:
     def _load_optimized_artifact(self, graph, arch, onnx_path: Path,
                                  family: str, scale: int, noise: int,
                                  config, use_pallas: bool = True):
-        """Convert + VERIFY a swin artifact, then build the flax + Pallas
-        serving module from the DERIVED architecture. Verification
-        re-exports the converted weights and compares both graphs under
-        the numpy executor (host-only, no device compile) — per-artifact
-        proof that the reconstruction reproduces the artifact's math; the
-        result is cached in ``<artifact>.verify.json`` keyed by the
-        artifact's sha256, the engine-cache pattern applied to fidelity."""
+        """Convert + VERIFY a swin or cunet artifact, then build the flax
+        (+ Pallas for swin) serving module from the DERIVED architecture.
+        Verification re-exports the converted weights and compares both
+        graphs under the numpy executor (host-only, no device compile) —
+        per-artifact proof that the reconstruction reproduces the
+        artifact's math; the result is cached in ``<artifact>.verify.json``
+        keyed by the artifact's sha256, the engine-cache pattern applied
+        to fidelity."""
         import dataclasses
         import hashlib
         import json
 
         from waifu2x_tensorrt_tpu.models.onnx_backend import (
             VERIFY_TOL,
+            cunet_params_from_graph,
             swin_params_from_graph,
+            verify_cunet_conversion,
             verify_swin_conversion,
         )
         from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
 
-        params = swin_params_from_graph(graph)
+        is_cunet = arch.arch == "cunet"
+        if is_cunet:
+            params = cunet_params_from_graph(graph, scale=arch.scale)
+        else:
+            params = swin_params_from_graph(graph)
         sha16 = hashlib.sha256(onnx_path.read_bytes()).hexdigest()[:16]
         sidecar = onnx_path.parent / (onnx_path.name + ".verify.json")
 
@@ -438,21 +448,29 @@ class Upscaler:
         if cached_failure is not None:
             raise ValueError(f"{cached_failure} (cached verification)")
         if err is None:
+            verify = verify_cunet_conversion if is_cunet \
+                else verify_swin_conversion
             try:
-                err = verify_swin_conversion(graph, arch, params)
+                err = verify(graph, arch, params)
             except ValueError as e:
                 _write_sidecar({"error": str(e)})
                 raise
             _write_sidecar({"max_err": err})
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        d = arch.stage_depths
-        module = SwinUNet(
-            scale=scale, base_dim=arch.base_dim,
-            depths=(d[0], d[0], d[1], d[2], d[2]),
-            dtype=config.precision.dtype,
-            use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
-            shuffle_via_deconv=on_tpu,
-        )
+        if is_cunet:
+            from waifu2x_tensorrt_tpu.models.cunet import CUNet, UpCUNet
+
+            cls = UpCUNet if arch.scale == 2 else CUNet
+            module = cls(dtype=config.precision.dtype)
+        else:
+            d = arch.stage_depths
+            module = SwinUNet(
+                scale=scale, base_dim=arch.base_dim,
+                depths=(d[0], d[0], d[1], d[2], d[2]),
+                dtype=config.precision.dtype,
+                use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
+                shuffle_via_deconv=on_tpu,
+            )
         base = registry.get_spec(family, scale, noise)
         spec = dataclasses.replace(base, offset=arch.offset)
         self._artifact_arch = arch
@@ -461,8 +479,9 @@ class Upscaler:
             f"{onnx_path.name}: conversion VERIFIED against the "
             f"artifact's own graph (max abs err {err:.2e} on a "
             f"{tuple(arch.probe_hw)} probe); serving the optimized "
-            f"flax+Pallas path (~2x the graph-exact rate — pass "
-            f"--graph-exact for the export's own math)",
+            f"flax{'' if is_cunet else '+Pallas'} path (~2x the "
+            f"graph-exact rate — pass --graph-exact for the export's "
+            f"own math)",
         )
         return module, spec, params
 
@@ -477,7 +496,8 @@ class Upscaler:
         )
         family, scale, noise, config, sharding, use_pallas = self._load_args
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if self._artifact_arch is not None:
+        if self._artifact_arch is not None \
+                and self._artifact_arch.arch == "swin_unet":
             # optimized-artifact serving: rebuild from the DERIVED arch
             # (registry.create_model would assume flagship dimensions)
             from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet

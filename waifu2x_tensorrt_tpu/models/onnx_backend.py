@@ -561,6 +561,163 @@ def verify_swin_conversion(graph: OnnxGraph, arch: ArchInfo,
     return err
 
 
+def _resolve_init(graph: OnnxGraph):
+    """Return a name -> ndarray resolver that chases the torch tracer's
+    leading Identity nodes and materialized Constant nodes (the same
+    resolution swin_params_from_graph does inline)."""
+    producers: dict[str, "object"] = {}
+    for n in graph.nodes:
+        for o in n.outputs:
+            producers[o] = n
+
+    def _init(name: str) -> Optional[np.ndarray]:
+        for _ in range(5):
+            if name in graph.initializers:
+                return graph.initializers[name]
+            node = producers.get(name)
+            if node is None:
+                return None
+            if node.op_type == "Constant":
+                return node.attrs.get("value")
+            if node.op_type != "Identity":
+                return None
+            name = node.inputs[0]
+        return None
+
+    return _init
+
+
+def cunet_params_from_graph(graph: OnnxGraph,
+                            scale: Optional[int] = None) -> dict:
+    """Convert a CUNet/UpCUNet export to the flax param tree WITHOUT
+    relying on initializer names.
+
+    The family's weighted ops form ONE fixed execution-order sequence —
+    exactly ``convert.cunet_mapping`` order (unet1 then unet2, each
+    sequential) — so the topologically-sorted node walk assigns roles
+    positionally, the same strategy as ``swin_params_from_graph``. SE
+    squeeze layers are accepted in every exporter form seen in the wild:
+    Conv 1x1 (upstream nunif's ``nn.Conv2d(..., 1)``), Gemm (transB
+    honored), or MatMul with a following bias Add.
+
+    ``scale`` is inferred from the deconv count when omitted (UpCUNet's
+    unet1 head is a ConvTranspose: 4 deconvs vs CUNet's 3). Raises
+    ValueError with the observed sequence when the walk doesn't parse.
+    (Ref workflow: main.cpp:201-204 hands such exports to nvonnxparser.)
+    """
+    from waifu2x_tensorrt_tpu.models.convert import (
+        conv_transpose_weight,
+        conv_weight,
+        cunet_mapping,
+        dense_weight,
+    )
+    from waifu2x_tensorrt_tpu.models.registry import _unflatten
+
+    _init = _resolve_init(graph)
+
+    # (op_kind, torch-layout weight, bias) in execution order; op_kind is
+    # "conv" | "deconv" | "dense" after layout normalization
+    seen: list[list] = []
+    pending_mm: Optional[str] = None  # MatMul output awaiting a bias Add
+    for node in graph.nodes:
+        op = node.op_type
+        if op in ("Conv", "ConvTranspose"):
+            w = _init(node.inputs[1])
+            if w is None:
+                continue
+            b = _init(node.inputs[2]) if len(node.inputs) > 2 else None
+            kind = "deconv" if op == "ConvTranspose" else "conv"
+            if kind == "conv" and w.ndim == 4 and w.shape[2:] == (1, 1):
+                kind, w = "dense", w[:, :, 0, 0]  # SE squeeze as 1x1 conv
+            seen.append([kind, w, b])
+            pending_mm = None
+        elif op == "Gemm":
+            w = _init(node.inputs[1])
+            if w is None:
+                continue
+            if not node.attrs.get("transB", 0):
+                w = w.T  # normalize to torch (O, I)
+            b = _init(node.inputs[2]) if len(node.inputs) > 2 else None
+            seen.append(["dense", w, b])
+            pending_mm = None
+        elif op == "MatMul":
+            w = _init(node.inputs[1])
+            if w is None or w.ndim != 2:
+                continue
+            seen.append(["dense", w.T, None])  # (I, O) -> (O, I)
+            pending_mm = node.outputs[0]
+        elif op == "Add" and pending_mm is not None \
+                and pending_mm in node.inputs:
+            other = [i for i in node.inputs if i != pending_mm]
+            b = _init(other[0]) if other else None
+            if b is not None and b.ndim <= 1:
+                seen[-1][2] = b.reshape(-1)
+            pending_mm = None
+
+    if scale is None:
+        n_deconv = sum(1 for k, _, _ in seen if k == "deconv")
+        scale = 2 if n_deconv >= 4 else 1
+    expected = cunet_mapping(scale)
+    got_kinds = [k for k, _, _ in seen]
+    want_kinds = [k for _, _, k in expected]
+    if got_kinds != want_kinds:
+        raise ValueError(
+            f"graph's weighted-op sequence does not match CUNet "
+            f"(scale {scale}): got {len(got_kinds)} ops "
+            f"{got_kinds[:8]}..., expected {len(want_kinds)} "
+            f"{want_kinds[:8]}...")
+
+    transform = {"conv": conv_weight, "deconv": conv_transpose_weight,
+                 "dense": dense_weight}
+    flat: dict[str, np.ndarray] = {}
+    for (kind, w, b), (_src, dst, _k) in zip(seen, expected):
+        flat[f"{dst}/kernel"] = transform[kind](w).astype(np.float32)
+        if b is not None:
+            flat[f"{dst}/bias"] = np.asarray(b, np.float32).reshape(-1)
+    return _unflatten(flat)
+
+
+def verify_cunet_conversion(graph: OnnxGraph, arch: ArchInfo,
+                            params: dict, tol: float = VERIFY_TOL) -> float:
+    """CUNet analogue of ``verify_swin_conversion``: re-export the
+    converted flax params through onnx_build's writer and execute BOTH
+    graphs under the numpy ground-truth executor on one probe tile.
+    Returns the max abs error; raises ValueError above ``tol``."""
+    import tempfile
+
+    from waifu2x_tensorrt_tpu.models.convert import (
+        cunet_mapping,
+        state_from_flax,
+    )
+    from waifu2x_tensorrt_tpu.models.onnx_build import build_cunet_onnx
+    from waifu2x_tensorrt_tpu.models.onnx_graph import read_graph, run_graph
+    from waifu2x_tensorrt_tpu.models.registry import _flatten
+
+    flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+    state = state_from_flax(flat, cunet_mapping(arch.scale))
+    hw = tuple(arch.probe_hw) if arch.probe_hw else (0, 0)
+    if min(hw) <= 56 or any(d % 4 for d in hw):
+        hw = (76, 76)  # > 56-px context loss, /4 for the two downsamples
+    with tempfile.TemporaryDirectory() as td:
+        ref = build_cunet_onnx(state, arch.scale, Path(td) / "reexport.onnx")
+        regraph = read_graph(ref)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0.0, 1.0, (1, 3, *hw)).astype(np.float32)
+        a = run_graph(graph, {graph.inputs[0]: x})[graph.outputs[0]]
+        b = run_graph(regraph, {regraph.inputs[0]: x})[regraph.outputs[0]]
+    if a.shape != b.shape:
+        raise ValueError(
+            f"artifact output shape {a.shape} != reconstruction "
+            f"re-export {b.shape}")
+    err = float(np.abs(a - b).max())
+    if err > tol:
+        raise ValueError(
+            f"artifact diverges from the cunet reconstruction: max abs "
+            f"err {err:.3e} > {tol:g} on a {hw} probe (the conversion "
+            f"parsed, but the graph computes different math)")
+    return err
+
+
 # ---------------------------------------------------------------------------
 # Flax-compatible serving wrapper
 # ---------------------------------------------------------------------------
