@@ -174,6 +174,24 @@ def test_torch_cunet_export_full_loop(tmp_path, scale):
     assert verify_cunet_conversion(graph, arch, params) < 1e-5
 
 
+def test_validate_tool_on_torch_cunet_export(tmp_path):
+    """The artifact tool routes cunet through the positional converter:
+    a genuine torch-tracer export validates rc==0 without any rename
+    table and writes a loadable .npz."""
+    from waifu2x_tensorrt_tpu.models import validate
+
+    _, path = export_torch_cunet(tmp_path / "c2.onnx", scale=2)
+    npz = tmp_path / "noise0_scale2x.npz"
+    rc = validate.main([
+        str(path), "--family", "cunet/art", "--scale", "2",
+        "--tile", "76", "--save-npz", str(npz),
+    ])
+    assert rc == 0
+    assert npz.exists()
+    loaded = np.load(npz)
+    assert any("unet1" in k and k.endswith("kernel") for k in loaded.files)
+
+
 def test_torch_cunet_serves_verified_through_upscaler(tmp_path):
     """A bare torch-traced UpCUNet artifact must load VERIFIED and serve
     the optimized flax module, matching the torch forward to the u8 LSB

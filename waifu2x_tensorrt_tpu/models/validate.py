@@ -12,11 +12,12 @@ Steps:
      ``derive_arch``) diffed against the flax reconstruction's expected
      hyperparameters — a real export whose structure deviates is reported
      as a structural diff, not a mystery KeyError;
-  2. convert the initializers to a flax param tree. swin uses the
-     NAME-INDEPENDENT positional converter (onnx_backend.
-     swin_params_from_graph); ``--rename-json`` (a {src: canonical} exact-
-     name table) plus convert.swin_from_torch is the escape hatch for
-     exports the positional walk cannot parse;
+  2. convert the initializers to a flax param tree. Both families use the
+     NAME-INDEPENDENT positional converters (onnx_backend.
+     swin_params_from_graph / cunet_params_from_graph); ``--rename-json``
+     (a {src: canonical} exact-name table) plus convert.swin_from_torch /
+     cunet_from_torch is the escape hatch for exports the positional walk
+     cannot parse;
   3. execute the graph with the numpy executor (ground truth) AND the
      jitted jax executor (the serving path, run_graph_jax) and compare
      both against the flax forward on a random tile (SURVEY.md §7 step 2:
@@ -71,10 +72,11 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from waifu2x_tensorrt_tpu.models.convert import (
-        cunet_from_onnx,
+        cunet_from_torch,
         swin_from_torch,
     )
     from waifu2x_tensorrt_tpu.models.onnx_backend import (
+        cunet_params_from_graph,
         derive_arch,
         swin_params_from_graph,
     )
@@ -114,7 +116,14 @@ def main(argv=None) -> int:
     # even when its width/depths differ from the flagship configuration
     if args.family.startswith("cunet"):
         module, _ = create_model(args.family, args.scale, args.noise)
-        params = cunet_from_onnx(args.onnx_path, args.scale)
+        if args.rename_json:
+            with open(args.rename_json) as fh:
+                table = json.load(fh)
+            renamed = {table.get(k, k): v
+                       for k, v in graph.initializers.items()}
+            params = cunet_from_torch(renamed, args.scale)
+        else:
+            params = cunet_params_from_graph(graph, scale=args.scale)
     else:
         from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
 
