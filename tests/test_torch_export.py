@@ -140,6 +140,45 @@ def test_torch_export_variants(tmp_path, scale, opset):
     assert np.abs(flax - want).max() < 1e-4
 
 
+def test_torch_export_flagship_architecture(tmp_path):
+    """The REAL release-artifact configuration (base_dim 96, depths
+    2/2/6/2/2, heads 3/6/3, scale 4 — upstream nunif's swin_unet_4x) must
+    clear the whole loop: derive, execute, convert positionally, verify.
+    The other tests shrink dims for speed; this one is the day-one shape."""
+    import jax.numpy as jnp
+
+    from waifu2x_tensorrt_tpu.models.onnx_backend import (
+        verify_swin_conversion,
+    )
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    model, path = export_torch_swin(
+        tmp_path / "flag4x.onnx", scale=4, base_dim=96,
+        depths=(2, 2, 6, 2, 2), tile=64)
+    graph = read_graph(path)
+    arch = derive_arch(graph)
+    assert (arch.arch, arch.scale, arch.base_dim) == ("swin_unet", 4, 96)
+    assert arch.stage_dims == (96, 192, 96)
+    assert arch.stage_heads == (3, 6, 3)
+    assert arch.stage_depths == (2, 6, 2)
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0.0, 1.0, (1, 3, 64, 64)).astype(np.float32)
+    want = _torch_forward(model, x)
+    got = run_graph(graph, {graph.inputs[0]: x})[graph.outputs[0]]
+    assert np.abs(got - want).max() < 1e-4
+
+    params = swin_params_from_graph(graph)
+    module = SwinUNet(scale=4, base_dim=96, depths=(2, 2, 6, 2, 2),
+                      dtype=jnp.float32)
+    flax = np.asarray(
+        module.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    assert np.abs(flax - want).max() < 1e-4
+    assert verify_swin_conversion(graph, arch, params) < 1e-4
+
+
 @pytest.mark.parametrize("scale", [1, 2])
 def test_torch_cunet_export_full_loop(tmp_path, scale):
     """The cunet family through a genuine torch-tracer graph: parse,
