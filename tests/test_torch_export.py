@@ -104,12 +104,13 @@ def test_torch_export_converts_positionally(torch_export):
     assert np.abs(got - want).max() < 1e-4
 
 
-@pytest.mark.parametrize("scale,opset", [(4, 13), (1, 17)])
+@pytest.mark.parametrize("scale,opset", [(4, 13), (1, 17), (2, 11)])
 def test_torch_export_variants(tmp_path, scale, opset):
     """The adversarial exporter variants: opset 13 decomposes LayerNorm
     into ReduceMean/Pow/Sqrt/Div chains and emits the head pixel-shuffle
-    as DepthToSpace; scale 1 drops the head shuffle entirely. Parse,
-    execute, derive, and positionally convert each in one pass."""
+    as DepthToSpace; opset 11 is the release-era exporter vintage; scale
+    1 drops the head shuffle entirely. Parse, execute, derive, and
+    positionally convert each in one pass."""
     import jax.numpy as jnp
 
     from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
@@ -179,17 +180,18 @@ def test_torch_export_flagship_architecture(tmp_path):
     assert verify_swin_conversion(graph, arch, params) < 1e-4
 
 
-@pytest.mark.parametrize("scale", [1, 2])
-def test_torch_cunet_export_full_loop(tmp_path, scale):
+@pytest.mark.parametrize("scale,opset", [(1, 17), (2, 11)])
+def test_torch_cunet_export_full_loop(tmp_path, scale, opset):
     """The cunet family through a genuine torch-tracer graph: parse,
     numpy-execute, derive (scale + context offset), positionally convert
-    (SE squeezes traced as 1x1 Convs, deconv heads), verify."""
+    (SE squeezes traced as 1x1 Convs, deconv heads), verify. Opset 11
+    covers the release-era exporter vintage."""
     import jax.numpy as jnp
 
     from waifu2x_tensorrt_tpu.models.cunet import CUNet, UpCUNet
 
     model, path = export_torch_cunet(tmp_path / f"c{scale}.onnx",
-                                     scale=scale)
+                                     scale=scale, opset=opset)
     graph = read_graph(path)
     rng = np.random.default_rng(4)
     x = rng.uniform(0.0, 1.0, (1, 3, 76, 76)).astype(np.float32)
