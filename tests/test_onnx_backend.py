@@ -488,6 +488,58 @@ def test_graph_backend_composes_with_tta(tmp_path):
     assert diff.max() <= 1, diff.max()
 
 
+def test_unconvertible_artifact_caches_parse_failure(tmp_path):
+    """A Softmax-free graph that is NOT a cunet (derive_arch still labels
+    it 'cunet') must fall back to graph serving with the reason cached in
+    the .verify.json sidecar, so later loads skip the positional walk."""
+    import json
+
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.onnx_backend import GraphModule
+    from waifu2x_tensorrt_tpu.models.onnx_build import (
+        GraphBuilder,
+        node_proto,
+        write_model,
+    )
+
+    rng = np.random.default_rng(0)
+    g = GraphBuilder()
+    w1 = g.init("w1", rng.normal(0, 0.1, (8, 3, 3, 3)).astype(np.float32))
+    b1 = g.init("b1", np.zeros(8, np.float32))
+    w2 = g.init("w2", rng.normal(0, 0.1, (3, 8, 3, 3)).astype(np.float32))
+    b2 = g.init("b2", np.zeros(3, np.float32))
+    h = g.emit("Conv", ["x", w1, b1], kernel_shape=[3, 3])
+    h = g.emit("Relu", [h])
+    h = g.emit("Conv", [h, w2, b2], kernel_shape=[3, 3])
+    g.nodes.append(node_proto("Identity", [h], ["y"]))
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "cunet" / "art"
+    art_dir.mkdir(parents=True)
+    write_model(g.nodes, g.inits, ["x"], ["y"],
+                art_dir / "noise0.onnx", graph_name="notcunet")
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=1, height=64,
+                       width=64, scaling=1, overlap=(1 / 16, 1 / 16))
+    msgs = []
+    up = Upscaler(models_dir=models_dir)
+    up.set_message_callback(lambda s, m: msgs.append(m))
+    up.load("cunet/art", 1, 0, cfg)
+    assert isinstance(up._module, GraphModule), msgs
+    assert any("optimized serving unavailable" in m for m in msgs), msgs
+
+    sidecar = art_dir / "noise0.onnx.verify.json"
+    assert sidecar.exists()
+    assert "error" in json.loads(sidecar.read_text())
+
+    msgs2 = []
+    up2 = Upscaler(models_dir=models_dir)
+    up2.set_message_callback(lambda s, m: msgs2.append(m))
+    up2.load("cunet/art", 1, 0, cfg)
+    assert isinstance(up2._module, GraphModule)
+    assert any("cached verification" in m for m in msgs2), msgs2
+
+
 def test_upscaler_serves_bare_cunet_onnx(tmp_path):
     """The graph backend is family-agnostic: a bare cunet export (valid
     convs, offset-36 context shrink, SE blocks) serves through the full

@@ -412,10 +412,6 @@ class Upscaler:
         from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
 
         is_cunet = arch.arch == "cunet"
-        if is_cunet:
-            params = cunet_params_from_graph(graph, scale=arch.scale)
-        else:
-            params = swin_params_from_graph(graph)
         sha16 = hashlib.sha256(onnx_path.read_bytes()).hexdigest()[:16]
         sidecar = onnx_path.parent / (onnx_path.name + ".verify.json")
 
@@ -430,8 +426,9 @@ class Upscaler:
         err = None
         cached_failure = None
         if sidecar.exists():
-            # both verdicts are cached: a divergent-but-parseable artifact
-            # must not re-pay the full host-side verification every load
+            # all three verdicts are cached — success, numeric divergence,
+            # AND conversion parse failure: a known-bad artifact must not
+            # re-pay the positional walk / host-side verification per load
             try:
                 cached = json.loads(sidecar.read_text())
                 if cached.get("sha16") == sha16:
@@ -447,6 +444,14 @@ class Upscaler:
                 err = None
         if cached_failure is not None:
             raise ValueError(f"{cached_failure} (cached verification)")
+        try:
+            if is_cunet:
+                params = cunet_params_from_graph(graph, scale=arch.scale)
+            else:
+                params = swin_params_from_graph(graph)
+        except ValueError as e:
+            _write_sidecar({"error": str(e)})
+            raise
         if err is None:
             verify = verify_cunet_conversion if is_cunet \
                 else verify_swin_conversion

@@ -301,22 +301,10 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
         for o in n.outputs:
             producers[o] = n
 
-    def _init(name: str) -> Optional[np.ndarray]:
-        # torch's tracer routes parameters through leading Identity nodes
-        # and materializes folded constants as Constant nodes; resolve both
-        # so LN scales / rel-pos tables are found.
-        for _ in range(5):
-            if name in graph.initializers:
-                return graph.initializers[name]
-            node = producers.get(name)
-            if node is None:
-                return None
-            if node.op_type == "Constant":
-                return node.attrs.get("value")
-            if node.op_type != "Identity":
-                return None
-            name = node.inputs[0]
-        return None
+    # torch's tracer routes parameters through leading Identity nodes and
+    # materializes folded constants as Constant nodes; resolve both so LN
+    # scales / rel-pos tables are found.
+    _init = _resolve_init(graph)
 
     convs: list[tuple[np.ndarray, Optional[np.ndarray]]] = []
     blocks: list[dict] = []
@@ -606,10 +594,8 @@ def cunet_params_from_graph(graph: OnnxGraph,
     (Ref workflow: main.cpp:201-204 hands such exports to nvonnxparser.)
     """
     from waifu2x_tensorrt_tpu.models.convert import (
-        conv_transpose_weight,
-        conv_weight,
+        _KIND_TRANSFORM,
         cunet_mapping,
-        dense_weight,
     )
     from waifu2x_tensorrt_tpu.models.registry import _unflatten
 
@@ -633,11 +619,14 @@ def cunet_params_from_graph(graph: OnnxGraph,
             pending_mm = None
         elif op == "Gemm":
             w = _init(node.inputs[1])
-            if w is None:
-                continue
+            if w is None or node.attrs.get("transA", 0):
+                continue  # transposed activations never trace from Linear
             if not node.attrs.get("transB", 0):
                 w = w.T  # normalize to torch (O, I)
+            w = w * np.float32(node.attrs.get("alpha", 1.0))
             b = _init(node.inputs[2]) if len(node.inputs) > 2 else None
+            if b is not None:
+                b = b * np.float32(node.attrs.get("beta", 1.0))
             seen.append(["dense", w, b])
             pending_mm = None
         elif op == "MatMul":
@@ -650,7 +639,8 @@ def cunet_params_from_graph(graph: OnnxGraph,
                 and pending_mm in node.inputs:
             other = [i for i in node.inputs if i != pending_mm]
             b = _init(other[0]) if other else None
-            if b is not None and b.ndim <= 1:
+            # accept (O,) and broadcast-shaped (1, ..., 1, O) biases
+            if b is not None and b.ndim >= 1 and b.size == b.shape[-1]:
                 seen[-1][2] = b.reshape(-1)
             pending_mm = None
 
@@ -667,11 +657,9 @@ def cunet_params_from_graph(graph: OnnxGraph,
             f"{got_kinds[:8]}..., expected {len(want_kinds)} "
             f"{want_kinds[:8]}...")
 
-    transform = {"conv": conv_weight, "deconv": conv_transpose_weight,
-                 "dense": dense_weight}
     flat: dict[str, np.ndarray] = {}
     for (kind, w, b), (_src, dst, _k) in zip(seen, expected):
-        flat[f"{dst}/kernel"] = transform[kind](w).astype(np.float32)
+        flat[f"{dst}/kernel"] = _KIND_TRANSFORM[kind](w).astype(np.float32)
         if b is not None:
             flat[f"{dst}/bias"] = np.asarray(b, np.float32).reshape(-1)
     return _unflatten(flat)
