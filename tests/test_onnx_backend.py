@@ -775,6 +775,38 @@ def test_failed_verification_is_cached_in_sidecar(tmp_path):
         ob.verify_swin_conversion = orig
 
 
+def test_stale_converter_version_sidecar_is_ignored(tmp_path):
+    """A cached verdict from an OLDER converter version must not mask a
+    converter upgrade: a stale cached FAILURE is retried (and now
+    succeeds), and the refreshed sidecar records the current version."""
+    import hashlib
+    import json
+
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models.onnx_backend import CONVERTER_VERSION
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    models_dir, art_dir = _bare_artifact(tmp_path)
+    onnx_path = art_dir / "scale2x.onnx"
+    sha16 = hashlib.sha256(onnx_path.read_bytes()).hexdigest()[:16]
+    sidecar = art_dir / "scale2x.onnx.verify.json"
+    sidecar.write_text(json.dumps({
+        "sha16": sha16,
+        "converter_version": CONVERTER_VERSION - 1,
+        "error": "the old converter could not parse this idiom",
+    }))
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir)
+    up.load("swin_unet/art", 2, -1, cfg)
+    assert isinstance(up._module, SwinUNet)
+    rec = json.loads(sidecar.read_text())
+    assert rec["converter_version"] == CONVERTER_VERSION
+    assert rec["max_err"] <= 1e-4
+
+
 def test_sidecar_beyond_tolerance_is_not_trusted(tmp_path):
     """A sha-matching sidecar recording an error ABOVE the current gate
     (older tool tolerance, hand-edited, NaN) must trigger re-verification

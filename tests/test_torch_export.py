@@ -215,6 +215,95 @@ def test_torch_cunet_export_full_loop(tmp_path, scale, opset):
     assert verify_cunet_conversion(graph, arch, params) < 1e-5
 
 
+def test_torch_export_probe_from_declared_input_shape(tmp_path):
+    """Static torch traces at tiles outside the heuristic fallback list
+    (real release artifacts export at fixed geometries like 160/256) must
+    shape-probe via the declared input ValueInfo (1, 3, H, W) — guessing
+    square sizes cannot cover every release tile."""
+    _, path = export_torch_swin(tmp_path / "t160.onnx", scale=2,
+                                base_dim=32, depths=(1, 1, 1, 1, 1),
+                                tile=160)
+    graph = read_graph(path)
+    # batch was traced dynamic (None), H/W static
+    shape = graph.input_shapes[graph.inputs[0]]
+    assert shape[1:] == (3, 160, 160) and shape[0] is None
+    arch = derive_arch(graph)
+    assert (arch.arch, arch.scale, arch.window) == ("swin_unet", 2, 8)
+    assert tuple(arch.probe_hw) == (160, 160)
+    assert arch.stage_depths == (1, 1, 1)
+
+
+def test_biasless_cunet_converts_with_exact_zero_bias(tmp_path):
+    """bias=False layers in the exporting module trace as 2-input Convs /
+    bare MatMuls; conversion must synthesize exact zero biases so the
+    use_bias=True flax module applies cleanly AND still matches the torch
+    forward (a missing key would verify clean, then crash at render)."""
+    import jax.numpy as jnp
+    from torch_mirror import TorchCUNet, _trace_export
+
+    from waifu2x_tensorrt_tpu.models.cunet import UpCUNet
+
+    torch.manual_seed(9)
+    model = TorchCUNet(deconv=True).eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d,
+                              torch.nn.Linear)):
+                m.bias = None
+    path = tmp_path / "nobias2x.onnx"
+    _trace_export(model, torch.rand(1, 3, 76, 76), path, 17)
+
+    graph = read_graph(path)
+    arch = derive_arch(graph)
+    assert (arch.arch, arch.scale) == ("cunet", 2)
+    params = cunet_params_from_graph(graph)
+
+    rng = np.random.default_rng(10)
+    x = rng.uniform(0.0, 1.0, (1, 3, 76, 76)).astype(np.float32)
+    want = _torch_forward(model, x)
+    module = UpCUNet(dtype=jnp.float32)
+    flax = np.asarray(
+        module.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    assert np.abs(flax - want).max() < 1e-5
+    assert verify_cunet_conversion(graph, arch, params) < 1e-5
+
+
+def test_biasless_swin_linears_convert_with_exact_zero_bias(tmp_path):
+    """Swin analogue: strip every Linear bias (qkv/proj/mlp/up linears
+    trace as bare MatMuls) and require conversion + forward equality."""
+    import jax.numpy as jnp
+    from torch_mirror import TorchSwinUNet, WindowAttention, _trace_export
+
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    torch.manual_seed(11)
+    model = TorchSwinUNet(scale=2, base_dim=32, depths=(1, 1, 1, 1, 1),
+                          tile=64).eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.Linear):
+                m.bias = None
+            elif isinstance(m, WindowAttention):
+                m.relative_position_bias_table.normal_(0.0, 0.02)
+    path = tmp_path / "nobias_swin2x.onnx"
+    _trace_export(model, torch.rand(1, 3, 64, 64), path, 17)
+
+    graph = read_graph(path)
+    params = swin_params_from_graph(graph)
+    rng = np.random.default_rng(12)
+    x = rng.uniform(0.0, 1.0, (1, 3, 64, 64)).astype(np.float32)
+    want = _torch_forward(model, x)
+    module = SwinUNet(scale=2, base_dim=32, depths=(1, 1, 1, 1, 1),
+                      dtype=jnp.float32)
+    flax = np.asarray(
+        module.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    assert np.abs(flax - want).max() < 1e-4
+
+
 def test_validate_tool_on_torch_cunet_export(tmp_path):
     """The artifact tool routes cunet through the positional converter:
     a genuine torch-tracer export validates rc==0 without any rename

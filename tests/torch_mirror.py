@@ -204,11 +204,21 @@ def _trace_export(model, x, path, opset: int):
     and then round-trips them through the `onnx` python package ONLY to
     append custom onnxscript functions (none here). That package is not
     installed in this image, so bypass the no-op step — the exported
-    bytes are exactly what the C++ exporter produced."""
-    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+    bytes are exactly what the C++ exporter produced. The bypass targets
+    a private torch internal whose home has moved across torch versions:
+    when it isn't where this torch keeps it (or `onnx` IS installed and
+    the step would succeed anyway), export unpatched."""
+    onnx_proto_utils = orig = None
+    try:
+        from torch.onnx._internal.torchscript_exporter import (
+            onnx_proto_utils,
+        )
 
-    orig = onnx_proto_utils._add_onnxscript_fn
-    onnx_proto_utils._add_onnxscript_fn = lambda model_bytes, _co: model_bytes
+        orig = onnx_proto_utils._add_onnxscript_fn
+        onnx_proto_utils._add_onnxscript_fn = \
+            lambda model_bytes, _co: model_bytes
+    except (ImportError, AttributeError):
+        onnx_proto_utils = None
     try:
         torch.onnx.export(
             model, (x,), str(path), opset_version=opset,
@@ -217,7 +227,8 @@ def _trace_export(model, x, path, opset: int):
             dynamo=False,
         )
     finally:
-        onnx_proto_utils._add_onnxscript_fn = orig
+        if onnx_proto_utils is not None:
+            onnx_proto_utils._add_onnxscript_fn = orig
 
 
 def export_torch_swin(path, scale: int = 2, base_dim: int = 32,

@@ -403,6 +403,7 @@ class Upscaler:
         import json
 
         from waifu2x_tensorrt_tpu.models.onnx_backend import (
+            CONVERTER_VERSION,
             VERIFY_TOL,
             cunet_params_from_graph,
             swin_params_from_graph,
@@ -418,7 +419,9 @@ class Upscaler:
         def _write_sidecar(payload: dict) -> None:
             try:
                 sidecar.write_text(json.dumps(
-                    {"sha16": sha16, "arch": arch.summary(), **payload},
+                    {"sha16": sha16,
+                     "converter_version": CONVERTER_VERSION,
+                     "arch": arch.summary(), **payload},
                     default=str))
             except OSError:
                 pass
@@ -428,10 +431,16 @@ class Upscaler:
         if sidecar.exists():
             # all three verdicts are cached — success, numeric divergence,
             # AND conversion parse failure: a known-bad artifact must not
-            # re-pay the positional walk / host-side verification per load
+            # re-pay the positional walk / host-side verification per load.
+            # Both verdicts are keyed by (artifact sha, converter version):
+            # a converter upgrade invalidates stale failures (an idiom we
+            # now parse must get retried) AND stale successes (a changed
+            # conversion must re-verify, not serve on old evidence).
             try:
                 cached = json.loads(sidecar.read_text())
-                if cached.get("sha16") == sha16:
+                if (cached.get("sha16") == sha16
+                        and cached.get("converter_version")
+                        == CONVERTER_VERSION):
                     if "error" in cached:
                         cached_failure = str(cached["error"])
                     else:

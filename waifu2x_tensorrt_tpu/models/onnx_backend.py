@@ -84,13 +84,28 @@ def _record_shapes(graph: OnnxGraph, hw: tuple[int, int]):
     return records, env
 
 
-def _probe_candidates(graph: OnnxGraph) -> list[int]:
-    """Input sizes to try for the shape probe. Dynamic-shape exports run at
-    any legal size; static exports (like onnx_build's) bake the geometry
-    into 6-long window-partition reshape targets (1, h/ws, ws, w/ws, ws, c)
-    — recover h from the first one (the stage-1 partition at half
-    resolution)."""
-    sizes: list[int] = []
+def _probe_candidates(graph: OnnxGraph) -> list[tuple[int, int]]:
+    """Input geometries (h, w) to try for the shape probe, best guess
+    first. Three sources, in trust order:
+
+    1. The export's declared input ValueInfo shape (graph.input_shapes):
+       static torch traces record the exact (1, 3, H, W) geometry there —
+       including tiles outside every heuristic list (160/192/256/400/640
+       release shapes).
+    2. 6-long window-partition reshape targets ((B, h/ws, ws, w/ws, ws, c)
+       with B either 1 or the tracer's dynamic -1) as baked by onnx_build's
+       static exports — recover h from the stage-1 partition at half
+       resolution.
+    3. A fallback list of common square tiles (dynamic-shape exports run
+       at any legal size, so the first entry succeeds).
+    """
+    sizes: list[tuple[int, int]] = []
+    declared = graph.input_shapes.get(graph.inputs[0]) if graph.inputs \
+        else None
+    if declared and len(declared) == 4:
+        h, w = declared[2], declared[3]
+        if isinstance(h, int) and isinstance(w, int) and h > 0 and w > 0:
+            sizes.append((h, w))
     for node in graph.nodes:
         if node.op_type != "Reshape" or len(node.inputs) < 2:
             continue
@@ -98,13 +113,16 @@ def _probe_candidates(graph: OnnxGraph) -> list[int]:
         if tgt is None or tgt.size != 6:
             continue
         t = tgt.astype(np.int64)
-        if t[2] == t[4] and t[0] == 1:  # (1, ny, ws, nx, ws, c)
+        if t[2] == t[4] and t[0] in (1, -1):  # (B, ny, ws, nx, ws, c)
             part = int(t[1] * t[2])
-            sizes.extend([2 * part, part, 4 * part])
+            if part > 0:  # ny can also be traced as -1
+                for s in (2 * part, part, 4 * part):
+                    if (s, s) not in sizes:
+                        sizes.append((s, s))
             break
     for s in (64, 96, 32, 128):
-        if s not in sizes:
-            sizes.append(s)
+        if (s, s) not in sizes:
+            sizes.append((s, s))
     return sizes
 
 
@@ -120,7 +138,7 @@ def derive_arch(graph: OnnxGraph,
     """
     last_err: Optional[Exception] = None
     candidates = ([probe_hw] if probe_hw is not None
-                  else [(s, s) for s in _probe_candidates(graph)])
+                  else _probe_candidates(graph))
     records = env = hw = None
     for cand in candidates:
         try:
@@ -304,7 +322,7 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
     # torch's tracer routes parameters through leading Identity nodes and
     # materializes folded constants as Constant nodes; resolve both so LN
     # scales / rel-pos tables are found.
-    _init = _resolve_init(graph)
+    _init = _resolve_init(graph, producers)
 
     convs: list[tuple[np.ndarray, Optional[np.ndarray]]] = []
     blocks: list[dict] = []
@@ -395,13 +413,13 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
             else:
                 pending = (target, key, node.outputs[0])
         elif op == "Add" and cur is not None and "table" not in cur \
-                and not block_complete(cur) and _folded_bias(
-                    node, _init) is not None:
+                and not block_complete(cur) \
+                and (fb := _folded_bias(node, _init)) is not None:
             # torch's constant folder precomputes table[rel_index] into an
             # (..., nh, N, N) Add constant — invert it back to the
             # ((2ws-1)^2, nh) table the flax module parameterizes. (The
             # shift-mask Add constant is excluded by its -1e9 entries.)
-            cur["table"] = _table_from_folded_bias(_folded_bias(node, _init))
+            cur["table"] = _table_from_folded_bias(fb)
         elif op == "Add" and (pending is not None
                               or norm_pending is not None):
             if norm_pending is not None and norm_pending[2] in node.inputs:
@@ -460,28 +478,41 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
     from waifu2x_tensorrt_tpu.models.convert import conv_weight
     from waifu2x_tensorrt_tpu.models.registry import _unflatten
 
+    # Bias-free layers (e.g. bias=False in the exporting module) synthesize
+    # an exact zero bias: the flax modules are built with use_bias=True, so
+    # an omitted key would pass conversion AND verification (the re-export
+    # writer mirrors whatever keys exist) and then crash the first render
+    # with ScopeParamNotFoundError. Zero bias is mathematically identical.
     flat: dict[str, np.ndarray] = {}
     conv_names = ("patch_conv1", "patch_conv2", "down1", "down2", "to_image")
     for name, (w, b) in zip(conv_names, convs):
-        flat[f"{name}/kernel"] = conv_weight(w.astype(np.float32))
-        if b is not None:
-            flat[f"{name}/bias"] = b.astype(np.float32)
+        k = conv_weight(w.astype(np.float32))
+        flat[f"{name}/kernel"] = k
+        flat[f"{name}/bias"] = (b.astype(np.float32) if b is not None
+                                else np.zeros(k.shape[-1], np.float32))
     for name, lin in zip(("up2", "up1"), standalone):
-        flat[f"{name}/kernel"] = lin["kernel"].astype(np.float32)
-        if "bias" in lin:
-            flat[f"{name}/bias"] = lin["bias"].astype(np.float32)
+        k = lin["kernel"].astype(np.float32)
+        flat[f"{name}/kernel"] = k
+        flat[f"{name}/bias"] = (lin["bias"].astype(np.float32)
+                                if "bias" in lin
+                                else np.zeros(k.shape[-1], np.float32))
     for b, (stage, i) in zip(blocks, stage_of):
         fb = f"{stage}/block{i}"
-        for key in ("norm1/scale", "norm1/bias", "norm2/scale",
-                    "norm2/bias"):
-            if key in b:
-                flat[f"{fb}/{key}"] = b[key].astype(np.float32)
+        for key in ("norm1", "norm2"):
+            flat[f"{fb}/{key}/scale"] = b[f"{key}/scale"].astype(np.float32)
+            flat[f"{fb}/{key}/bias"] = (
+                b[f"{key}/bias"].astype(np.float32)
+                if f"{key}/bias" in b
+                else np.zeros_like(b[f"{key}/scale"], dtype=np.float32))
         for lin in _BLOCK_LINEARS:
             dst = {"qkv": "attn/qkv", "proj": "attn/proj",
                    "fc1": "mlp_fc1", "fc2": "mlp_fc2"}[lin]
-            flat[f"{fb}/{dst}/kernel"] = b[f"{lin}/kernel"].astype(np.float32)
-            if f"{lin}/bias" in b:
-                flat[f"{fb}/{dst}/bias"] = b[f"{lin}/bias"].astype(np.float32)
+            k = b[f"{lin}/kernel"].astype(np.float32)
+            flat[f"{fb}/{dst}/kernel"] = k
+            flat[f"{fb}/{dst}/bias"] = (
+                b[f"{lin}/bias"].astype(np.float32)
+                if f"{lin}/bias" in b
+                else np.zeros(k.shape[-1], np.float32))
         flat[f"{fb}/attn/relative_position_bias"] = b["table"].astype(
             np.float32)
     return _unflatten(flat)
@@ -496,6 +527,13 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
 # reconstruction's re-export (both under the numpy executor); also the
 # ceiling a .verify.json sidecar's cached max_err is trusted up to.
 VERIFY_TOL = 1e-4
+
+# Bump whenever the positional converters / verification change behavior:
+# .verify.json sidecars record it, and cached verdicts from a DIFFERENT
+# version are ignored (a converter upgrade must not be masked by a stale
+# cached parse failure, nor a cached success trusted across a conversion
+# change). The engine cache's code-version analogue applied to fidelity.
+CONVERTER_VERSION = 2
 
 
 def verify_swin_conversion(graph: OnnxGraph, arch: ArchInfo,
@@ -549,14 +587,16 @@ def verify_swin_conversion(graph: OnnxGraph, arch: ArchInfo,
     return err
 
 
-def _resolve_init(graph: OnnxGraph):
+def _resolve_init(graph: OnnxGraph, producers: Optional[dict] = None):
     """Return a name -> ndarray resolver that chases the torch tracer's
-    leading Identity nodes and materialized Constant nodes (the same
-    resolution swin_params_from_graph does inline)."""
-    producers: dict[str, "object"] = {}
-    for n in graph.nodes:
-        for o in n.outputs:
-            producers[o] = n
+    leading Identity nodes and materialized Constant nodes — the shared
+    initializer resolution both positional converters use. Pass an
+    already-built output-name -> node map to skip rebuilding it."""
+    if producers is None:
+        producers = {}
+        for n in graph.nodes:
+            for o in n.outputs:
+                producers[o] = n
 
     def _init(name: str) -> Optional[np.ndarray]:
         for _ in range(5):
@@ -659,9 +699,14 @@ def cunet_params_from_graph(graph: OnnxGraph,
 
     flat: dict[str, np.ndarray] = {}
     for (kind, w, b), (_src, dst, _k) in zip(seen, expected):
-        flat[f"{dst}/kernel"] = _KIND_TRANSFORM[kind](w).astype(np.float32)
-        if b is not None:
-            flat[f"{dst}/bias"] = np.asarray(b, np.float32).reshape(-1)
+        k = _KIND_TRANSFORM[kind](w).astype(np.float32)
+        flat[f"{dst}/kernel"] = k
+        # bias-free layers get an exact zero bias — the flax modules are
+        # use_bias=True throughout, so an omitted key would verify clean
+        # and then crash the first render (see swin_params_from_graph)
+        flat[f"{dst}/bias"] = (np.asarray(b, np.float32).reshape(-1)
+                               if b is not None
+                               else np.zeros(k.shape[-1], np.float32))
     return _unflatten(flat)
 
 

@@ -69,6 +69,11 @@ class OnnxGraph:
     initializers: dict[str, np.ndarray]
     inputs: list[str]  # graph inputs that are NOT initializers (the feeds)
     outputs: list[str]
+    # declared feed shapes from the input ValueInfos: name -> tuple with an
+    # int per static dim, None per dynamic dim (dim_param / absent). Static
+    # torch traces declare the exact export geometry here — the shape probe
+    # reads it instead of guessing (onnx_backend._probe_candidates).
+    input_shapes: dict[str, tuple] = dataclasses.field(default_factory=dict)
 
 
 def _parse_attribute(buf: bytes) -> tuple[str, Any]:
@@ -151,6 +156,39 @@ def _value_info_name(buf: bytes) -> str:
     return ""
 
 
+def _value_info_shape(buf: bytes) -> tuple[str, Optional[tuple]]:
+    """Parse a ValueInfoProto into (name, shape) where shape has an int per
+    dim_value dim and None per dynamic dim (dim_param or empty Dimension);
+    shape is None when no tensor shape is declared at all.
+
+    Wire path: ValueInfoProto{name=1, type=2} -> TypeProto{tensor_type=1}
+    -> Tensor{shape=2} -> TensorShapeProto{dim=1 repeated} ->
+    Dimension{dim_value=1, dim_param=2}."""
+    name = ""
+    shape: Optional[tuple] = None
+    for field, wire, v in _iter_fields(buf):
+        if field == 1 and wire == 2:
+            name = v.decode()
+        elif field == 2 and wire == 2:  # TypeProto
+            for tf, tw, tv in _iter_fields(v):
+                if tf != 1 or tw != 2:  # tensor_type
+                    continue
+                for sf, sw, sv in _iter_fields(tv):
+                    if sf != 2 or sw != 2:  # TensorShapeProto
+                        continue
+                    dims: list[Optional[int]] = []
+                    for df, dw, dv in _iter_fields(sv):
+                        if df != 1 or dw != 2:  # Dimension
+                            continue
+                        dim: Optional[int] = None
+                        for ef, ew, ev in _iter_fields(dv):
+                            if ef == 1 and ew == 0:  # dim_value
+                                dim = _signed(ev)
+                        dims.append(dim)
+                    shape = tuple(dims)
+    return name, shape
+
+
 def read_graph(path: str | Path) -> OnnxGraph:
     """Parse ModelProto.graph: node=1, name=2, initializer=5, input=11,
     output=12. Raises ValueError for files that are not a parseable
@@ -172,12 +210,19 @@ def read_graph(path: str | Path) -> OnnxGraph:
                         name, arr = _parse_tensor(gv)
                         graph.initializers[name] = arr
                     elif gf == 11 and gw == 2:
-                        raw_inputs.append(_value_info_name(gv))
+                        name, shape = _value_info_shape(gv)
+                        raw_inputs.append(name)
+                        if shape is not None:
+                            graph.input_shapes[name] = shape
                     elif gf == 12 and gw == 2:
                         graph.outputs.append(_value_info_name(gv))
                 graph.inputs = [
                     n for n in raw_inputs if n not in graph.initializers
                 ]
+                graph.input_shapes = {
+                    n: s for n, s in graph.input_shapes.items()
+                    if n in graph.inputs
+                }
     except (ValueError, IndexError, UnicodeDecodeError, struct.error) as e:
         raise ValueError(
             f"{path}: not a parseable ONNX ModelProto "
