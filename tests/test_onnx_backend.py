@@ -793,7 +793,7 @@ def test_stale_converter_version_sidecar_is_ignored(tmp_path):
     sidecar = art_dir / "scale2x.onnx.verify.json"
     sidecar.write_text(json.dumps({
         "sha16": sha16,
-        "converter_version": CONVERTER_VERSION - 1,
+        "converter_version": "1-outdated0000",  # older converter source
         "error": "the old converter could not parse this idiom",
     }))
 

@@ -20,6 +20,7 @@ from waifu2x_tensorrt_tpu.models.onnx_backend import (  # noqa: E402
     derive_arch,
     swin_params_from_graph,
     verify_cunet_conversion,
+    verify_swin_conversion,
 )
 from waifu2x_tensorrt_tpu.models.onnx_graph import (  # noqa: E402
     read_graph,
@@ -302,6 +303,10 @@ def test_biasless_swin_linears_convert_with_exact_zero_bias(tmp_path):
                      jnp.asarray(x.transpose(0, 2, 3, 1)))
     ).transpose(0, 3, 1, 2)
     assert np.abs(flax - want).max() < 1e-4
+    # pin the optimized-serving gate too: the synthesized zero biases must
+    # round-trip the re-export writer, not just the direct flax forward
+    arch = derive_arch(graph)
+    assert verify_swin_conversion(graph, arch, params) < 1e-4
 
 
 def test_validate_tool_on_torch_cunet_export(tmp_path):

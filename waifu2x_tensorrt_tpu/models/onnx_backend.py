@@ -114,12 +114,22 @@ def _probe_candidates(graph: OnnxGraph) -> list[tuple[int, int]]:
             continue
         t = tgt.astype(np.int64)
         if t[2] == t[4] and t[0] in (1, -1):  # (B, ny, ws, nx, ws, c)
-            part = int(t[1] * t[2])
-            if part > 0:  # ny can also be traced as -1
-                for s in (2 * part, part, 4 * part):
-                    if (s, s) not in sizes:
-                        sizes.append((s, s))
-            break
+            # ONNX Reshape allows one -1, so at most one of ny/nx is
+            # dynamic; recover each side independently and fall back to
+            # square from the static one (rectangular static exports keep
+            # both). A reshape where neither side is recoverable keeps
+            # scanning for a later partition reshape.
+            ph = int(t[1] * t[2])
+            pw = int(t[3] * t[4])
+            if ph <= 0:
+                ph = pw
+            if pw <= 0:
+                pw = ph
+            if ph > 0:
+                for f in (2, 1, 4):
+                    if (f * ph, f * pw) not in sizes:
+                        sizes.append((f * ph, f * pw))
+                break
     for s in (64, 96, 32, 128):
         if (s, s) not in sizes:
             sizes.append((s, s))
@@ -458,6 +468,20 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
     if missing:
         raise ValueError(f"incomplete attention blocks at {missing}")
 
+    # every block must carry both LN scales, all four linears, and the
+    # rel-pos table before assembly — a missing slot (an LN idiom
+    # _resolve_init does not chase, a table the folded-bias inversion
+    # missed) must surface as the loader-cacheable diagnostic ValueError,
+    # not a raw KeyError that bypasses the .verify.json failure cache
+    required = ["norm1/scale", "norm2/scale", "table"] + [
+        f"{lin}/kernel" for lin in _BLOCK_LINEARS]
+    for bi, b in enumerate(blocks):
+        missing = [k for k in required if k not in b]
+        if missing:
+            raise ValueError(
+                f"attention block {bi}: could not resolve {missing} from "
+                f"the graph (unrecognized LayerNorm/bias idiom?)")
+
     # stage grouping by block dim (norm1 scale length): c, 2c, c
     stage_of: list[tuple[str, int]] = []
     runs: list[tuple[int, int]] = []  # (dim, count)
@@ -528,12 +552,29 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
 # ceiling a .verify.json sidecar's cached max_err is trusted up to.
 VERIFY_TOL = 1e-4
 
-# Bump whenever the positional converters / verification change behavior:
-# .verify.json sidecars record it, and cached verdicts from a DIFFERENT
+def _converter_fingerprint() -> str:
+    """sha256[:12] over the source of every module a cached verification
+    verdict depends on — the positional converters and shape probe (this
+    module), the parser/executors, the re-export writer, the weight
+    transforms, and the flax modules the verification transits. Any edit
+    to any of them (even a comment) invalidates sidecars: re-verification
+    costs ~9 s at next load, serving a stale verdict costs wrong pixels."""
+    import hashlib
+
+    h = hashlib.sha256()
+    base = Path(__file__).resolve().parent
+    for f in ("onnx_backend.py", "onnx_graph.py", "onnx_build.py",
+              "convert.py", "swin_unet.py", "cunet.py"):
+        h.update((base / f).read_bytes())
+    return h.hexdigest()[:12]
+
+
+# Keyed into .verify.json sidecars; cached verdicts from a DIFFERENT
 # version are ignored (a converter upgrade must not be masked by a stale
 # cached parse failure, nor a cached success trusted across a conversion
-# change). The engine cache's code-version analogue applied to fidelity.
-CONVERTER_VERSION = 2
+# change). Source-derived so nobody has to remember to bump it — the
+# engine cache's code-version analogue applied to fidelity.
+CONVERTER_VERSION = "2-" + _converter_fingerprint()
 
 
 def verify_swin_conversion(graph: OnnxGraph, arch: ArchInfo,
