@@ -891,3 +891,40 @@ def test_graph_exact_rejects_mismatched_static_geometry(tmp_path):
         up.load("swin_unet/art", 2, -1, cfg, graph_exact=True)
     # the optimized default is geometry-free: same config loads fine
     up.load("swin_unet/art", 2, -1, cfg)
+
+
+def test_probe_candidates_recover_partition_geometries():
+    """The shape probe must recover (h, w) from window-partition reshape
+    targets in every traced form: fully static rectangular targets keep
+    both sides; a dynamic ny (-1, the one slot ONNX allows) falls back to
+    square from the static nx; a target with no recoverable side keeps
+    scanning for a later partition reshape instead of giving up."""
+    from waifu2x_tensorrt_tpu.models.onnx_backend import _probe_candidates
+    from waifu2x_tensorrt_tpu.models.onnx_graph import OnnxGraph, OnnxNode
+
+    def graph_with(*targets):
+        nodes, inits = [], {}
+        for i, t in enumerate(targets):
+            inits[f"shape{i}"] = np.asarray(t, np.int64)
+            nodes.append(OnnxNode("Reshape", [f"x{i}", f"shape{i}"],
+                                  [f"y{i}"]))
+        return OnnxGraph("g", nodes, inits, inputs=["x0"], outputs=["y0"])
+
+    # static rectangular (B, ny, ws, nx, ws, c): h=48, w=32 at the
+    # partition -> (96, 64) first (stage-1 at half resolution)
+    rect = _probe_candidates(graph_with((1, 6, 8, 4, 8, 32)))
+    assert rect[:3] == [(96, 64), (48, 32), (192, 128)]
+
+    # dynamic ny: square fallback from the static nx side
+    dyn = _probe_candidates(graph_with((1, -1, 8, 4, 8, 32)))
+    assert dyn[:3] == [(64, 64), (32, 32), (128, 128)]
+
+    # first partition reshape unrecoverable on both sides is skipped in
+    # favor of the next one (ws mismatch keeps c-on-lane reshapes out)
+    skip = _probe_candidates(graph_with((1, -1, 8, -1, 4, 32),
+                                        (1, 3, 8, 3, 8, 64)))
+    assert skip[0] == (48, 48)
+
+    # no partition reshape at all: the common-tile fallback list survives
+    bare = _probe_candidates(graph_with((2, 16, 3)))
+    assert bare[0] == (64, 64)
