@@ -220,6 +220,24 @@ class Upscaler:
             # of fused per-tile shuffles — net LOSS, so pixel-space stays
             # the default (BENCH_NOTES.md). The flag remains for future
             # kernel work.
+            # a .npz saved by validate.py carries the graph-derived arch in
+            # its .verify.json sidecar: honor non-flagship width/depths so
+            # any structurally-swin artifact serves, not just the release
+            # configuration (the sidecar also suppresses the fidelity
+            # warning below)
+            from waifu2x_tensorrt_tpu.models.onnx_backend import (
+                npz_verification,
+            )
+
+            npz_rec = npz_verification(stem) if stem.exists() else None
+            arch_kw = {}
+            if npz_rec and family.startswith("swin_unet"):
+                a = npz_rec.get("arch") or {}
+                if a.get("base_dim"):
+                    arch_kw["base_dim"] = int(a["base_dim"])
+                sd = a.get("stage_depths")
+                if sd and len(sd) == 3:
+                    arch_kw["depths"] = (sd[0], sd[0], sd[1], sd[2], sd[2])
             module, spec = registry.create_model(
                 family, scale, noise, dtype=config.precision.dtype,
                 use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
@@ -228,6 +246,7 @@ class Upscaler:
                 # measured +3.7% streamed on v5e (475.3 vs 458.5 MP/s,
                 # 2026-08-17) — kills the up1/up2 pixel-shuffle copies
                 shuffle_via_deconv=on_tpu,
+                **arch_kw,
             )
             params, from_file = registry.load_or_init_params(
                 module, self.models_dir, family, scale, noise,
@@ -236,16 +255,27 @@ class Upscaler:
                 allow_random=self.allow_random_init,
             )
             if from_file and spec.arch == "swin_unet":
-                # converted checkpoints ride on the reconstruction; keep
-                # the honesty warning and point at the graph-backed
-                # alternative (drop the .onnx next to the .npz and remove
-                # the .npz to serve the artifact's own graph).
-                self.logger.log(
-                    Severity.warn,
-                    "swin_unet fidelity vs upstream is unverified for "
-                    "converted checkpoints; validate with models/validate.py "
-                    "or serve the .onnx directly (models/onnx_backend.py)",
-                )
+                # converted checkpoints ride on the reconstruction: trust
+                # the conversion verdict validate.py recorded next to the
+                # .npz (content-hash keyed), else keep the honesty warning
+                # and point at the graph-backed alternative (drop the
+                # .onnx next to the .npz and remove the .npz to serve the
+                # artifact's own graph).
+                rec = npz_rec
+                if rec is not None:
+                    self.logger.log(
+                        Severity.info,
+                        f"conversion verified vs "
+                        f"{rec.get('source_onnx', 'source artifact')} "
+                        f"(max_err {rec.get('max_err')})")
+                else:
+                    self.logger.log(
+                        Severity.warn,
+                        "swin_unet fidelity vs upstream is unverified for "
+                        "converted checkpoints; validate with "
+                        "models/validate.py or serve the .onnx directly "
+                        "(models/onnx_backend.py)",
+                    )
         if config.height and config.height % spec.tile_divisor:
             raise ValueError(
                 f"tile size {config.height} is not a multiple of "

@@ -577,6 +577,52 @@ def _converter_fingerprint() -> str:
 CONVERTER_VERSION = "2-" + _converter_fingerprint()
 
 
+def _sha16(path: Path) -> str:
+    import hashlib
+
+    return hashlib.sha256(Path(path).read_bytes()).hexdigest()[:16]
+
+
+def write_npz_verification(npz_path, payload: dict) -> Path:
+    """Record a passed conversion check next to a saved ``.npz``
+    (validate.py writes this after its executed-graph-vs-flax gate), keyed
+    by the npz's own content hash so a re-saved or edited file is never
+    trusted on old evidence. ``Upscaler.load`` uses it to drop the
+    "fidelity unverified" warning for checkpoints validate.py proved.
+    """
+    import json
+
+    npz_path = Path(npz_path)
+    sidecar = npz_path.with_name(npz_path.name + ".verify.json")
+    sidecar.write_text(json.dumps({
+        "npz_sha16": _sha16(npz_path),
+        "converter_version": CONVERTER_VERSION,
+        **payload,
+    }, default=str))
+    return sidecar
+
+
+def npz_verification(npz_path) -> Optional[dict]:
+    """The recorded conversion verdict for a ``.npz``, or None when absent,
+    unreadable, content-stale, or above the trust gate (VERIFY_TOL)."""
+    import json
+
+    npz_path = Path(npz_path)
+    sidecar = npz_path.with_name(npz_path.name + ".verify.json")
+    if not sidecar.exists():
+        return None
+    try:
+        rec = json.loads(sidecar.read_text())
+        err = float(rec["max_err"])
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+    if rec.get("npz_sha16") != _sha16(npz_path):
+        return None
+    if not (err <= VERIFY_TOL):  # also rejects NaN
+        return None
+    return rec
+
+
 def verify_swin_conversion(graph: OnnxGraph, arch: ArchInfo,
                            params: dict, tol: float = VERIFY_TOL) -> float:
     """Prove the positional conversion faithful for THIS artifact, fully

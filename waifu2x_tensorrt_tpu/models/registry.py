@@ -107,6 +107,8 @@ def create_model(
     head_shuffle_2stage: bool = False,
     packed_x_head: bool = False,
     head_via_deconv: bool = False,
+    base_dim: Optional[int] = None,
+    depths: Optional[tuple] = None,
 ):
     """Build the Flax module + spec for a (family, scale, noise) choice.
 
@@ -116,7 +118,11 @@ def create_model(
       ``use_pallas``   — fused attention only
                          (ops/window_attention.py, bit-exact vs dense);
       ``packed_head``  — emit packed (oh/r, ow/r, 3*r*r) tiles; the
-                         renderer unpacks once per canvas (spec.packing).
+                         renderer unpacks once per canvas (spec.packing);
+      ``base_dim``/``depths`` — architecture overrides for converted
+                         checkpoints whose width/depths differ from the
+                         flagship configuration (validate.py records the
+                         graph-derived arch next to the saved .npz).
     """
     import jax.numpy as jnp
 
@@ -130,7 +136,13 @@ def create_model(
     else:
         packed = packed_head and scale > 1
         pack_x = packed_x_head and scale > 1 and not packed
+        arch_kw = {}
+        if base_dim is not None:
+            arch_kw["base_dim"] = int(base_dim)
+        if depths is not None:
+            arch_kw["depths"] = tuple(int(d) for d in depths)
         module = _swin.SwinUNet(scale=scale, dtype=dtype, clamp=clamp,
+                                **arch_kw,
                                 use_pallas=use_pallas,
                                 fused_block=fused_block,
                                 packed_head=packed,

@@ -182,8 +182,24 @@ def main(argv=None) -> int:
           f"p99 {float(np.quantile(berr, 0.99)):.3e} "
           f"(u8 LSB = {1 / 255:.3e})")
     if args.save_npz:
+        from waifu2x_tensorrt_tpu.models.onnx_backend import (
+            _sha16,
+            write_npz_verification,
+        )
+
         save_params(args.save_npz, params)
-        print(f"converted weights written to {args.save_npz}")
+        # record the passed gate next to the weights, keyed by their
+        # content hash — Upscaler.load trusts it instead of warning that
+        # converted-checkpoint fidelity is unverified
+        sidecar = write_npz_verification(args.save_npz, {
+            "source_onnx": str(args.onnx_path),
+            "source_sha16": _sha16(args.onnx_path),
+            "arch": derived.summary(),
+            "max_err": err,
+            "jax_serving_err": jerr,
+        })
+        print(f"converted weights written to {args.save_npz} "
+              f"(verification recorded in {sidecar.name})")
     return 0
 
 
