@@ -445,6 +445,16 @@ def test_validated_npz_suppresses_fidelity_warning(tmp_path):
                for s, m in msgs), msgs
     assert not any("unverified" in m for _, m in msgs), msgs
 
+    # the AOT build subcommand must compile the SAME overridden module
+    # (load() looks its program up in the persistent cache)
+    from waifu2x_tensorrt_tpu.engine.config import BuildConfig
+
+    bcfg = BuildConfig(precision=Precision.TF32,
+                       min_batch_size=2, opt_batch_size=2, max_batch_size=2,
+                       min_height=32, opt_height=32, max_height=32,
+                       min_width=32, opt_width=32, max_width=32)
+    Upscaler(models_dir=models_dir).build("swin_unet/art", 2, -1, bcfg)
+
     # content-stale: perturb the npz -> sidecar untrusted, warning is back
     data = bytearray(npz.read_bytes())
     data[-1] ^= 0xFF

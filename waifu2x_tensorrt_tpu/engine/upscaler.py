@@ -30,6 +30,25 @@ from waifu2x_tensorrt_tpu.models import registry
 from waifu2x_tensorrt_tpu.utils.logging import Logger, Severity
 
 
+def _npz_arch_overrides(stem: Path, family: str):
+    """(verification record, create_model arch overrides) for a converted
+    checkpoint: validate.py records the graph-derived architecture next to
+    the .npz it saves, so non-flagship widths/depths build the matching
+    module instead of dying with a param-shape error at first apply."""
+    from waifu2x_tensorrt_tpu.models.onnx_backend import npz_verification
+
+    rec = npz_verification(stem) if stem.exists() else None
+    arch_kw = {}
+    if rec and family.startswith("swin_unet"):
+        a = rec.get("arch") or {}
+        if a.get("base_dim"):
+            arch_kw["base_dim"] = int(a["base_dim"])
+        sd = a.get("stage_depths")
+        if sd and len(sd) == 3:
+            arch_kw["depths"] = (sd[0], sd[0], sd[1], sd[2], sd[2])
+    return rec, arch_kw
+
+
 class Upscaler:
     def __init__(self, models_dir: str | Path = "models",
                  allow_random_init: bool = False) -> None:
@@ -105,10 +124,14 @@ class Upscaler:
                         f"{spec.tile_divisor} (required by the parsed "
                         f"artifact {onnx_artifact.name})")
         else:
+            # same sidecar-derived arch overrides as load(): the compiled
+            # program must be the one render() executes
+            _, arch_kw = _npz_arch_overrides(stem_b, family)
             module, spec = registry.create_model(
                 family, scale, noise, dtype=config.precision.dtype,
                 use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
                 packed_head=False, shuffle_via_deconv=on_tpu,
+                **arch_kw,
             )
             params, loaded = registry.load_or_init_params(
                 module, self.models_dir, family, scale, noise,
@@ -225,19 +248,7 @@ class Upscaler:
             # any structurally-swin artifact serves, not just the release
             # configuration (the sidecar also suppresses the fidelity
             # warning below)
-            from waifu2x_tensorrt_tpu.models.onnx_backend import (
-                npz_verification,
-            )
-
-            npz_rec = npz_verification(stem) if stem.exists() else None
-            arch_kw = {}
-            if npz_rec and family.startswith("swin_unet"):
-                a = npz_rec.get("arch") or {}
-                if a.get("base_dim"):
-                    arch_kw["base_dim"] = int(a["base_dim"])
-                sd = a.get("stage_depths")
-                if sd and len(sd) == 3:
-                    arch_kw["depths"] = (sd[0], sd[0], sd[1], sd[2], sd[2])
+            npz_rec, arch_kw = _npz_arch_overrides(stem, family)
             module, spec = registry.create_model(
                 family, scale, noise, dtype=config.precision.dtype,
                 use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
