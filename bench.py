@@ -151,8 +151,35 @@ def measure(run, frame_dev, scale, frame_hw, iters=16, rounds=3):
     return out_mp / best, 1.0 / best
 
 
+def _probe_devices(timeout_s: float):
+    """First device touch under a watchdog: the axon tunnel's outage modes
+    are BOTH a raised UNAVAILABLE and an indefinite hang inside backend
+    init (observed 2026-08-18). Run jax.devices() on a worker thread and
+    convert a hang into the same retryable RuntimeError the raise mode
+    produces (__main__ re-execs on it)."""
+    import threading
+
+    out: dict = {}
+
+    def run():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # re-raised with the retry marker below
+            out["error"] = e
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    cause = out.get("error", f"init still hung after {timeout_s:.0f} s")
+    raise RuntimeError(f"Unable to initialize backend: {cause}")
+
+
 def main() -> None:
     from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+
+    _probe_devices(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "480")))
 
     # Persistent XLA compile cache: remote compiles swing 15 s <-> 200+ s
     # run-to-run (BENCH_NOTES.md); caching makes reruns measurement-bound.
@@ -526,4 +553,19 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # transient axon-tunnel outage (observed 2026-08-18: backend init
+        # raises UNAVAILABLE for stretches of minutes-to-hours). A failed
+        # jax backend cannot re-initialize in-process, so retry by
+        # re-exec'ing — fresh interpreter, fresh plugin registration, and
+        # the per-run budget clock restarts with it.
+        attempts = int(os.environ.get("BENCH_INIT_RETRIES", "4"))
+        if "Unable to initialize backend" in str(e) and attempts > 0:
+            log(f"[bench] TPU backend unavailable ({e}); retrying in 120 s "
+                f"({attempts} attempts left)")
+            time.sleep(120)
+            os.environ["BENCH_INIT_RETRIES"] = str(attempts - 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
