@@ -239,3 +239,59 @@ class TestRenderLoopHelpers:
                          lambda s, m: messages.append(m))
         assert rc == -1
         assert any("boom" in m for m in messages)
+
+
+def test_metrics_json_report(tmp_path):
+    """--metrics-json writes a per-file + totals render report (metrics
+    export is an extension: SURVEY.md §5 notes the reference has none)."""
+    import json
+
+    import numpy as np
+
+    from waifu2x_tensorrt_tpu.cli import main
+    from waifu2x_tensorrt_tpu.io.image import write_image
+
+    rng = np.random.default_rng(0)
+    ins = []
+    for i in range(2):
+        p = tmp_path / f"in{i}.png"
+        write_image(p, rng.integers(0, 256, (40, 52, 3), np.uint8))
+        ins.append(str(p))
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    report = tmp_path / "metrics.json"
+
+    rc = main([
+        "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
+        "--batchSize", "2", "--tileSize", "64", "--precision", "tf32",
+        "--allow-random-weights",
+        "render", "-i", *ins, "-o", str(out_dir),
+        "--metrics-json", str(report),
+    ])
+    assert rc == 0
+    rec = json.loads(report.read_text())
+    assert rec["config"]["model"] == "swin_unet/art"
+    assert rec["config"]["tile_size"] == 64
+    assert [f["rc"] for f in rec["files"]] == [0, 0]
+    assert all(f["seconds"] >= 0 for f in rec["files"])
+    assert rec["totals"] == {
+        "files": 2, "failed": 0,
+        "wall_seconds": rec["totals"]["wall_seconds"], "exit_code": 0}
+    assert rec["totals"]["wall_seconds"] > 0
+    assert len(list(out_dir.glob("*.png"))) == 2
+
+    # failure accounting: a missing input after a good one, continue-on-error
+    report2 = tmp_path / "metrics2.json"
+    bogus = tmp_path / "missing.png"
+    bogus.write_bytes(b"not a png")
+    rc = main([
+        "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
+        "--batchSize", "2", "--tileSize", "64", "--precision", "tf32",
+        "--allow-random-weights",
+        "render", "-i", ins[0], str(bogus), "-o", str(out_dir),
+        "--continue-on-error", "--metrics-json", str(report2),
+    ])
+    assert rc != 0
+    rec2 = json.loads(report2.read_text())
+    assert rec2["totals"]["failed"] == 1
+    assert rec2["totals"]["exit_code"] == rc

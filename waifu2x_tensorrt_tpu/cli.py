@@ -114,6 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "(reference exits on first error)")
     render.add_argument("--profile", default=None, metavar="DIR",
                         help="Capture a jax.profiler trace into DIR")
+    render.add_argument("--metrics-json", default=None, metavar="PATH",
+                        dest="metrics_json",
+                        help="Write a JSON render report: per-file wall "
+                             "seconds and exit codes, run totals, and the "
+                             "resolved configuration (extension — the "
+                             "reference exports no metrics, SURVEY.md §5)")
     render.add_argument("--bucket", type=int, default=0, metavar="N",
                         help="Pad frames up to multiples of N before "
                              "rendering (bounds recompilations for "
@@ -501,24 +507,68 @@ def main(argv=None) -> int:
     batcher = (_ImageStreamBatcher(args, engine, message_cb)
                if n_images > 1 and engine.can_stream else None)
 
+    import time as _time
+
+    metrics = None
+    if args.metrics_json:
+        metrics = {
+            "config": {
+                "model": args.model, "scale": args.scale,
+                "noise": args.noise, "tile_size": args.tile_size,
+                "batch_size": args.batch_size,
+                "precision": args.precision, "tta": args.tta,
+                "blend": args.blend, "dp": args.dp,
+                "streamed_images": batcher is not None,
+            },
+            "files": [],
+        }
+    t_run0 = _time.perf_counter()
+
     exit_code = 0
     capture = VideoCapture()
-    with trace(args.profile):
-        for file_index, file in enumerate(files):
-            state["file"] = file_index + 1
-            rc = _render_one(args, engine, capture, file, out_dir, suffix,
-                             state, message_cb, batcher)
-            if rc != 0:
-                if not args.continue_on_error:
-                    if batcher is not None:
-                        batcher.drain()  # salvage already-read images
-                    return rc
-                exit_code = rc
-        if batcher is not None:
-            rc = batcher.drain()
-            if rc != 0:
-                exit_code = rc
-    return exit_code
+    try:
+        with trace(args.profile):
+            for file_index, file in enumerate(files):
+                state["file"] = file_index + 1
+                t0 = _time.perf_counter()
+                rc = _render_one(args, engine, capture, file, out_dir,
+                                 suffix, state, message_cb, batcher)
+                if metrics is not None:
+                    # with cross-file image streaming, a file's tail tiles
+                    # render (and write) during the NEXT file's slot —
+                    # per-file seconds are attribution, totals are exact
+                    metrics["files"].append({
+                        "input": str(file), "rc": rc,
+                        "seconds": round(_time.perf_counter() - t0, 3),
+                    })
+                if rc != 0:
+                    if not args.continue_on_error:
+                        if batcher is not None:
+                            batcher.drain()  # salvage already-read images
+                        exit_code = rc
+                        return rc
+                    exit_code = rc
+            if batcher is not None:
+                rc = batcher.drain()
+                if rc != 0:
+                    exit_code = rc
+        return exit_code
+    finally:
+        if metrics is not None:
+            import json as _json
+
+            metrics["totals"] = {
+                "files": len(metrics["files"]),
+                "failed": sum(1 for f in metrics["files"] if f["rc"] != 0),
+                "wall_seconds": round(_time.perf_counter() - t_run0, 3),
+                "exit_code": exit_code,
+            }
+            try:
+                Path(args.metrics_json).write_text(
+                    _json.dumps(metrics, indent=2))
+            except OSError as e:
+                message_cb(Severity.warn,
+                           f"could not write metrics report: {e}")
 
 
 def _frames(capture):
