@@ -273,6 +273,7 @@ def test_metrics_json_report(tmp_path):
     assert rec["config"]["model"] == "swin_unet/art"
     assert rec["config"]["tile_size"] == 64
     assert [f["rc"] for f in rec["files"]] == [0, 0]
+    assert [f["frames"] for f in rec["files"]] == [1, 1]
     assert all(f["seconds"] >= 0 for f in rec["files"])
     assert rec["totals"] == {
         "files": 2, "failed": 0,

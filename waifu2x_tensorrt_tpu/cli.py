@@ -539,6 +539,7 @@ def main(argv=None) -> int:
                     # per-file seconds are attribution, totals are exact
                     metrics["files"].append({
                         "input": str(file), "rc": rc,
+                        "frames": state["frames"],
                         "seconds": round(_time.perf_counter() - t0, 3),
                     })
                 if rc != 0:
