@@ -172,8 +172,16 @@ def _probe_devices(timeout_s: float):
     th.join(timeout_s)
     if "devices" in out:
         return out["devices"]
-    cause = out.get("error", f"init still hung after {timeout_s:.0f} s")
-    raise RuntimeError(f"Unable to initialize backend: {cause}")
+    if "error" in out:
+        # only transient tunnel outages are retryable; permanent
+        # configuration errors (bad JAX_PLATFORMS, missing plugin) must
+        # surface immediately, not burn 4 x (timeout + 120 s) re-execs
+        if "UNAVAILABLE" in str(out["error"]):
+            raise RuntimeError(
+                f"Unable to initialize backend: {out['error']}")
+        raise out["error"]
+    raise RuntimeError(f"Unable to initialize backend: init still hung "
+                       f"after {timeout_s:.0f} s")
 
 
 def main() -> None:

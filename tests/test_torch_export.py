@@ -455,6 +455,16 @@ def test_validated_npz_suppresses_fidelity_warning(tmp_path):
                        min_width=32, opt_width=32, max_width=32)
     Upscaler(models_dir=models_dir).build("swin_unet/art", 2, -1, bcfg)
 
+    # converter-version-stale: the verdict transited older converter/flax
+    # source -> fidelity is no longer trusted (warning returns), but the
+    # graph-derived arch overrides still apply (the render must not die
+    # with a flagship-shape param error)
+    stale = dict(rec, converter_version="0-outdated0000")
+    sidecar.write_text(json.dumps(stale))
+    msgs = load_and_collect(render=True)
+    assert any("unverified" in m for _, m in msgs), msgs
+    sidecar.write_text(json.dumps(rec))
+
     # content-stale: perturb the npz -> sidecar untrusted, warning is back
     data = bytearray(npz.read_bytes())
     data[-1] ^= 0xFF

@@ -525,21 +525,25 @@ def main(argv=None) -> int:
     t_run0 = _time.perf_counter()
 
     exit_code = 0
+    drain_rc = 0
     capture = VideoCapture()
     try:
         with trace(args.profile):
             for file_index, file in enumerate(files):
                 state["file"] = file_index + 1
-                t0 = _time.perf_counter()
+                state["frames"] = 0  # else a failed open inherits the
+                t0 = _time.perf_counter()  # previous file's count
                 rc = _render_one(args, engine, capture, file, out_dir,
                                  suffix, state, message_cb, batcher)
                 if metrics is not None:
                     # with cross-file image streaming, a file's tail tiles
                     # render (and write) during the NEXT file's slot —
-                    # per-file seconds are attribution, totals are exact
+                    # per-file seconds are attribution, totals are exact.
+                    # frames is -1 for unknown-length streams ("?").
+                    n = state["frames"]
                     metrics["files"].append({
                         "input": str(file), "rc": rc,
-                        "frames": state["frames"],
+                        "frames": n if isinstance(n, int) else -1,
                         "seconds": round(_time.perf_counter() - t0, 3),
                     })
                 if rc != 0:
@@ -550,20 +554,32 @@ def main(argv=None) -> int:
                         return rc
                     exit_code = rc
             if batcher is not None:
-                rc = batcher.drain()
-                if rc != 0:
-                    exit_code = rc
+                drain_rc = batcher.drain()
+                if drain_rc != 0:
+                    exit_code = drain_rc
         return exit_code
     finally:
         if metrics is not None:
             import json as _json
 
+            # an exception (Ctrl-C, a raise inside trace()/the stream)
+            # lands here with exit_code still holding its pre-crash value
+            # — the report must not read as a clean run
+            aborted = sys.exc_info()[0] is not None
             metrics["totals"] = {
                 "files": len(metrics["files"]),
                 "failed": sum(1 for f in metrics["files"] if f["rc"] != 0),
                 "wall_seconds": round(_time.perf_counter() - t_run0, 3),
-                "exit_code": exit_code,
+                "exit_code": exit_code if not aborted else (exit_code or -1),
             }
+            if aborted:
+                metrics["totals"]["aborted"] = True
+            if drain_rc != 0:
+                # deferred stream writes that failed at the final drain
+                # belong to no per-file row (their submit already returned
+                # 0) — surface them so failed==0 + exit_code!=0 is
+                # explained inside the report itself
+                metrics["totals"]["deferred_write_failures"] = True
             try:
                 Path(args.metrics_json).write_text(
                     _json.dumps(metrics, indent=2))

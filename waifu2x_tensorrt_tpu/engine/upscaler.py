@@ -31,13 +31,22 @@ from waifu2x_tensorrt_tpu.utils.logging import Logger, Severity
 
 
 def _npz_arch_overrides(stem: Path, family: str):
-    """(verification record, create_model arch overrides) for a converted
-    checkpoint: validate.py records the graph-derived architecture next to
-    the .npz it saves, so non-flagship widths/depths build the matching
-    module instead of dying with a param-shape error at first apply."""
-    from waifu2x_tensorrt_tpu.models.onnx_backend import npz_verification
+    """(trusted verification record, create_model arch overrides) for a
+    converted checkpoint: validate.py records the graph-derived
+    architecture next to the .npz it saves, so non-flagship widths/depths
+    build the matching module instead of dying with a param-shape error at
+    first apply. The arch overrides apply whenever the record matches the
+    file's content (they are graph facts); the returned record — which
+    suppresses the fidelity warning — additionally requires the current
+    converter version (evidence produced by older converter/flax source is
+    not re-trusted)."""
+    from waifu2x_tensorrt_tpu.models.onnx_backend import (
+        CONVERTER_VERSION,
+        npz_verification,
+    )
 
-    rec = npz_verification(stem) if stem.exists() else None
+    rec = (npz_verification(stem, trust=False)
+           if stem.exists() else None)
     arch_kw = {}
     if rec and family.startswith("swin_unet"):
         a = rec.get("arch") or {}
@@ -46,7 +55,10 @@ def _npz_arch_overrides(stem: Path, family: str):
         sd = a.get("stage_depths")
         if sd and len(sd) == 3:
             arch_kw["depths"] = (sd[0], sd[0], sd[1], sd[2], sd[2])
-    return rec, arch_kw
+    trusted = (rec if rec is not None
+               and rec.get("converter_version") == CONVERTER_VERSION
+               else None)
+    return trusted, arch_kw
 
 
 class Upscaler:

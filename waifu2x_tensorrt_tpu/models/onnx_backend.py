@@ -463,16 +463,12 @@ def swin_params_from_graph(graph: OnnxGraph) -> dict:
         raise ValueError(
             f"expected 2 decoder linears (up2, up1), found "
             f"{len(standalone)}")
-    missing = [i for i, b in enumerate(blocks)
-               if not block_complete(b) or "table" not in b]
-    if missing:
-        raise ValueError(f"incomplete attention blocks at {missing}")
-
     # every block must carry both LN scales, all four linears, and the
     # rel-pos table before assembly — a missing slot (an LN idiom
     # _resolve_init does not chase, a table the folded-bias inversion
     # missed) must surface as the loader-cacheable diagnostic ValueError,
     # not a raw KeyError that bypasses the .verify.json failure cache
+    # (subsumes the old block_complete/table incompleteness check)
     required = ["norm1/scale", "norm2/scale", "table"] + [
         f"{lin}/kernel" for lin in _BLOCK_LINEARS]
     for bi, b in enumerate(blocks):
@@ -602,9 +598,17 @@ def write_npz_verification(npz_path, payload: dict) -> Path:
     return sidecar
 
 
-def npz_verification(npz_path) -> Optional[dict]:
+def npz_verification(npz_path, trust: bool = True) -> Optional[dict]:
     """The recorded conversion verdict for a ``.npz``, or None when absent,
-    unreadable, content-stale, or above the trust gate (VERIFY_TOL)."""
+    unreadable, content-stale, or above the trust gate (VERIFY_TOL).
+
+    With ``trust=True`` (the default) a converter-version-stale record is
+    also rejected: even though the .npz bytes are immutable, the verdict
+    transited the flax modules (validate.py's module.apply), so an edit to
+    them invalidates the evidence exactly as it does for .onnx sidecars.
+    ``trust=False`` skips only that version check — for consumers that
+    need the record's factual, graph-derived metadata (the architecture
+    overrides) rather than its fidelity verdict."""
     import json
 
     npz_path = Path(npz_path)
@@ -615,6 +619,8 @@ def npz_verification(npz_path) -> Optional[dict]:
         rec = json.loads(sidecar.read_text())
         err = float(rec["max_err"])
     except (OSError, ValueError, KeyError, TypeError):
+        return None
+    if trust and rec.get("converter_version") != CONVERTER_VERSION:
         return None
     if rec.get("npz_sha16") != _sha16(npz_path):
         return None
