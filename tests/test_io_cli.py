@@ -296,3 +296,45 @@ def test_metrics_json_report(tmp_path):
     rec2 = json.loads(report2.read_text())
     assert rec2["totals"]["failed"] == 1
     assert rec2["totals"]["exit_code"] == rc
+
+
+def test_metrics_json_marks_deferred_stream_failures(tmp_path, monkeypatch):
+    """A failure surfacing at the final stream drain belongs to no
+    per-file row (each submit already returned 0): the report must
+    explain failed==0 + exit_code!=0 via totals.deferred_write_failures."""
+    import json
+
+    import numpy as np
+
+    from waifu2x_tensorrt_tpu import cli
+    from waifu2x_tensorrt_tpu.io.image import write_image
+
+    rng = np.random.default_rng(1)
+    ins = []
+    for i in range(2):  # same size -> one cross-file stream, one final drain
+        p = tmp_path / f"in{i}.png"
+        write_image(p, rng.integers(0, 256, (40, 52, 3), np.uint8))
+        ins.append(str(p))
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    report = tmp_path / "metrics.json"
+
+    # fail only the drain of an ACTIVE stream: with same-size images that
+    # is exactly the final drain (submit's empty pre-drain passes through)
+    orig_drain = cli._ImageStreamBatcher.drain
+    monkeypatch.setattr(
+        cli._ImageStreamBatcher, "drain",
+        lambda self: -1 if self._stream is not None else orig_drain(self))
+    rc = cli.main([
+        "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
+        "--batchSize", "2", "--tileSize", "64", "--precision", "tf32",
+        "--allow-random-weights",
+        "render", "-i", *ins, "-o", str(out_dir),
+        "--metrics-json", str(report),
+    ])
+    assert rc != 0
+    rec = json.loads(report.read_text())
+    assert [f["rc"] for f in rec["files"]] == [0, 0]
+    assert rec["totals"]["failed"] == 0
+    assert rec["totals"]["exit_code"] == rc
+    assert rec["totals"]["deferred_write_failures"] is True
