@@ -169,6 +169,15 @@ void fp_reader_release(void* h, unsigned char* slab) {
     r->ring.cv.notify_all();
 }
 
+int fp_reader_error(void* h) {
+    // 1 when the decoder emitted a truncated frame (fread returned a
+    // short, nonzero count) — lets the consumer distinguish a clean EOF
+    // (acquire() == NULL) from a mid-frame decoder death.
+    auto* r = static_cast<Reader*>(h);
+    std::lock_guard<std::mutex> lk(r->ring.mu);
+    return r->ring.error ? 1 : 0;
+}
+
 int fp_reader_close(void* h) {
     auto* r = static_cast<Reader*>(h);
     {

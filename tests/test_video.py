@@ -389,3 +389,111 @@ def test_cli_rejects_whole_frame_tta():
     ])
     with pytest.raises(ValueError, match="tileSize 0.*--tta|--tta"):
         _validate(args)
+
+
+class _FakeStdout:
+    """A blocking-capable stdout stub for reader-loop white-box tests."""
+
+    def __init__(self, data: bytes) -> None:
+        import io
+
+        self._buf = io.BytesIO(data)
+        self._closed = False
+
+    def read(self, n: int) -> bytes:
+        if self._closed:
+            return b""
+        return self._buf.read(n)
+
+    def close(self) -> None:
+        self._closed = True
+
+
+class _FakeProc:
+    def __init__(self, data: bytes) -> None:
+        self.stdout = _FakeStdout(data)
+
+    def terminate(self) -> None:
+        pass
+
+    def wait(self) -> int:
+        return 0
+
+
+def _pipe_capture(data: bytes, prefetch: int = 2) -> VideoCapture:
+    """Wire a VideoCapture's pure-Python pipe path to canned bytes."""
+    import queue
+    import threading
+
+    cap = VideoCapture(prefetch=prefetch)
+    cap.frame_height, cap.frame_width = 2, 4
+    cap.frame_count = -1
+    cap._proc = _FakeProc(data)
+    cap._queue = queue.Queue(maxsize=prefetch)
+    cap._stop = threading.Event()
+    cap._reader = threading.Thread(target=cap._reader_loop, daemon=True)
+    cap._reader.start()
+    return cap
+
+
+def test_truncated_pipe_stream_raises_at_read():
+    """A decoder dying mid-frame must raise, not masquerade as clean EOF
+    (the reference fread path has the same silent-truncation hole,
+    capture.cpp:116-128); later reads return None without hanging."""
+    nbytes = 2 * 4 * 3
+    cap = _pipe_capture(b"\x01" * nbytes + b"\x02" * 5)
+    assert cap.read().shape == (2, 4, 3)
+    with pytest.raises(RuntimeError, match="truncated"):
+        cap.read()
+    assert cap.read() is None  # post-error reads do not hang
+    cap.release()
+
+
+def test_pipe_read_after_eof_returns_none():
+    """Repeated post-EOF reads return None instead of blocking forever on
+    an empty queue (only one sentinel is ever enqueued)."""
+    nbytes = 2 * 4 * 3
+    cap = _pipe_capture(b"\x01" * nbytes)
+    assert cap.read() is not None
+    assert cap.read() is None
+    assert cap.read() is None
+    cap.release()
+
+
+def test_early_release_reclaims_reader_thread():
+    """Releasing before EOF (probe-then-release, --resume skips) must
+    unblock a reader parked on the full prefetch queue and join it —
+    not leak one thread plus a queue of raw frames per file."""
+    import time
+
+    nbytes = 2 * 4 * 3
+    cap = _pipe_capture(b"\x01" * (nbytes * 10), prefetch=2)
+    t = cap._reader
+    deadline = time.monotonic() + 2.0
+    while cap._queue.qsize() < 2 and time.monotonic() < deadline:
+        time.sleep(0.01)  # let the reader fill the queue and park in put
+    cap.release()
+    t.join(timeout=5.0)
+    assert not t.is_alive()
+
+
+def test_multihost_more_hosts_than_frames(fake_ffmpeg, tmp_path,
+                                          monkeypatch):
+    """frame_count < process_count: hosts with an empty (k, k) range must
+    render nothing (not crash in capture.open), and the populated hosts'
+    parts still stitch."""
+    import jax
+
+    monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
+    monkeypatch.setattr(jax, "process_count", lambda: N + 2)
+
+    out = tmp_path / "tiny.mp4"
+    total = 0
+    for pi in range(N + 2):
+        monkeypatch.setattr(jax, "process_index", lambda pi=pi: pi)
+        rc, engine, _ = _run_segmented(_seg_args(multihost=True), out,
+                                       fake_ffmpeg)
+        assert rc == 0, pi
+        total += engine.rendered_frames
+    assert total == N  # every frame rendered exactly once
+    assert out.exists()  # last finisher stitched

@@ -771,8 +771,13 @@ def _render_video_segmented(args, engine, file, out_path, state, message_cb,
             from waifu2x_tensorrt_tpu.parallel import shard_frame_ranges
 
             pc = jax.process_count()
-            grid = [shard_frame_ranges(total_frames, i, pc) for i in range(pc)]
-            mine = [grid[jax.process_index()]]
+            # frame_count < process_count leaves later hosts with empty
+            # (k, k) ranges — they render nothing (and may end up doing
+            # the final stitch as the "last finisher")
+            grid = [r for r in (shard_frame_ranges(total_frames, i, pc)
+                                for i in range(pc)) if r[0] < r[1]]
+            own = shard_frame_ranges(total_frames, jax.process_index(), pc)
+            mine = [own] if own[0] < own[1] else []
     else:
         mine = grid
 
@@ -785,19 +790,23 @@ def _render_video_segmented(args, engine, file, out_path, state, message_cb,
             continue
         tmp = part.with_name(part.stem + ".tmp" + part.suffix)
         capture = VideoCapture()
-        capture.open(file, frame_range=(a, b))
-        writer = (VideoWriter()
-                  .set_constant_rate_factor(args.crf)
-                  .set_frame_rate(frame_rate)
-                  .set_pixel_format(args.pix_fmt).set_codec(args.codec)
-                  .set_frame_size(capture.frame_width * args.scale,
-                                  capture.frame_height * args.scale)
-                  .set_output_file(tmp))
+        writer = None
         try:
+            # capture.open inside the try: a bad frame_range / probe
+            # failure must follow the same error protocol, not escape as
+            # a raw traceback
+            capture.open(file, frame_range=(a, b))
+            writer = (VideoWriter()
+                      .set_constant_rate_factor(args.crf)
+                      .set_frame_rate(frame_rate)
+                      .set_pixel_format(args.pix_fmt).set_codec(args.codec)
+                      .set_frame_size(capture.frame_width * args.scale,
+                                      capture.frame_height * args.scale)
+                      .set_output_file(tmp))
             writer.open()
             # same streaming loop as the unsegmented path; the stream is
             # flushed at the segment boundary so part files stay exact
-            stream = _open_stream(engine, 
+            stream = _open_stream(engine,
                 (capture.frame_height, capture.frame_width))
             if stream is not None:
                 for i in range(b - a):
@@ -821,14 +830,22 @@ def _render_video_segmented(args, engine, file, out_path, state, message_cb,
                         writer.write(np.asarray(pending))
                     pending = fut
                 writer.write(np.asarray(pending))
+            capture.release()
+            # on the success path release() is part of the contract: it
+            # verifies the encoder drained and exited cleanly, and raises
+            # (into the except below) otherwise
+            writer.release()
         except Exception as e:
             message_cb(Severity.error,
                        f"Render failed in frames [{a}, {b}): {e}.")
+            for closer in (capture, writer):
+                try:
+                    if closer is not None:
+                        closer.release()  # idempotent on both classes
+                except Exception:
+                    pass
             tmp.unlink(missing_ok=True)
             return -1
-        finally:
-            capture.release()
-            writer.release()
         tmp.replace(part)  # atomic: existence == segment complete
         message_cb(Severity.info, f"Rendered segment [{a}, {b}) -> {part.name}")
 

@@ -38,10 +38,18 @@ class NativeFrameReader:
         self._loaned: dict[int, object] = {}  # slab addr -> ctypes ptr
 
     def read(self, copy: bool = True) -> Optional[np.ndarray]:
-        """Next frame, or None at EOF. With copy=False the array is a view
-        over a native slab that MUST be returned via ``release``."""
+        """Next frame, or None at clean EOF. Raises RuntimeError when the
+        decoder died mid-frame (truncated output) — a short stream must
+        not be indistinguishable from a complete one. With copy=False the
+        array is a view over a native slab that MUST be returned via
+        ``release`` and must not outlive ``close()`` (the slabs are freed
+        there)."""
         ptr = self._lib.fp_reader_acquire(self._h)
         if not ptr:
+            if self._lib.fp_reader_error(self._h):
+                raise RuntimeError(
+                    "decoder emitted a truncated frame (stream died "
+                    "mid-frame)")
             return None
         arr = np.ctypeslib.as_array(ptr, shape=self._shape)
         if copy:
@@ -56,6 +64,12 @@ class NativeFrameReader:
 
     def close(self) -> int:
         if self._h:
+            # return leftover loans so close() never frees a slab the ring
+            # still counts as outstanding; the numpy views become invalid
+            # at this point (documented in read())
+            for ptr in self._loaned.values():
+                self._lib.fp_reader_release(self._h, ptr)
+            self._loaned.clear()
             rc = self._lib.fp_reader_close(self._h)
             self._h = None
             return rc

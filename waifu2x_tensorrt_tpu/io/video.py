@@ -105,6 +105,9 @@ class VideoCapture:
         self._native = None
         self._queue: Optional[_queue.Queue] = None
         self._reader: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._eof = False
+        self._pipe_error = False
         self._image: Optional[np.ndarray] = None
         self._image_read = False
         self._prefetch = prefetch
@@ -139,7 +142,15 @@ class VideoCapture:
         info = probe(path)
         self.frame_width = int(info["width"])
         self.frame_height = int(info["height"])
-        self.frame_rate = fraction_string_to_double(info["r_frame_rate"])
+        try:
+            self.frame_rate = fraction_string_to_double(
+                info.get("r_frame_rate", ""))
+        except (ValueError, ZeroDivisionError) as e:
+            # e.g. 0/0 on attached-cover-art / still-picture streams —
+            # name the field and file instead of a bare division error
+            raise ValueError(
+                f"{path}: could not parse r_frame_rate="
+                f"{info.get('r_frame_rate')!r}: {e}") from e
         nb = info.get("nb_frames", "N/A")
         if nb.lower() in ("n/a", ""):
             # stream without a frame count: leave it unknown (-1) and let
@@ -158,6 +169,9 @@ class VideoCapture:
                     f"{self.frame_count})")
             self.frame_count = stop - start
 
+        self._eof = False
+        self._pipe_error = False
+        self._stop = threading.Event()
         cmd = self._decode_cmd(path, frame_range)
         if use_native_pipe():
             # C++ ring runtime: the decoder child is fed/drained by a
@@ -182,13 +196,19 @@ class VideoCapture:
                     frame_range: Optional[tuple[int, int]] = None
                     ) -> list[str]:
         """Raw rgb24 decode pipe command (reference capture.cpp:96-105);
-        the optional frame window uses the frame-exact trim filter."""
+        the optional frame window uses the frame-exact trim filter plus an
+        output frame cap so ffmpeg stops decoding at the window's end
+        instead of running to input EOF. The head [0, start) is still
+        decoded-and-discarded (no keyframe -ss seek: input seeking is not
+        frame-exact on inter-coded video, and segment boundaries must be
+        exact for the lossless stitch)."""
         cmd = ["ffmpeg", "-v", "error", "-i", str(path)]
         if frame_range is not None:
             start, stop = frame_range
             cmd += ["-vf",
                     f"trim=start_frame={start}:end_frame={stop},"
-                    "setpts=PTS-STARTPTS"]
+                    "setpts=PTS-STARTPTS",
+                    "-frames:v", str(stop - start)]
         cmd += ["-f", "image2pipe", "-vcodec", "rawvideo", "-pix_fmt",
                 "rgb24", "-"]
         return cmd
@@ -218,7 +238,15 @@ class VideoCapture:
                 raise ValueError(
                     f"frame_range {frame_range} outside [0, "
                     f"{self.frame_count})")
-            cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+            # decode-and-discard to the start frame: CAP_PROP_POS_FRAMES
+            # lands on a nearby keyframe on many codec/backend pairs, and
+            # segment boundaries must be frame-exact for the lossless
+            # stitch (grab() skips the colorspace conversion)
+            for i in range(start):
+                if not cap.grab():
+                    raise RuntimeError(
+                        f"{path}: stream ended at frame {i} while seeking "
+                        f"to {start}")
             self.frame_count = stop - start
             self._cv2_remaining = self.frame_count
 
@@ -236,15 +264,37 @@ class VideoCapture:
         nbytes = self.frame_width * self.frame_height * 3
         stdout = self._proc.stdout
         q = self._queue
-        while True:
-            buf = stdout.read(nbytes)
+        stop = self._stop
+        while not stop.is_set():
+            try:
+                buf = stdout.read(nbytes)
+            except (OSError, ValueError):  # release() closed the pipe
+                break
             if buf is None or len(buf) < nbytes:
-                q.put(None)
-                return
+                # a short nonzero read is a decoder dying MID-frame —
+                # record it so read() can distinguish error from clean EOF
+                self._pipe_error = bool(buf)
+                break
             frame = np.frombuffer(buf, np.uint8).reshape(
                 self.frame_height, self.frame_width, 3
             )
-            q.put(frame)
+            # bounded-timeout put so an early release() (probe-then-close,
+            # --resume skips) can unblock this thread via _stop instead of
+            # leaking it parked on a full queue forever
+            delivered = False
+            while not stop.is_set():
+                try:
+                    q.put(frame, timeout=0.1)
+                    delivered = True
+                    break
+                except _queue.Full:
+                    continue
+            if not delivered:
+                return
+        try:
+            q.put_nowait(None)  # EOF sentinel (error already recorded)
+        except _queue.Full:
+            pass
 
     def read(self) -> Optional[np.ndarray]:
         """Next RGB uint8 frame, or None at end of stream."""
@@ -266,10 +316,23 @@ class VideoCapture:
             return self._image
         if self._queue is None:
             raise RuntimeError("capture is not opened")
-        return self._queue.get()
+        if self._eof:
+            return None  # repeated post-EOF reads must not hang on q.get
+        frame = self._queue.get()
+        if frame is None:
+            self._eof = True
+            if self._pipe_error:
+                raise RuntimeError(
+                    "decoder emitted a truncated frame (stream died "
+                    "mid-frame)")
+        return frame
 
     def release(self) -> None:
         if self._native is not None:
+            # close rc is ignored here: an early release (probe-then-
+            # close, --resume skip) kills a healthy child whose exit code
+            # is then meaningless; truncated-frame errors already raise at
+            # read() time via fp_reader_error
             self._native.close()
             self._native = None
         if self._cv2 is not None:
@@ -277,6 +340,7 @@ class VideoCapture:
             self._cv2 = None
             self._cv2_remaining = None
         if self._proc is not None:
+            self._stop.set()
             try:
                 self._proc.stdout.close()
             except Exception:
@@ -284,6 +348,15 @@ class VideoCapture:
             self._proc.terminate()
             self._proc.wait()
             self._proc = None
+            if self._queue is not None:
+                # unblock a reader parked in a full-queue put
+                try:
+                    while True:
+                        self._queue.get_nowait()
+                except _queue.Empty:
+                    pass
+            if self._reader is not None:
+                self._reader.join(timeout=5.0)
         self._reader = None
         self._queue = None
         self._image = None
@@ -468,7 +541,11 @@ class VideoWriter:
                 self._proc.stdin.close()
             except Exception:
                 pass
-            self._proc.wait()
+            # the encoder's exit status IS the result of the render: a
+            # nonzero finalize (disk full, muxer error) must not report
+            # "Wrote <out>" over a truncated file (the native path and
+            # image mode already raise on their symmetric failures)
+            rc = self._proc.wait()
             self._proc = None
         self._opened = False
         self._png_written = False
@@ -522,8 +599,14 @@ def concat_segments(parts: list[Path], out_path: Path,
     tmp = out_path.with_name(out_path.name + ".concat.tmp" + out_path.suffix)
     if have_ffmpeg():
         list_file = out_path.with_suffix(".segments.txt")
+        # concat-demuxer quoting: a single quote inside single quotes is
+        # written as '\'' (close, escaped quote, reopen) — else any path
+        # containing an apostrophe breaks the list parse
+        def _q(p: Path) -> str:
+            return str(p.resolve()).replace("'", "'\\''")
+
         list_file.write_text(
-            "".join(f"file '{p.resolve()}'\n" for p in parts))
+            "".join(f"file '{_q(p)}'\n" for p in parts))
         try:
             subprocess.run(
                 ["ffmpeg", "-v", "error", "-y", "-f", "concat", "-safe", "0",

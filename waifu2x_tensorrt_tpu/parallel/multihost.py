@@ -37,8 +37,14 @@ def shard_frame_ranges(
 ) -> tuple[int, int]:
     """Contiguous [start, stop) frame range for this host.
 
-    Contiguous (not strided) so each host's ffmpeg child seeks once and
-    decodes a single run; earlier hosts get the remainder frames.
+    Contiguous (not strided) so each host's ffmpeg child decodes one
+    run and stops at its window's end (``-frames:v`` cap). The head
+    [0, start) is still decoded-and-discarded on each host — frame-exact
+    trim, no keyframe seek — so per-host decode cost grows with start;
+    the encode/upscale work (the expensive part) is what shards evenly.
+    Earlier hosts get the remainder frames. When frame_count <
+    process_count, later hosts get an EMPTY (k, k) range — callers skip
+    those (no segment to render).
     """
     pi, pc = _resolve(process_index, process_count)
     base = frame_count // pc

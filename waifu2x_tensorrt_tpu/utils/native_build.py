@@ -66,6 +66,8 @@ def load_framepipe() -> Optional[ctypes.CDLL]:
                                       ctypes.POINTER(ctypes.c_ubyte)]
     lib.fp_reader_close.restype = ctypes.c_int
     lib.fp_reader_close.argtypes = [ctypes.c_void_p]
+    lib.fp_reader_error.restype = ctypes.c_int
+    lib.fp_reader_error.argtypes = [ctypes.c_void_p]
     lib.fp_writer_open.restype = ctypes.c_void_p
     lib.fp_writer_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                    ctypes.c_int]
