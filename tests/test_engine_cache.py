@@ -157,3 +157,32 @@ class TestSelection:
         # "scale2x_xxx" DOES start with "scale2x" — garbage sidecar:
         (tmp_path / "scale2x_garbage.engine.json").write_text("not json")
         assert find_engine(stem, _render(), device_name="Chip") is None
+
+
+def test_is_warm_accounts_for_dp_multiplier():
+    """A --dp N render dispatches batch*N-tile model chunks; is_warm must
+    match THAT shape against the compiled corners, not the per-device
+    batch (a false warm claim means 'Using engine ...' followed by a
+    from-scratch compile of a never-built shape)."""
+    from waifu2x_tensorrt_tpu.engine.config import (
+        BuildConfig,
+        Precision,
+        RenderConfig,
+        is_warm,
+    )
+
+    build = BuildConfig(precision=Precision.FP16,
+                        min_batch_size=8, opt_batch_size=8,
+                        max_batch_size=8,
+                        min_height=256, opt_height=256, max_height=256,
+                        min_width=256, opt_width=256, max_width=256)
+    render = RenderConfig(precision=Precision.FP16, batch_size=8,
+                          height=256, width=256, scaling=4)
+    assert is_warm(render, build)            # unsharded: matches
+    assert not is_warm(render, build, dp=4)  # dispatch shape is 32
+    big = BuildConfig(precision=Precision.FP16,
+                      min_batch_size=32, opt_batch_size=32,
+                      max_batch_size=32,
+                      min_height=256, opt_height=256, max_height=256,
+                      min_width=256, opt_width=256, max_width=256)
+    assert is_warm(render, big, dp=4)        # batch*dp pre-built: warm

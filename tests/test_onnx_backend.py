@@ -928,3 +928,24 @@ def test_probe_candidates_recover_partition_geometries():
     # no partition reshape at all: the common-tile fallback list survives
     bare = _probe_candidates(graph_with((2, 16, 3)))
     assert bare[0] == (64, 64)
+
+
+def test_artifact_family_mismatch_is_rejected(tmp_path):
+    """A cunet export dropped under models/swin_unet/ must fail load with
+    a clear architecture-vs-family error, not inherit swin's spec and die
+    later in an opaque shape error (or route through the wrong fused
+    fallback)."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    models_dir = tmp_path / "models"
+    art_dir = models_dir / "swin_unet" / "art"
+    art_dir.mkdir(parents=True)
+    _cunet_graph(tmp_path, scale=2)
+    (art_dir / "scale2x.onnx").write_bytes(
+        (tmp_path / "cunet2.onnx").read_bytes())
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
+                       width=64, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir)
+    with pytest.raises(ValueError, match="architecture"):
+        up.load("swin_unet/art", 2, -1, cfg)

@@ -324,7 +324,9 @@ def test_tile_stream_warm_covers_carry_cycle():
         np.testing.assert_array_equal(a, b)
 
     s2 = TileStream(pl_, {}, (64, 124))  # 2 tiles/frame == whole chunks
-    assert s2.warm() == 0
+    # even division still warms ONE pass (single signature): the first
+    # live submit must not pay the prepare/model/finalize compiles
+    assert s2.warm() == 1
 
 
 def test_tile_stream_sharded_matches_unsharded():

@@ -306,3 +306,24 @@ def test_identity_reconstruction_randomized_sweep():
             got, expected, atol=1e-5,
             err_msg=f"case {case}: hw=({h},{w}) tile={in_tile} "
                     f"out={out_tile} scale={scale} overlap={overlap}")
+
+
+def test_too_small_tile_raises_named_error():
+    """A tile the context shrink + blend overlap consumes entirely must
+    raise a ValueError naming the constraint — not ZeroDivisionError
+    (stride 0) or a silently blank canvas (negative stride, zero-size
+    output rects)."""
+    from waifu2x_tensorrt_tpu.tiling import calculate_tiles
+
+    # cunet scale 1 (offset 28/side): tile 60 -> out 4, stride 4-4 = 0
+    with pytest.raises(ValueError, match="too small"):
+        calculate_tiles((200, 200), (200, 200), (60, 60), (4, 4), 1,
+                        (1 / 16, 1 / 16))
+    # cunet scale 2 (offset 36/side): tile 36 -> out tile 0
+    with pytest.raises(ValueError, match="too small"):
+        calculate_tiles((100, 100), (200, 200), (36, 36), (0, 0), 2,
+                        (1 / 16, 1 / 16))
+    # healthy case still works: smallest CLI tile, cunet scale 1
+    n, _, _ = calculate_tiles((100, 100), (100, 100), (64, 64), (8, 8), 1,
+                              (1 / 16, 1 / 16))
+    assert n > 0

@@ -329,7 +329,7 @@ def _force_fused_explosion(engine, config):
     """Arm the engine so its first model-chunk dispatch raises, simulating
     the fused-block scoped-vmem compile flake (NEXT_STEPS.md)."""
     engine._fused = True
-    engine._load_args = ("cunet/art", 2, 1, config, None, False)
+    engine._load_args = ("cunet/art", 2, 1, config, None, False, {})
 
     def exploding(params, c):
         raise RuntimeError("scoped vmem boom")

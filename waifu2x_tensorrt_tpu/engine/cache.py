@@ -125,6 +125,7 @@ def find_engine(
     weights_stem_path: Path,
     render_config: RenderConfig,
     device_name: Optional[str] = None,
+    dp: int = 1,
 ) -> Optional[tuple[Path, BuildConfig]]:
     """Scan the model dir for matching engine sidecars.
 
@@ -156,7 +157,7 @@ def find_engine(
         # any in-range shape. Claiming an in-range-but-uncompiled match
         # would promise a warm engine and then compile from scratch.
         if is_compatible(render_config, build_cfg) and is_warm(
-            render_config, build_cfg
+            render_config, build_cfg, dp=dp
         ):
             if is_optimized(render_config, build_cfg):
                 return path, build_cfg

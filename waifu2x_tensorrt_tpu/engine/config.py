@@ -103,10 +103,15 @@ def compiled_shapes(build: BuildConfig) -> tuple[tuple[int, int, int], ...]:
     return tuple(shapes)
 
 
-def is_warm(render: RenderConfig, build: BuildConfig) -> bool:
-    """True iff the render geometry is one the build actually compiled."""
+def is_warm(render: RenderConfig, build: BuildConfig, dp: int = 1) -> bool:
+    """True iff the render geometry is one the build actually compiled.
+
+    ``dp`` is the data-parallel device count: a sharded render dispatches
+    model chunks of ``batch_size * dp`` tiles, so that is the shape that
+    must be warm (build with ``--batchSize batch*dp`` to pre-compile for a
+    ``--dp dp`` render)."""
     return (
-        render.batch_size,
+        render.batch_size * dp,
         render.height,
         render.width,
     ) in compiled_shapes(build)

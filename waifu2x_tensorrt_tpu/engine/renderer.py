@@ -687,9 +687,12 @@ class TileStream:
         """
         import math
 
-        cycle = self._chunk // math.gcd(self._n_steps, self._chunk)
-        if self._n_steps % self._chunk == 0:
-            return 0  # frame == whole chunks: single signature, no churn
+        # even division still needs ONE warm pass (prepare, the model
+        # program when the persistent cache is cold, assemble, finalize
+        # all compile on the first live submit otherwise); uneven frames
+        # warm every split signature in the carry cycle
+        cycle = (1 if self._n_steps % self._chunk == 0
+                 else self._chunk // math.gcd(self._n_steps, self._chunk))
         throwaway = TileStream(self._pl, self._params, self._hw)
         frame = np.zeros((*self._hw, 3), np.uint8)
         for _ in range(cycle):

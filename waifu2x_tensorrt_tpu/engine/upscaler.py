@@ -129,12 +129,6 @@ class Upscaler:
             module, spec, params, _optimized = self._load_graph_backend(
                 onnx_artifact, family, scale, noise, config, graph_exact,
                 use_pallas)
-            for _, hh, _w in engine_config.compiled_shapes(config):
-                if hh % spec.tile_divisor:
-                    raise ValueError(
-                        f"profile tile size {hh} is not a multiple of "
-                        f"{spec.tile_divisor} (required by the parsed "
-                        f"artifact {onnx_artifact.name})")
         else:
             # same sidecar-derived arch overrides as load(): the compiled
             # program must be the one render() executes
@@ -151,6 +145,17 @@ class Upscaler:
                 warn=lambda m: self.logger.log(Severity.warn, m),
                 allow_random=self.allow_random_init,
             )
+        # every compiled corner must satisfy the model's tile divisor in
+        # BOTH dimensions, on every backend path — failing here gives the
+        # clear error load() would, instead of an opaque shape mismatch
+        # deep inside the AOT lowering
+        for _, hh, ww in engine_config.compiled_shapes(config):
+            for dim in (hh, ww):
+                if dim % spec.tile_divisor:
+                    raise ValueError(
+                        f"profile tile size {dim} is not a multiple of "
+                        f"{spec.tile_divisor} (required by this model "
+                        f"backend)")
         # Commit params exactly as load() will: the persistent-cache key
         # covers input shardings, so lowering with uncommitted host arrays
         # would write an entry render() never hits.
@@ -214,10 +219,21 @@ class Upscaler:
         self._artifact_arch = None
         engine_cache.enable_persistent_cache(self.models_dir)
         stem = registry.weights_path(self.models_dir, family, scale, noise)
-        found = engine_cache.find_engine(stem, config)
+        # sharded renders dispatch batch*n_dp-tile chunks — that is the
+        # shape that must be warm, not the per-device batch
+        n_dp = 1
+        if sharding is not None:
+            import numpy as _np
+
+            n_dp = int(_np.prod([
+                sharding.mesh.shape[a] for a in sharding.spec
+                if a is not None
+            ]))
+        found = engine_cache.find_engine(stem, config, dp=n_dp)
         if found is None:
             msg = (f"no prebuilt engine sidecar for {family} "
-                   f"(tile={config.height}, batch={config.batch_size}); ")
+                   f"(tile={config.height}, "
+                   f"batch={config.batch_size * n_dp}); ")
             if require_engine:
                 # reference hard-fails here (img2img_load.cpp:111-113)
                 raise FileNotFoundError(
@@ -235,6 +251,7 @@ class Upscaler:
             use_pallas = on_tpu
         onnx_artifact = stem.with_suffix(".onnx")
         graph_backed = not stem.exists() and onnx_artifact.exists()
+        arch_kw: dict = {}  # npz-sidecar arch overrides (non-graph path)
         if graph_backed:
             # Serve the release artifact (the reference's behavior: hand
             # any ONNX to the accelerator, img2img_build.cpp:88):
@@ -341,6 +358,7 @@ class Upscaler:
                 family, scale, noise, dtype=config.precision.dtype,
                 use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
                 packed_x_head=True, shuffle_via_deconv=on_tpu,
+                **arch_kw,
             )
         if fuse_frame:
             self._renderers = RendererCache(module, spec, config, sharding)
@@ -348,8 +366,10 @@ class Upscaler:
             self._renderers = ChunkedPipeline(
                 module, spec, config, sharding,
                 module_pack_x=module_px, spec_pack_x=spec_px)
+        # arch_kw rides along so the fused-fallback rebuild constructs the
+        # same (possibly non-flagship) module the params were shaped for
         self._load_args = (family, scale, noise, config, sharding,
-                           use_pallas)
+                           use_pallas, arch_kw)
         self._had_px = module_px is not None
         # cunet has no fused Pallas kernels: never route its failures
         # through the fused-fallback resubmission path
@@ -386,6 +406,14 @@ class Upscaler:
             raise ValueError(
                 f"{onnx_path.name}: artifact scale {arch.scale} != "
                 f"requested scale {scale}")
+        fam_arch = "cunet" if family.startswith("cunet") else "swin_unet"
+        if arch.arch != fam_arch:
+            # a cunet export under models/swin_unet/ (or vice versa) would
+            # otherwise inherit the wrong spec (tile divisor, fused-kernel
+            # routing) and die much later in an opaque shape error
+            raise ValueError(
+                f"{onnx_path.name}: artifact architecture {arch.arch!r} "
+                f"does not match the requested family {family!r}")
         if not graph_exact and (
                 arch.arch == "cunet"
                 or (arch.arch == "swin_unet" and arch.stage_depths)):
@@ -452,12 +480,12 @@ class Upscaler:
         keyed by the artifact's sha256, the engine-cache pattern applied
         to fidelity."""
         import dataclasses
-        import hashlib
         import json
 
         from waifu2x_tensorrt_tpu.models.onnx_backend import (
             CONVERTER_VERSION,
             VERIFY_TOL,
+            _sha16,
             cunet_params_from_graph,
             swin_params_from_graph,
             verify_cunet_conversion,
@@ -466,7 +494,7 @@ class Upscaler:
         from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
 
         is_cunet = arch.arch == "cunet"
-        sha16 = hashlib.sha256(onnx_path.read_bytes()).hexdigest()[:16]
+        sha16 = _sha16(onnx_path)  # same keying as the npz sidecars
         sidecar = onnx_path.parent / (onnx_path.name + ".verify.json")
 
         def _write_sidecar(payload: dict) -> None:
@@ -561,7 +589,8 @@ class Upscaler:
             f"fused-block program failed ({type(exc).__name__}); "
             "falling back to attention-only kernels",
         )
-        family, scale, noise, config, sharding, use_pallas = self._load_args
+        (family, scale, noise, config, sharding, use_pallas,
+         arch_kw) = self._load_args
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if self._artifact_arch is not None \
                 and self._artifact_arch.arch == "swin_unet":
@@ -585,6 +614,7 @@ class Upscaler:
                 use_pallas=use_pallas, fused_block=False,
                 packed_head=self._spec.packing > 1,
                 shuffle_via_deconv=on_tpu,
+                **arch_kw,
             )
         self._module = module
         self._fused = False
@@ -595,6 +625,7 @@ class Upscaler:
                     family, scale, noise, dtype=config.precision.dtype,
                     use_pallas=use_pallas, fused_block=False,
                     packed_x_head=True, shuffle_via_deconv=on_tpu,
+                    **arch_kw,
                 )
             self._renderers.set_module(module, module_px)
         else:

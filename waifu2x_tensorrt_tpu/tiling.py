@@ -98,6 +98,19 @@ def calculate_tiles(
     scaled_out_ov_x = _lround(scaled_out_w * overlap[0])
     scaled_out_ov_y = _lround(scaled_out_h * overlap[1])
 
+    # A context shrink (cunet: offset 28/36 px per side) plus the blend
+    # overlap can consume a too-small tile entirely: stride <= 0 would
+    # divide by zero below (or emit zero-size output rects -> silently
+    # blank canvases). Name the real constraint instead.
+    if tout_w <= 0 or tout_h <= 0 \
+            or scaled_in_w - in_ov_x <= 0 or scaled_in_h - in_ov_y <= 0:
+        raise ValueError(
+            f"tile {input_tile_size} is too small for this model: the "
+            f"context shrink leaves an output tile of {output_tile_size} "
+            f"and a stride of ({scaled_in_w - in_ov_x}, "
+            f"{scaled_in_h - in_ov_y}) after the blend overlap "
+            f"{overlap}; use a larger tile size")
+
     # Clamp to >=1: for images smaller than the overlap the reference's
     # ceil((in - ov)/(stride)) goes to 0 and it renders nothing
     # (img2img_render.cpp:31-34 — latent edge-case bug, not replicated).
