@@ -203,3 +203,109 @@ def test_read_graph_rejects_non_onnx_files(tmp_path):
         with pytest.raises(ValueError,
                            match="ModelProto|no graph nodes"):
             read_graph(p)
+
+
+def _one_node_graph(node, inputs, outputs, initializers=None):
+    from waifu2x_tensorrt_tpu.models.onnx_graph import OnnxGraph
+
+    return OnnxGraph("t", [node], initializers or {}, list(inputs),
+                     list(outputs))
+
+
+def test_split_honors_opset11_sizes_attribute():
+    """Opset <= 12 carries unequal split sizes as an ATTRIBUTE (newer
+    opsets pass them as a second input); an equal-split fallback would be
+    silently wrong whenever the axis length divides evenly."""
+    from waifu2x_tensorrt_tpu.models.onnx_graph import OnnxNode, run_graph
+
+    x = np.arange(2 * 6, dtype=np.float32).reshape(2, 6)
+    node = OnnxNode("Split", ["x"], ["a", "b"],
+                    attrs={"axis": 1, "split": [2, 4]})
+    out = run_graph(_one_node_graph(node, ["x"], ["a", "b"]), {"x": x})
+    np.testing.assert_array_equal(out["a"], x[:, :2])
+    np.testing.assert_array_equal(out["b"], x[:, 2:])
+
+
+def test_unsqueeze_multiple_negative_axes():
+    """Spec: axes index the OUTPUT rank. [-1, -2] on a (3,) tensor is
+    (3, 1, 1) — sorting raw negatives produced (1, 3, 1)."""
+    from waifu2x_tensorrt_tpu.models.onnx_graph import OnnxNode, run_graph
+
+    x = np.arange(3, dtype=np.float32)
+    node = OnnxNode("Unsqueeze", ["x"], ["y"], attrs={"axes": [-1, -2]})
+    out = run_graph(_one_node_graph(node, ["x"], ["y"]), {"x": x})
+    assert out["y"].shape == (3, 1, 1)
+    np.testing.assert_array_equal(out["y"].reshape(-1), x)
+
+
+def test_average_pool_defaults_and_guards():
+    """ONNX defaults strides to 1 (which overlaps windows — unsupported by
+    the stride-block reshape and must RAISE, not average the wrong
+    window); the non-overlapping form stays exact."""
+    from waifu2x_tensorrt_tpu.models.onnx_graph import OnnxNode, run_graph
+
+    x = np.arange(16, dtype=np.float32).reshape(1, 1, 4, 4)
+    ok = OnnxNode("AveragePool", ["x"], ["y"],
+                  attrs={"kernel_shape": [2, 2], "strides": [2, 2]})
+    out = run_graph(_one_node_graph(ok, ["x"], ["y"]), {"x": x})
+    np.testing.assert_allclose(
+        out["y"], x.reshape(1, 1, 2, 2, 2, 2).mean(axis=(3, 5)))
+
+    for attrs in ({"kernel_shape": [3, 3]},  # default stride 1: overlap
+                  {"kernel_shape": [2, 2], "strides": [2, 2],
+                   "pads": [1, 1, 1, 1]},
+                  {"kernel_shape": [2, 2], "strides": [2, 2],
+                   "ceil_mode": 1}):
+        bad = OnnxNode("AveragePool", ["x"], ["y"], attrs=dict(attrs))
+        with pytest.raises(NotImplementedError):
+            run_graph(_one_node_graph(bad, ["x"], ["y"]), {"x": x})
+
+
+def test_parse_tensor_negative_int64_varints():
+    """int64_data varints are two's-complement: a -1 Reshape target must
+    parse as -1, not 2**64-1 (which overflowed np.int64)."""
+    from waifu2x_tensorrt_tpu.models.onnx_reader import _parse_tensor
+
+    # TensorProto: dims=[2] (field 1), data_type=7 int64 (field 2),
+    # int64_data=[-1, 12] packed (field 7, wire 2)
+    neg1 = bytes([0xFF] * 9 + [0x01])  # varint encoding of -1
+    payload = neg1 + bytes([12])
+    buf = (bytes([0x08, 0x02])          # dims: 2
+           + bytes([0x10, 0x07])        # data_type: INT64
+           + bytes([0x3A, len(payload)]) + payload)
+    name, arr = _parse_tensor(buf)
+    assert arr.dtype == np.int64
+    np.testing.assert_array_equal(arr, [-1, 12])
+
+
+def test_parse_attribute_proto3_zero_scalars():
+    """proto3-toolchain writers omit zero-valued scalars; the declared
+    AttributeProto.type must recover axis=0 / min=0.0 instead of None."""
+    from waifu2x_tensorrt_tpu.models.onnx_graph import _parse_attribute
+
+    # AttributeProto: name="axis" (field 1), type=INT (field 20, value 2),
+    # NO i field — the zero was omitted
+    buf = bytes([0x0A, 0x04]) + b"axis" + bytes([0xA0, 0x01, 0x02])
+    assert _parse_attribute(buf) == ("axis", 0)
+    # name="min", type=FLOAT (1), no f field
+    buf = bytes([0x0A, 0x03]) + b"min" + bytes([0xA0, 0x01, 0x01])
+    assert _parse_attribute(buf) == ("min", 0.0)
+
+
+def test_run_graph_jax_convs_keep_compute_dtype():
+    """The jax serving path must run convolutions in the incoming compute
+    dtype — a hard f32 cast would silently void the documented bf16 MXU
+    rate for conv-only (cunet) artifacts."""
+    import jax.numpy as jnp
+
+    from waifu2x_tensorrt_tpu.models.onnx_graph import _conv
+
+    x = jnp.ones((1, 3, 8, 8), jnp.bfloat16)
+    w = jnp.ones((4, 3, 3, 3), jnp.bfloat16)
+    y = _conv(x, w, None, {"pads": [1, 1, 1, 1]}, xp=jnp)
+    assert y.dtype == jnp.bfloat16
+    # ground-truth numpy path stays fp32
+    y32 = _conv(np.ones((1, 3, 8, 8), np.float32),
+                np.ones((4, 3, 3, 3), np.float32), None,
+                {"pads": [1, 1, 1, 1]})
+    assert y32.dtype == np.float32

@@ -43,6 +43,7 @@ from waifu2x_tensorrt_tpu.models.onnx_reader import (
     _DTYPES,
     _iter_fields,
     _parse_tensor,
+    _read_varint,
 )
 
 INT64_MAX = 2**63 - 1
@@ -84,6 +85,7 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
     floats: list[float] = []
     ints: list[int] = []
     strings: list[str] = []
+    type_code = 0  # AttributeProto.type (field 20): 1=FLOAT, 2=INT, ...
     for field, wire, v in _iter_fields(buf):
         if field == 1 and wire == 2:
             name = v.decode()
@@ -104,31 +106,31 @@ def _parse_attribute(buf: bytes) -> tuple[str, Any]:
             if wire == 2:
                 pos = 0
                 while pos < len(v):
-                    iv, pos = _read_varint_local(v, pos)
+                    iv, pos = _read_varint(v, pos)
                     ints.append(_signed(iv))
             elif wire == 0:
                 ints.append(_signed(v))
         elif field == 9 and wire == 2:
             strings.append(v.decode(errors="surrogateescape"))
+        elif field == 20 and wire == 0:
+            type_code = v
     if floats:
         value = floats
     elif ints:
         value = ints
     elif strings:
         value = strings
+    if value is None:
+        # proto3-toolchain writers omit zero-valued scalars entirely;
+        # recover the implied zero from the declared type so Gather(axis=0)
+        # does not become axis=None and Clip(min=0.0) does not silently
+        # drop its lower clamp. (torch's C++ serializer writes zeros
+        # explicitly, so in-family exports never hit this.)
+        if type_code == 1:  # FLOAT
+            value = 0.0
+        elif type_code == 2:  # INT
+            value = 0
     return name, value
-
-
-def _read_varint_local(buf: bytes, pos: int) -> tuple[int, int]:
-    result = 0
-    shift = 0
-    while True:
-        b = buf[pos]
-        pos += 1
-        result |= (b & 0x7F) << shift
-        if not b & 0x80:
-            return result, pos
-        shift += 7
 
 
 def _parse_node(buf: bytes) -> OnnxNode:
@@ -223,7 +225,8 @@ def read_graph(path: str | Path) -> OnnxGraph:
                     n: s for n, s in graph.input_shapes.items()
                     if n in graph.inputs
                 }
-    except (ValueError, IndexError, UnicodeDecodeError, struct.error) as e:
+    except (ValueError, IndexError, UnicodeDecodeError, struct.error,
+            OverflowError) as e:
         raise ValueError(
             f"{path}: not a parseable ONNX ModelProto "
             f"(corrupt or truncated protobuf: {e})") from e
@@ -293,8 +296,12 @@ def _conv(x, w, b, attrs, xp=np):
             "supported; re-export with explicit pads")
     else:
         padding = [(pads[0], pads[2]), (pads[1], pads[3])]
+    # numpy path: ground-truth fp32. jax path: keep the incoming compute
+    # dtype — hard-casting to f32 here would silently void the bf16 MXU
+    # rate run_graph_jax's compute_dtype promises (cunet is pure convs)
+    dt = jnp.float32 if xp is np else jnp.promote_types(x.dtype, w.dtype)
     y = lax.conv_general_dilated(
-        jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32),
+        jnp.asarray(x, dt), jnp.asarray(w, dt),
         window_strides=strides, padding=padding, rhs_dilation=dil,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=group,
@@ -325,8 +332,9 @@ def _conv_transpose(x, w, b, attrs, xp=np):
     ]
     if xp is np:
         w_ = np.ascontiguousarray(w_)
+    dt = jnp.float32 if xp is np else jnp.promote_types(x.dtype, w_.dtype)
     y = lax.conv_general_dilated(
-        jnp.asarray(x, jnp.float32), jnp.asarray(w_, jnp.float32),
+        jnp.asarray(x, dt), jnp.asarray(w_, dt),
         window_strides=(1, 1), padding=padding, lhs_dilation=strides,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
@@ -512,8 +520,12 @@ def _eval_node(node: OnnxNode, env: dict, xp) -> bool:
     elif op == "Unsqueeze":
         axes = (_static(env[ins[1]], node, "axes").astype(np.int64).tolist()
                 if len(ins) > 1 else node.attrs["axes"])
+        # spec: axes index the OUTPUT rank — normalize negatives against
+        # it before inserting in ascending order (sorting raw negatives
+        # after positives misplaces multi-negative-axis cases)
+        out_rank = x.ndim + len(axes)
         y = x
-        for a in sorted(int(a) for a in axes):
+        for a in sorted(int(a) % out_rank for a in axes):
             y = xp.expand_dims(y, a)
     elif op == "Squeeze":
         axes = (_static(env[ins[1]], node, "axes").astype(np.int64).tolist()
@@ -543,9 +555,13 @@ def _eval_node(node: OnnxNode, env: dict, xp) -> bool:
         y = x.reshape(int(np.prod(x.shape[:axis], initial=1)), -1)
     elif op == "Split":
         axis = int(node.attrs.get("axis", 0))
-        if len(ins) > 1 and ins[1]:
+        sizes = None
+        if len(ins) > 1 and ins[1]:  # opset >= 13: sizes as an input
             sizes = _static(env[ins[1]], node,
                             "split sizes").astype(np.int64).tolist()
+        elif node.attrs.get("split"):  # opset <= 12: sizes attribute
+            sizes = [int(s) for s in node.attrs["split"]]
+        if sizes is not None:
             parts = xp.split(x, np.cumsum(sizes)[:-1].tolist(), axis=axis)
         else:
             parts = xp.split(x, len(node.outputs), axis=axis)
@@ -560,7 +576,17 @@ def _eval_node(node: OnnxNode, env: dict, xp) -> bool:
         y = xp.mean(x, axis=(2, 3), keepdims=True, dtype=np.float32)
     elif op == "AveragePool":
         k = node.attrs["kernel_shape"]
-        s = node.attrs.get("strides", k)
+        s = node.attrs.get("strides", [1] * len(k))  # ONNX default is 1
+        if (any(node.attrs.get("pads", [])) or node.attrs.get("ceil_mode")
+                or node.attrs.get("auto_pad", "NOTSET") != "NOTSET"
+                or s[0] < k[0] or s[1] < k[1]):
+            # raising beats silently wrong means (the executor is the
+            # fidelity ground truth) — the supported families only emit
+            # the unpadded floor-mode non-overlapping form (cunet SE
+            # squeeze); the stride-block reshape below requires s >= k
+            raise NotImplementedError(
+                "AveragePool with pads/ceil_mode/auto_pad/overlapping "
+                "windows")
         b_, c_, h_, w_ = x.shape
         oh, ow = (h_ - k[0]) // s[0] + 1, (w_ - k[1]) // s[1] + 1
         y = xp.mean(

@@ -90,13 +90,16 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
             elif wire == 5:
                 floats.append(struct.unpack("<f", value)[0])
         elif field == 7:
+            # int64_data varints are two's-complement: without the sign
+            # decode, a -1 Reshape target parses as 2**64-1 and overflows
+            # the np.int64 conversion below
             if wire == 2:
                 pos = 0
                 while pos < len(value):
                     v, pos = _read_varint(value, pos)
-                    int64s.append(v)
+                    int64s.append(v - 2**64 if v >= 2**63 else v)
             elif wire == 0:
-                int64s.append(value)
+                int64s.append(value - 2**64 if value >= 2**63 else value)
     dtype = _DTYPES.get(dtype_code)
     if dtype is None:
         raise ValueError(f"unsupported ONNX dtype {dtype_code} for {name!r}")
