@@ -474,3 +474,42 @@ def test_validated_npz_suppresses_fidelity_warning(tmp_path):
     except Exception:
         return  # corrupt npz may fail to load at all — also acceptable
     assert any("unverified" in m for _, m in msgs), msgs
+
+
+def test_fused_fallback_keeps_npz_arch_overrides(tmp_path):
+    """A fused-program failure on a NON-flagship converted checkpoint must
+    rebuild the same non-flagship module from the sidecar overrides — the
+    flagship default would die with a param-shape error inside the
+    recovery path itself."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+    from waifu2x_tensorrt_tpu.models import validate
+
+    _, path = export_torch_swin(tmp_path / "s2.onnx", scale=2,
+                                base_dim=32, depths=(1, 1, 1, 1, 1),
+                                tile=64)
+    models_dir = tmp_path / "models"
+    npz = models_dir / "swin_unet" / "art" / "scale2x.npz"
+    assert validate.main([
+        str(path), "--family", "swin_unet/art", "--scale", "2",
+        "--tile", "64", "--save-npz", str(npz),
+    ]) == 0
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=models_dir)
+    msgs = []
+    up.set_message_callback(lambda s, m: msgs.append(m))
+    up.load("swin_unet/art", 2, -1, cfg)
+
+    # arm the fused-failure path with the REAL load args (incl. arch_kw)
+    up._fused = True
+
+    def exploding(params, c):
+        raise RuntimeError("scoped vmem boom")
+
+    up._renderers._model_prog = exploding
+    frame = np.random.default_rng(3).integers(0, 256, (40, 50, 3), np.uint8)
+    out = np.asarray(up.render(frame))
+    assert out.shape == (80, 100, 3)
+    assert any("falling back" in m for m in msgs), msgs
