@@ -18,6 +18,7 @@ Known reference behaviors intentionally fixed here (SURVEY.md §5):
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -142,6 +143,10 @@ def _validate(args) -> None:
     validate_model(args.model, args.scale, args.noise)
     if args.batch_size <= 0:
         raise ValueError("batchSize must be positive")
+    if args.dp < 0:
+        # a negative value would silently slice devices[:-n] — the wrong
+        # device count with no error (0 means "all devices")
+        raise ValueError("--dp must be >= 0 (0 = all devices)")
     if args.command == "render":
         if args.tile_size == 0 and args.tta:
             # whole-frame tiles are rectangular; the 8-way dihedral
@@ -406,9 +411,13 @@ def main(argv=None) -> int:
         # tests) skip it — process_index()/count() default to 0/1.
         import jax
 
+        # NOTE: the already-initialized check must NOT call
+        # jax.process_count() — that initializes the XLA backends, after
+        # which jax.distributed.initialize() unconditionally raises
+        # ("must be called before any JAX computations").
         if (os.environ.get("JAX_COORDINATOR_ADDRESS")
                 or os.environ.get("COORDINATOR_ADDRESS")) \
-                and jax.process_count() == 1:
+                and not jax.distributed.is_initialized():
             try:
                 jax.distributed.initialize()
                 message_cb(
@@ -604,6 +613,33 @@ def _frames(capture):
         yield frame
 
 
+def _stream_frames(engine, writer, hw, frames, on_index) -> None:
+    """Pump decoded frames through the engine into the writer — the ONE
+    streaming video loop both the plain and the segmented paths share
+    (they had drifted apart). Cross-frame tile streaming
+    (Upscaler.open_stream) keeps every model dispatch at full batch and
+    overlaps decode/encode with accelerator compute; falls back to the
+    double-buffered per-frame loop when streaming does not apply."""
+    stream = _open_stream(engine, hw)
+    if stream is not None:
+        for i, frame in enumerate(frames):
+            on_index(i)
+            for out in stream.submit(frame):
+                writer.write(np.asarray(out))
+        for out in stream.flush():
+            writer.write(np.asarray(out))
+    else:
+        pending = None
+        for i, frame in enumerate(frames):
+            on_index(i)
+            fut = engine.render_async(frame)
+            if pending is not None:
+                writer.write(np.asarray(pending))
+            pending = fut
+        if pending is not None:  # empty input: nothing in flight
+            writer.write(np.asarray(pending))
+
+
 def _render_one(args, engine, capture, file, out_dir, suffix, state,
                 message_cb, batcher=None) -> int:
     try:
@@ -693,32 +729,13 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
     rc = 0
     try:
         writer.open()
-        # Streaming video loop: cross-frame full-batch tile streaming
-        # (Upscaler.open_stream) keeps every model dispatch at full
-        # batch; outputs lag submission by <= one chunk, which also
-        # overlaps decode/encode with accelerator compute (the design
-        # goal the reference's single synchronous stream lacks,
-        # SURVEY.md §2 item 3). Falls back to the double-buffered
-        # per-frame loop when streaming does not apply.
-        stream = _open_stream(engine,
-            (capture.frame_height, capture.frame_width))
-        if stream is not None:
-            for frame_index, frame in enumerate(_frames(capture)):
-                state["frame"] = frame_index + 1
-                for out in stream.submit(frame):
-                    writer.write(np.asarray(out))
-            for out in stream.flush():
-                writer.write(np.asarray(out))
-        else:
-            pending = None
-            for frame_index, frame in enumerate(_frames(capture)):
-                state["frame"] = frame_index + 1
-                fut = engine.render_async(frame)
-                if pending is not None:
-                    writer.write(np.asarray(pending))
-                pending = fut
-            if pending is not None:
-                writer.write(np.asarray(pending))
+        # the shared streaming loop (the design goal the reference's
+        # single synchronous stream lacks, SURVEY.md §2 item 3)
+        _stream_frames(
+            engine, writer,
+            (capture.frame_height, capture.frame_width),
+            _frames(capture),
+            on_index=lambda i: state.__setitem__("frame", i + 1))
     except Exception as e:
         message_cb(Severity.error, f"Render failed: {e}.")
         rc = -1
@@ -804,32 +821,21 @@ def _render_video_segmented(args, engine, file, out_path, state, message_cb,
                                       capture.frame_height * args.scale)
                       .set_output_file(tmp))
             writer.open()
-            # same streaming loop as the unsegmented path; the stream is
-            # flushed at the segment boundary so part files stay exact
-            stream = _open_stream(engine,
-                (capture.frame_height, capture.frame_width))
-            if stream is not None:
-                for i in range(b - a):
-                    state["frame"] = a + i + 1
+
+            # the SAME streaming loop as the unsegmented path; the stream
+            # is flushed at the segment boundary so part files stay exact
+            def seg_frames():
+                for _ in range(b - a):
                     frame = capture.read()
                     if frame is None:
                         raise RuntimeError("decoder ended early")
-                    for out in stream.submit(frame):
-                        writer.write(np.asarray(out))
-                for out in stream.flush():
-                    writer.write(np.asarray(out))
-            else:
-                pending = None
-                for i in range(b - a):
-                    state["frame"] = a + i + 1
-                    frame = capture.read()
-                    if frame is None:
-                        raise RuntimeError("decoder ended early")
-                    fut = engine.render_async(frame)
-                    if pending is not None:
-                        writer.write(np.asarray(pending))
-                    pending = fut
-                writer.write(np.asarray(pending))
+                    yield frame
+
+            _stream_frames(
+                engine, writer,
+                (capture.frame_height, capture.frame_width),
+                seg_frames(),
+                on_index=lambda i: state.__setitem__("frame", a + i + 1))
             capture.release()
             # on the success path release() is part of the contract: it
             # verifies the encoder drained and exited cleanly, and raises
@@ -851,9 +857,38 @@ def _render_video_segmented(args, engine, file, out_path, state, message_cb,
 
     expected = [segment_path(out_path, a, b) for a, b in grid]
     if all(p.exists() for p in expected):
-        concat_segments(expected, out_path, frame_rate)
-        for p in expected:
-            p.unlink()
+        # Last-finisher election: on a shared filesystem several hosts can
+        # observe all-parts-present near-simultaneously; an O_EXCL lock
+        # file picks exactly one stitcher (the losers report and exit 0 —
+        # the winner publishes the final file atomically and removes the
+        # lock). A host that dies mid-stitch leaves the lock behind; the
+        # message names it as the manual recovery (parts are still on
+        # disk, so deleting the lock and rerunning --resume re-stitches).
+        lock = out_path.with_name(out_path.name + ".stitch.lock")
+        try:
+            fd = os.open(str(lock), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
+            if out_path.exists():  # a previous winner already published
+                return 0
+            message_cb(Severity.info,
+                       f"{out_path.name}: another host holds the stitch "
+                       f"lock ({lock.name}); if it crashed, delete the "
+                       "lock and rerun with --resume")
+            return 0
+        try:
+            concat_segments(expected, out_path, frame_rate)
+            for p in expected:
+                p.unlink(missing_ok=True)
+        except Exception as e:
+            # stitch failures follow the same error protocol as renders —
+            # a raw CalledProcessError would abort remaining files even
+            # under --continue-on-error
+            message_cb(Severity.error,
+                       f"Failed to stitch {out_path.name}: {e}.")
+            return -1
+        finally:
+            lock.unlink(missing_ok=True)
         message_cb(Severity.info, f"Wrote {out_path}")
     else:
         message_cb(Severity.info,

@@ -149,6 +149,11 @@ def write_model(
     graph += b"".join(_len_field(12, _value_info(o)) for o in outputs)
     model = _int_field(1, 8)  # ir_version
     model += _len_field(7, graph)
+    # opset_import (ModelProto field 8): required by real ONNX tooling
+    # (onnx.checker/onnxruntime reject files without one) — these
+    # export-like artifacts must stay loadable outside this repo's own
+    # parser. OperatorSetIdProto{domain=1 (default ai.onnx), version=2}.
+    model += _len_field(8, _int_field(2, 17))
     path = Path(path)
     path.write_bytes(model)
     return path

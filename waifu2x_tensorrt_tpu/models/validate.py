@@ -67,6 +67,16 @@ def main(argv=None) -> int:
     p.add_argument("--save-npz", default=None,
                    help="write the converted flax weights here on success")
     args = p.parse_args(argv)
+    try:
+        # the registry's family/scale/noise rules (cunet has no 4x, ...)
+        # — fail with its clear message, not a KeyError in _expected_arch
+        from waifu2x_tensorrt_tpu.models.registry import validate as _vr
+
+        _vr(args.family, args.scale, max(args.noise, 0) if args.scale == 1
+            else args.noise)
+    except ValueError as e:
+        print(f"error: {e}")
+        return 2
 
     import jax
     import jax.numpy as jnp

@@ -20,10 +20,15 @@ def device_kind(device_id: int = 0) -> str:
         import jax
 
         devices = jax.devices()
-        dev = devices[min(device_id, len(devices) - 1)]
-        return f"{dev.device_kind}"
     except Exception:  # no accelerator backend at all
         return "cpu"
+    if not 0 <= device_id < len(devices):
+        # fail loudly like the reference (cudaSetDevice on a bad id):
+        # clamping would hash — and cache engines under — a device the
+        # user did not select
+        raise ValueError(
+            f"device id {device_id} out of range (have {len(devices)})")
+    return f"{devices[device_id].device_kind}"
 
 
 def config_hash(config: BuildConfig, device_name: str | None = None) -> str:

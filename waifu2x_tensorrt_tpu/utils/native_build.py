@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import os
 import shutil
 import subprocess
 from pathlib import Path
@@ -37,11 +38,18 @@ def build_framepipe(force: bool = False) -> Optional[Path]:
     if gxx is None:
         return None
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    # compile to a temp name + atomic rename: a compiler killed mid-write
+    # (OOM, disk full) must not leave a truncated .so at the final
+    # content-keyed path — the source hash would never change, so the
+    # poisoned cache would crash every later load instead of rebuilding
+    tmp = out.with_name(out.name + f".tmp{os.getpid()}")
     cmd = [gxx, "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           str(_SRC), "-o", str(out)]
+           str(_SRC), "-o", str(tmp)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
-    except subprocess.CalledProcessError:
+        tmp.replace(out)
+    except (subprocess.CalledProcessError, OSError):
+        tmp.unlink(missing_ok=True)
         return None
     return out
 
@@ -55,7 +63,13 @@ def load_framepipe() -> Optional[ctypes.CDLL]:
     if path is None:
         _load_failed = True
         return None
-    lib = ctypes.CDLL(str(path))
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        # unloadable library (e.g. a stale artifact from a foreign arch):
+        # fall back to the pure-Python pipe path per this module's contract
+        _load_failed = True
+        return None
     lib.fp_reader_open.restype = ctypes.c_void_p
     lib.fp_reader_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                    ctypes.c_int]
