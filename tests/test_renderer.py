@@ -148,6 +148,94 @@ def test_tta_matches_oracle_for_nonequivariant_model():
     assert (diff > 0).mean() < 0.01
 
 
+class IotaMaskUp(nn.Module):
+    """Shape-polymorphic non-equivariant model: nearest upsample times a
+    position-dependent small-integer mask derived from the OUTPUT shape —
+    works at both rect-TTA orientations (unlike MaskedUp's fixed mask) and
+    keeps every product fp32-exact (ints <= 35)."""
+
+    scale: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = jnp.repeat(jnp.repeat(x, self.scale, axis=1), self.scale, axis=2)
+        h, w = y.shape[1], y.shape[2]
+        r = (jnp.arange(h) % 7 + 1).astype(jnp.float32)
+        c = (jnp.arange(w) % 5 + 1).astype(jnp.float32)
+        return y * r[None, :, None, None] * c[None, None, :, None]
+
+
+def test_rect_tta_whole_frame_equivariant():
+    """--tileSize 0 on a non-square frame + TTA (rect-TTA path, monolithic
+    renderer): for a dihedral-equivariant model the 8-way ensemble must
+    equal the plain whole-frame render exactly."""
+    module = NearestUp(scale=2)
+    hw = (40, 56)
+    frame = np.random.default_rng(8).integers(0, 256, (*hw, 3), np.uint8)
+    out_plain = np.asarray(
+        jax.jit(make_render_fn(module, _spec(2), _cfg(0, 3, 2), hw))(
+            {}, jnp.asarray(frame))
+    )
+    fn = make_render_fn(module, _spec(2), _cfg(0, 3, 2, tta=True), hw)
+    # 4 steps per orientation at batch 3 -> 2 chunks per group, 4 total
+    assert fn.n_chunks == 4
+    out_tta = np.asarray(jax.jit(fn)({}, jnp.asarray(frame)))
+    np.testing.assert_array_equal(out_plain, out_tta)
+
+
+def test_rect_tta_chunked_matches_oracle():
+    """Rect-TTA through the production ChunkedPipeline on a non-equivariant
+    model, against a numpy oracle (transform frame -> model -> inverse ->
+    1/8 mean, in the renderer's group accumulation order)."""
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.tiling import (
+        DIHEDRAL_SHAPE_PRESERVING,
+        DIHEDRAL_TRANSPOSING,
+    )
+
+    scale, hw = 2, (24, 40)
+    module = IotaMaskUp(scale=scale)
+    cfg = _cfg(0, 3, scale, tta=True)
+    pl_ = ChunkedPipeline(module, _spec(scale), cfg)
+    frame = np.random.default_rng(9).integers(0, 256, (*hw, 3), np.uint8)
+    out = np.asarray(pl_.render({}, frame))
+
+    def model_np(t):  # t: (h, w, 3) fp32
+        y = np.repeat(np.repeat(t, scale, 0), scale, 1)
+        r = (np.arange(y.shape[0]) % 7 + 1).astype(np.float32)
+        c = (np.arange(y.shape[1]) % 5 + 1).astype(np.float32)
+        return y * r[:, None, None] * c[None, :, None]
+
+    x = frame.astype(np.float32) * np.float32(1.0 / 255.0)
+    acc = np.zeros((hw[0] * scale, hw[1] * scale, 3), np.float32)
+    for i in (*DIHEDRAL_SHAPE_PRESERVING, *DIHEDRAL_TRANSPOSING):
+        acc += dihedral_inverse(model_np(dihedral_apply(x, i)), i)
+    ref = acc * np.float32(1.0 / DIHEDRAL_SIZE)
+    ref_u8 = np.clip(np.round(ref * 255.0), 0, 255).astype(np.uint8)
+
+    diff = np.abs(out.astype(int) - ref_u8.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
+
+
+def test_rect_tta_open_stream_degrades_to_per_frame():
+    """open_stream returns None for a rect-TTA whole-frame geometry (mixed
+    chunk orientations cannot ride one carry) but still streams square
+    whole-frame geometries; per-frame render works on the rect one."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    up = Upscaler(models_dir="/nonexistent", allow_random_init=True)
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=0,
+                       width=0, scaling=2, overlap=(1 / 16, 1 / 16), tta=True)
+    up.load("swin_unet/art", 2, -1, cfg)
+    assert up.open_stream((40, 56)) is None  # rectangular: no stream
+    sess = up.open_stream((40, 40))  # square whole-frame still streams
+    assert sess is not None
+    out = up.render(np.zeros((40, 56, 3), np.uint8))
+    assert out.shape == (80, 112, 3)
+
+
 def test_multichip_sharded_matches_single():
     from waifu2x_tensorrt_tpu.parallel import data_parallel_mesh, tile_sharding
 

@@ -377,9 +377,10 @@ def test_stream_without_nb_frames_single_pass(tmp_path, monkeypatch):
     assert not marker.exists(), "counting decode ran despite one-pass mode"
 
 
-def test_cli_rejects_whole_frame_tta():
-    """--tileSize 0 + --tta must fail at validation with a clear message,
-    not an obscure trace-time shape error (round-2 verdict weak #5)."""
+def test_cli_accepts_whole_frame_tta():
+    """--tileSize 0 + --tta validates cleanly: non-square frames render
+    through the rect-TTA path (round-2 verdict weak #5, implemented in
+    round 3 — engine/renderer.py _make_rect_tta_chunked_fns)."""
     from waifu2x_tensorrt_tpu.cli import _validate, build_parser
 
     args = build_parser().parse_args([
@@ -387,8 +388,7 @@ def test_cli_rejects_whole_frame_tta():
         "--batchSize", "4", "--tileSize", "0",
         "render", "-i", "x.png", "--tta",
     ])
-    with pytest.raises(ValueError, match="tileSize 0.*--tta|--tta"):
-        _validate(args)
+    _validate(args)  # must not raise
 
 
 class _FakeStdout:

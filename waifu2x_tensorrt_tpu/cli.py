@@ -148,14 +148,10 @@ def _validate(args) -> None:
         # device count with no error (0 means "all devices")
         raise ValueError("--dp must be >= 0 (0 = all devices)")
     if args.command == "render":
-        if args.tile_size == 0 and args.tta:
-            # whole-frame tiles are rectangular; the 8-way dihedral
-            # ensemble needs square tiles (rot90 changes the shape —
-            # tiling.py dihedral_apply). Fail here with a clear message
-            # instead of an obscure trace-time shape error.
-            raise ValueError(
-                "--tileSize 0 (whole-frame) cannot be combined with --tta: "
-                "TTA's rotations require square tiles; pick a tile size")
+        # --tileSize 0 + --tta is supported: non-square frames render
+        # through the rect-TTA path (engine/renderer.py
+        # _make_rect_tta_chunked_fns — two tile orientations per frame;
+        # streaming degrades to per-frame dispatch there).
         if not any(abs(args.blend - c) < 1e-12 for c in BLEND_CHOICES):
             raise ValueError(
                 f"--blend must be one of 1/8, 1/16, 1/32, 0; got {args.blend}"

@@ -50,6 +50,8 @@ from waifu2x_tensorrt_tpu.models.registry import ModelSpec
 from waifu2x_tensorrt_tpu.utils.xla import tpu_compiler_options
 from waifu2x_tensorrt_tpu.tiling import (
     DIHEDRAL_SIZE,
+    DIHEDRAL_SHAPE_PRESERVING,
+    DIHEDRAL_TRANSPOSING,
     dihedral_apply,
     dihedral_inverse,
     plan_tiles,
@@ -108,16 +110,29 @@ def make_render_fn(
             sharding.mesh.shape[a] for a in sharding.spec if a is not None
         ]))
     chunk = batch * n_dp
-    # Full chunks via lax.map plus ONE exact-size remainder chunk: the
-    # reference pads the last partial batch with zero tiles and runs the
-    # model on them (img2img_render.cpp:281) — here the remainder runs at
-    # its true size instead, so no FLOPs are wasted (e.g. 18 tiles at
-    # batch 8 = 2 full chunks + a 2-tile chunk, not 24 tiles).
-    n_full = n_steps // chunk
-    rem = n_steps - n_full * chunk
-    # remainder still padded up to the dp-shard multiple when sharded
-    rem_padded = -(-rem // n_dp) * n_dp if rem else 0
-    n_chunks = n_full + (1 if rem else 0)
+    # TTA over RECTANGULAR tiles (whole-frame --tileSize 0 on a non-square
+    # frame): the 8 dihedral variants split into a shape-preserving group
+    # batched at (th, tw) and a rot90-family group batched at (tw, th);
+    # each group chunks independently (two model-program orientations).
+    rect_tta = config.tta and plan.input_tile[0] != plan.input_tile[1]
+    if rect_tta:
+        half = DIHEDRAL_SIZE // 2
+        g_steps = plan.tile_count * half
+        g_full = g_steps // chunk
+        g_rem = g_steps - g_full * chunk
+        g_rem_padded = -(-g_rem // n_dp) * n_dp if g_rem else 0
+        n_chunks = 2 * (g_full + (1 if g_rem else 0))
+    else:
+        # Full chunks via lax.map plus ONE exact-size remainder chunk: the
+        # reference pads the last partial batch with zero tiles and runs the
+        # model on them (img2img_render.cpp:281) — here the remainder runs at
+        # its true size instead, so no FLOPs are wasted (e.g. 18 tiles at
+        # batch 8 = 2 full chunks + a 2-tile chunk, not 24 tiles).
+        n_full = n_steps // chunk
+        rem = n_steps - n_full * chunk
+        # remainder still padded up to the dp-shard multiple when sharded
+        rem_padded = -(-rem // n_dp) * n_dp if rem else 0
+        n_chunks = n_full + (1 if rem else 0)
 
     in_origins = jnp.asarray(plan.input_origins)  # (T, 2) (y, x)
     out_origins = jnp.asarray(plan.output_origins)
@@ -142,7 +157,7 @@ def make_render_fn(
 
         tiles = jax.vmap(slice_tile)(in_origins)  # (T, th, tw, 3) fp32
 
-        if config.tta:
+        if config.tta and not rect_tta:
             tiles = jnp.concatenate(
                 [dihedral_apply(tiles, i) for i in range(DIHEDRAL_SIZE)], 0
             )
@@ -156,29 +171,66 @@ def make_render_fn(
             y = module.apply({"params": params}, c)
             return y.astype(jnp.float32)
 
-        pieces = []
-        if n_full:
-            chunks = tiles[: n_full * chunk].reshape(n_full, chunk, th, tw, 3)
-            if n_full == 1:
-                full_out = apply_chunk(chunks[0])[None]
-            else:
-                full_out = jax.lax.map(apply_chunk, chunks)
-            pieces.append(full_out.reshape(n_full * chunk, oh, ow, 3))
-        if rem:
-            rem_tiles = tiles[n_full * chunk:]
-            if rem_padded != rem:
-                rem_tiles = jnp.concatenate(
-                    [rem_tiles,
-                     jnp.zeros((rem_padded - rem, th, tw, 3), tiles.dtype)], 0
-                )
-            pieces.append(apply_chunk(rem_tiles)[:rem])
-        outs = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+        if rect_tta:
+            def run_group(gtiles, gh, gw, goh, gow):
+                pieces = []
+                if g_full:
+                    cs = gtiles[: g_full * chunk].reshape(
+                        g_full, chunk, gh, gw, 3)
+                    out = (apply_chunk(cs[0])[None] if g_full == 1
+                           else jax.lax.map(apply_chunk, cs))
+                    pieces.append(out.reshape(g_full * chunk, goh, gow, 3))
+                if g_rem:
+                    rt = gtiles[g_full * chunk:]
+                    if g_rem_padded != g_rem:
+                        rt = jnp.concatenate(
+                            [rt, jnp.zeros((g_rem_padded - g_rem, gh, gw, 3),
+                                           rt.dtype)], 0)
+                    pieces.append(apply_chunk(rt)[:g_rem])
+                return (pieces[0] if len(pieces) == 1
+                        else jnp.concatenate(pieces, 0))
 
-        if config.tta:
-            outs = outs.reshape(DIHEDRAL_SIZE, plan.tile_count, oh, ow, 3)
-            outs = sum(
-                dihedral_inverse(outs[i], i) for i in range(DIHEDRAL_SIZE)
+            ga = jnp.concatenate(
+                [dihedral_apply(tiles, i) for i in DIHEDRAL_SHAPE_PRESERVING],
+                0)
+            gb = jnp.concatenate(
+                [dihedral_apply(tiles, i) for i in DIHEDRAL_TRANSPOSING], 0)
+            ya = run_group(ga, th, tw, oh, ow).reshape(
+                half, plan.tile_count, oh, ow, 3)
+            yb = run_group(gb, tw, th, ow, oh).reshape(
+                half, plan.tile_count, ow, oh, 3)
+            outs = (
+                sum(dihedral_inverse(ya[k], i)
+                    for k, i in enumerate(DIHEDRAL_SHAPE_PRESERVING))
+                + sum(dihedral_inverse(yb[k], i)
+                      for k, i in enumerate(DIHEDRAL_TRANSPOSING))
             ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
+        else:
+            pieces = []
+            if n_full:
+                chunks = tiles[: n_full * chunk].reshape(
+                    n_full, chunk, th, tw, 3)
+                if n_full == 1:
+                    full_out = apply_chunk(chunks[0])[None]
+                else:
+                    full_out = jax.lax.map(apply_chunk, chunks)
+                pieces.append(full_out.reshape(n_full * chunk, oh, ow, 3))
+            if rem:
+                rem_tiles = tiles[n_full * chunk:]
+                if rem_padded != rem:
+                    rem_tiles = jnp.concatenate(
+                        [rem_tiles,
+                         jnp.zeros((rem_padded - rem, th, tw, 3),
+                                   tiles.dtype)], 0
+                    )
+                pieces.append(apply_chunk(rem_tiles)[:rem])
+            outs = pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, 0)
+
+            if config.tta:
+                outs = outs.reshape(DIHEDRAL_SIZE, plan.tile_count, oh, ow, 3)
+                outs = sum(
+                    dihedral_inverse(outs[i], i) for i in range(DIHEDRAL_SIZE)
+                ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
 
         outs = outs * row_w[:, :, None, None] * col_w[:, None, :, None]
 
@@ -251,6 +303,9 @@ def make_chunked_fns(
         raise ValueError(
             "packed heads are incompatible with TTA (dihedral inverses act "
             "in pixel space); create the model without head packing")
+    if config.tta and plan.input_tile[0] != plan.input_tile[1]:
+        # whole-frame --tileSize 0 on a non-square frame: rect-TTA path
+        return _make_rect_tta_chunked_fns(plan, config, n_dp)
 
     n_full = n_steps // chunk
     rem = n_steps - n_full * chunk
@@ -416,6 +471,111 @@ def make_chunked_fns(
     return prepare, finalize, plan, chunk_sizes
 
 
+def _make_rect_tta_chunked_fns(plan, config: RenderConfig, n_dp: int):
+    """Chunked prepare/finalize for TTA over RECTANGULAR tiles (whole-frame
+    ``--tileSize 0`` on a non-square frame — the reference has neither mode,
+    its tiles are always square, src/main.cpp:62-64).
+
+    The 8 dihedral variants split by shape action: the shape-preserving
+    group (identity, both flips, rot180) batches at (th, tw) and the
+    rot90-family group at (tw, th). Each group chunks independently, the
+    model program compiles once per orientation (both are multiples of the
+    model's tile divisor, so any geometry the normal whole-frame path
+    accepts works transposed too), and finalize inverts every variant back
+    to (oh, ow) before the 1/8 mean. Pixel-shuffle packing never applies
+    here (TTA excludes packed heads) and cross-frame TileStream cannot ride
+    mixed chunk shapes: ``prepare.flat`` is None and ``Upscaler.open_stream``
+    degrades to per-frame dispatch for this geometry.
+    """
+    compute_dtype = config.precision.dtype
+    chunk = config.batch_size * n_dp
+    half = DIHEDRAL_SIZE // 2
+    g_steps = plan.tile_count * half
+    g_full = g_steps // chunk
+    g_rem = g_steps - g_full * chunk
+    g_rem_padded = -(-g_rem // n_dp) * n_dp if g_rem else 0
+    g_sizes = [chunk] * g_full + ([g_rem_padded] if g_rem else [])
+    chunk_sizes = g_sizes + g_sizes
+    n_group_chunks = len(g_sizes)
+
+    in_origins = jnp.asarray(plan.input_origins)
+    out_origins = jnp.asarray(plan.output_origins)
+    row_w = jnp.asarray(plan.row_weights)  # (T, oh)
+    col_w = jnp.asarray(plan.col_weights)  # (T, ow)
+    pad_t, pad_b, pad_l, pad_r = plan.pad
+    th, tw = plan.input_tile
+    oh, ow = plan.output_tile
+    canvas_h, canvas_w = plan.canvas_size
+    out_h, out_w = plan.output_size
+
+    def prepare(frame_u8):
+        x = frame_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+        padded = jnp.pad(
+            x, ((pad_t, pad_b), (pad_l, pad_r), (0, 0)), mode="edge"
+        )
+
+        def slice_tile(origin):
+            return jax.lax.dynamic_slice(
+                padded, (origin[0], origin[1], 0), (th, tw, 3)
+            )
+
+        tiles = jax.vmap(slice_tile)(in_origins)  # (T, th, tw, 3) fp32
+        pieces = []
+        for idxs, (gh, gw) in (
+            (DIHEDRAL_SHAPE_PRESERVING, (th, tw)),
+            (DIHEDRAL_TRANSPOSING, (tw, th)),
+        ):
+            g = jnp.concatenate([dihedral_apply(tiles, i) for i in idxs], 0)
+            g = g.astype(compute_dtype)
+            if g_rem_padded != g_rem:
+                g = jnp.concatenate(
+                    [g, jnp.zeros((g_rem_padded - g_rem, gh, gw, 3),
+                                  g.dtype)], 0)
+            start = 0
+            for size in g_sizes:
+                pieces.append(
+                    jax.lax.slice_in_dim(g, start, start + size, axis=0))
+                start += size
+        return tuple(pieces)
+
+    prepare.flat = None  # mixed chunk shapes: no cross-frame TileStream
+
+    def finalize(*outs):
+        ya = jnp.concatenate(outs[:n_group_chunks], 0)[:g_steps]
+        yb = jnp.concatenate(outs[n_group_chunks:], 0)[:g_steps]
+        ya = ya.astype(jnp.float32).reshape(half, plan.tile_count, oh, ow, 3)
+        yb = yb.astype(jnp.float32).reshape(half, plan.tile_count, ow, oh, 3)
+        y = (
+            sum(dihedral_inverse(ya[k], i)
+                for k, i in enumerate(DIHEDRAL_SHAPE_PRESERVING))
+            + sum(dihedral_inverse(yb[k], i)
+                  for k, i in enumerate(DIHEDRAL_TRANSPOSING))
+        ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
+
+        canvas = jnp.zeros((canvas_h, canvas_w, 3), jnp.float32)
+
+        def scatter(canvas, inp):
+            tile_out, origin, rwt, cwt = inp
+            t = tile_out * rwt[:, None, None] * cwt[None, :, None]
+            yy, xx = origin[0], origin[1]
+            patch = jax.lax.dynamic_slice(canvas, (yy, xx, 0), (oh, ow, 3))
+            return (
+                jax.lax.dynamic_update_slice(canvas, patch + t, (yy, xx, 0)),
+                None,
+            )
+
+        canvas, _ = jax.lax.scan(
+            scatter, canvas, (y, out_origins, row_w, col_w))
+        out = canvas[:out_h, :out_w]
+        # saturating u8 cast on the lane-folded view (see make_chunked_fns)
+        hh, ww, cc = out.shape
+        flat = out.reshape(hh, ww * cc)
+        flat = jnp.clip(jnp.round(flat * 255.0), 0.0, 255.0).astype(jnp.uint8)
+        return flat.reshape(hh, ww, cc)
+
+    return prepare, finalize, plan, chunk_sizes
+
+
 def pack_x_applicable(plan, px: int) -> bool:
     """True when the geometry lets the packed-x model layout scatter
     exactly: output tile width and every output x-origin pack_x-aligned
@@ -514,7 +674,8 @@ class ChunkedPipeline:
             if self._sharding is not None:
                 out_shardings = (self._sharding,) * len(chunk_sizes)
             prep_prog = jax.jit(prepare, out_shardings=out_shardings)
-            prep_prog.flat = jax.jit(prepare.flat)
+            prep_prog.flat = (jax.jit(prepare.flat)
+                              if prepare.flat is not None else None)
             fin_prog = jax.jit(finalize)
             entry = (prep_prog, fin_prog, plan, len(chunk_sizes))
             entry[0].chunk_sizes = chunk_sizes
@@ -571,6 +732,12 @@ class TileStream:
         self._hw = (int(frame_hw[0]), int(frame_hw[1]))
         prep, fin, plan, _ = pipeline.get(self._hw)
         self._prep_flat = prep.flat
+        if self._prep_flat is None:
+            raise ValueError(
+                "TileStream unavailable for this geometry: rectangular-TTA "
+                "whole-frame renders batch two tile orientations per frame "
+                "and cannot ride one cross-frame carry; render per-frame "
+                "(ChunkedPipeline.render) instead")
         self._fin = fin
         self._plan = plan
         self._use_px = getattr(prep, "use_pack_x", False)

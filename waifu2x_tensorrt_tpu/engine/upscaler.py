@@ -690,11 +690,19 @@ class Upscaler:
         chunking at 720p/tile 256 on v5e; with a dp mesh each chunk is
         placed with the tile sharding, keeping every device at full
         per-device batch). Returns None when streaming does not apply
-        (monolithic fuse_frame programs), in which case callers use
-        render_async per frame."""
+        (monolithic fuse_frame programs, or a rectangular-TTA whole-frame
+        geometry whose two tile orientations cannot share one carry), in
+        which case callers use render_async per frame."""
         if not self.can_stream:
             return None
-        return _StreamSession(self, (int(frame_hw[0]), int(frame_hw[1])))
+        hw = (int(frame_hw[0]), int(frame_hw[1]))
+        prep, _, _, _ = self._renderers.get(hw)
+        if getattr(prep, "flat", None) is None:
+            # rectangular-TTA whole-frame geometry: two tile orientations
+            # per frame cannot ride one cross-frame carry — per-frame
+            # dispatch (render_async) applies instead
+            return None
+        return _StreamSession(self, hw)
 
     @property
     def can_stream(self) -> bool:

@@ -33,6 +33,8 @@ __all__ = [
     "plan_tiles",
     "tile_weight_ramps",
     "DIHEDRAL_SIZE",
+    "DIHEDRAL_SHAPE_PRESERVING",
+    "DIHEDRAL_TRANSPOSING",
     "dihedral_apply",
     "dihedral_inverse",
 ]
@@ -314,6 +316,13 @@ def plan_tiles(
 
 DIHEDRAL_SIZE = 8
 
+# Partition of D4 by shape action on a rectangular (H, W) image: the first
+# four transforms preserve (H, W); the rot90-family transposes to (W, H).
+# The rect-TTA render path batches each group at its own orientation
+# (engine/renderer.py) so --tileSize 0 + --tta works on non-square frames.
+DIHEDRAL_SHAPE_PRESERVING = (0, 1, 2, 4)
+DIHEDRAL_TRANSPOSING = (3, 5, 6, 7)
+
 # (flip_rows, flip_cols, rot90_k) applied in that order: flips first, then
 # rotation — matching applyAugmentation's composition order.
 _DIHEDRAL_FWD: tuple[tuple[bool, bool, int], ...] = (
@@ -332,8 +341,9 @@ def dihedral_apply(img, index: int):
     """Apply TTA transform ``index`` to an (..., H, W, C) array.
 
     Works on numpy arrays and jax arrays (uses only flip/rot90). For
-    non-square tiles only indices {0,1,2,4} keep the shape; the renderer only
-    uses square tiles, as does the reference CLI.
+    non-square tiles, ``DIHEDRAL_SHAPE_PRESERVING`` indices keep the shape
+    and ``DIHEDRAL_TRANSPOSING`` indices transpose it to (W, H); the
+    renderer batches the two groups separately (rect-TTA, whole-frame mode).
     """
     flip_r, flip_c, k = _DIHEDRAL_FWD[index]
     np_like = _np_like(img)
