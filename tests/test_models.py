@@ -192,3 +192,48 @@ def test_head_via_deconv_is_equivalent():
         y2 = np.asarray(m2.apply({"params": p}, x))
         assert y1.shape == y2.shape
         assert np.abs(y1 - y2).max() < 1e-5
+
+
+def test_lane_pad_is_equivalent():
+    """lane_pad zero-pads the full-res stem/skip/head-input channels at
+    trace time (swin_unet._lane_padded_conv): the padded channels carry
+    exact zeros, so the output matches the unpadded model over the
+    identical parameter tree — across head variants and scales."""
+    import jax.numpy as jnp
+    import jax.tree_util as tu
+
+    from waifu2x_tensorrt_tpu.models.registry import init_params
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 32, 48, 3)).astype(np.float32))
+    for scale, kw in (
+        (4, {}),
+        (2, {"shuffle_via_deconv": True}),
+        (4, {"shuffle_via_deconv": True, "head_via_deconv": True}),
+        (1, {}),
+    ):
+        m1 = SwinUNet(scale=scale, base_dim=32, depths=(2, 2, 2, 2, 2),
+                      dtype=jnp.float32, **kw)
+        m2 = SwinUNet(scale=scale, base_dim=32, depths=(2, 2, 2, 2, 2),
+                      dtype=jnp.float32, lane_pad=64, **kw)
+        p = init_params(m1, tile=32)
+        assert (tu.tree_structure(p)
+                == tu.tree_structure(init_params(m2, tile=32)))
+        y1 = np.asarray(m1.apply({"params": p}, x))
+        y2 = np.asarray(m2.apply({"params": p}, x))
+        assert y1.shape == y2.shape
+        assert np.abs(y1 - y2).max() < 1e-5, (scale, kw)
+
+
+def test_lane_pad_rejects_packed_heads():
+    import jax.numpy as jnp
+    import pytest
+
+    from waifu2x_tensorrt_tpu.models.registry import init_params
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    m = SwinUNet(scale=4, base_dim=32, depths=(2, 2, 2, 2, 2),
+                 dtype=jnp.float32, lane_pad=64, packed_head=True)
+    with pytest.raises(ValueError, match="lane_pad"):
+        init_params(m, tile=32)

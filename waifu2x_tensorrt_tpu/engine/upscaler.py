@@ -30,6 +30,19 @@ from waifu2x_tensorrt_tpu.models import registry
 from waifu2x_tensorrt_tpu.utils.logging import Logger, Severity
 
 
+def _lane_pad(on_tpu: bool) -> int:
+    """Opt-in full-res lane padding (models/swin_unet.py lane_pad): pad the
+    48-channel stem/skip/head-input passes to WAIFU2X_LANE_PAD vector lanes
+    on TPU. Math-preserving (padded channels are exact zeros); off by
+    default pending a measured win on v5e."""
+    if not on_tpu:
+        return 0
+    try:
+        return int(os.environ.get("WAIFU2X_LANE_PAD", "0") or 0)
+    except ValueError:
+        return 0
+
+
 def _npz_arch_overrides(stem: Path, family: str):
     """(trusted verification record, create_model arch overrides) for a
     converted checkpoint: validate.py records the graph-derived
@@ -137,6 +150,7 @@ class Upscaler:
                 family, scale, noise, dtype=config.precision.dtype,
                 use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
                 packed_head=False, shuffle_via_deconv=on_tpu,
+                lane_pad=_lane_pad(on_tpu),
                 **arch_kw,
             )
             params, loaded = registry.load_or_init_params(
@@ -286,6 +300,7 @@ class Upscaler:
                 # measured +3.7% streamed on v5e (475.3 vs 458.5 MP/s,
                 # 2026-08-17) — kills the up1/up2 pixel-shuffle copies
                 shuffle_via_deconv=on_tpu,
+                lane_pad=_lane_pad(on_tpu),
                 **arch_kw,
             )
             params, from_file = registry.load_or_init_params(
@@ -358,6 +373,7 @@ class Upscaler:
                 family, scale, noise, dtype=config.precision.dtype,
                 use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
                 packed_x_head=True, shuffle_via_deconv=on_tpu,
+                lane_pad=_lane_pad(on_tpu),
                 **arch_kw,
             )
         if fuse_frame:
@@ -565,6 +581,7 @@ class Upscaler:
                 dtype=config.precision.dtype,
                 use_pallas=use_pallas, fused_block=use_pallas and on_tpu,
                 shuffle_via_deconv=on_tpu,
+                lane_pad=_lane_pad(on_tpu),
             )
         base = registry.get_spec(family, scale, noise)
         spec = dataclasses.replace(base, offset=arch.offset)
@@ -606,6 +623,7 @@ class Upscaler:
                 dtype=config.precision.dtype,
                 use_pallas=use_pallas, fused_block=False,
                 shuffle_via_deconv=on_tpu,
+                lane_pad=_lane_pad(on_tpu),
             )
             spec = self._spec
         else:
@@ -614,6 +632,7 @@ class Upscaler:
                 use_pallas=use_pallas, fused_block=False,
                 packed_head=self._spec.packing > 1,
                 shuffle_via_deconv=on_tpu,
+                lane_pad=_lane_pad(on_tpu),
                 **arch_kw,
             )
         self._module = module
@@ -625,6 +644,7 @@ class Upscaler:
                     family, scale, noise, dtype=config.precision.dtype,
                     use_pallas=use_pallas, fused_block=False,
                     packed_x_head=True, shuffle_via_deconv=on_tpu,
+                lane_pad=_lane_pad(on_tpu),
                     **arch_kw,
                 )
             self._renderers.set_module(module, module_px)

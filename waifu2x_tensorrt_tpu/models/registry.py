@@ -107,6 +107,7 @@ def create_model(
     head_shuffle_2stage: bool = False,
     packed_x_head: bool = False,
     head_via_deconv: bool = False,
+    lane_pad: int = 0,
     base_dim: Optional[int] = None,
     depths: Optional[tuple] = None,
 ):
@@ -150,7 +151,8 @@ def create_model(
                                 shuffle_via_deconv=shuffle_via_deconv,
                                 head_shuffle_2stage=head_shuffle_2stage,
                                 packed_x_head=pack_x,
-                                head_via_deconv=head_via_deconv)
+                                head_via_deconv=head_via_deconv,
+                                lane_pad=int(lane_pad))
         if packed:
             spec = dataclasses.replace(spec, packing=scale)
         if pack_x:

@@ -476,6 +476,30 @@ def _dense_shuffle_as_deconv(x, kernel, bias, dtype):
     return y.reshape(b_, hh, ww, cout)
 
 
+def _lane_padded_conv(x, kernel, bias, pad_out: int, dtype,
+                      strides=(1, 1), padding="SAME"):
+    """Convolution whose kernel/bias are zero-padded at trace time: input
+    channels up to ``x.shape[-1]``, output channels up to ``pad_out``
+    (0 = keep). The padded channels contribute / carry exact zeros
+    (0-weight taps add +0.0 to every accumulator), so this is the unpadded
+    conv's math at full vector-lane occupancy — parameters keep their
+    original checkpoint shapes."""
+    cin = kernel.shape[2]
+    cout = kernel.shape[3]
+    cin_x = x.shape[-1]
+    if cin_x != cin:
+        kernel = jnp.pad(kernel, ((0, 0), (0, 0), (0, cin_x - cin), (0, 0)))
+    if pad_out and pad_out > cout:
+        kernel = jnp.pad(kernel,
+                         ((0, 0), (0, 0), (0, 0), (0, pad_out - cout)))
+        bias = jnp.pad(bias, (0, pad_out - cout))
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(dtype)
+
+
 def _conv_shuffle_as_deconv(x, kernel, bias, r: int, dtype):
     """Conv k*k SAME (C_in -> C_out*r^2) + _pixel_shuffle(.., r) as ONE
     stride-r transposed convolution (bit-identical regrouping — the
@@ -557,6 +581,17 @@ class SwinUNet(nn.Module):
     # D2S transpose copies (~2.8 ms/chunk on v5e) the same way
     # shuffle_via_deconv killed the decoder ones.
     head_via_deconv: bool = False
+    # lane_pad: zero-pad the FULL-RES channel dim (base_dim//2 = 48 on the
+    # flagship) up to this many vector lanes at trace time. The stem
+    # lrelus and the d1+s skip add profiled lane-bound at 48/128 lane
+    # occupancy on v5e (BENCH_NOTES round-3 closing profile); padding the
+    # stem/decoder-1/head-input channels to 128 runs those passes at full
+    # occupancy. The extra channels carry exact zeros end-to-end
+    # (zero-padded kernels/biases — every padded tap adds +0.0), so the
+    # output matches the unpadded model up to fp reduction grouping, and
+    # parameters keep their original checkpoint shapes (the pad is a
+    # trace-time jnp.pad of the weights, as with shuffle_via_deconv).
+    lane_pad: int = 0
 
     offset: int = 0
 
@@ -568,6 +603,12 @@ class SwinUNet(nn.Module):
         b, h, w, _ = x.shape
         c = self.base_dim
         half = c // 2
+        lane = self.lane_pad if self.lane_pad > half else 0
+        if lane and (self.packed_head or self.packed_x_head
+                     or self.head_shuffle_2stage):
+            raise ValueError(
+                "lane_pad composes only with the default or deconv head "
+                "variants (packed layouts re-interpret head channels)")
 
         # Internal pad to a multiple of 32 (2 stride-2 stages x window 8).
         mult = 32
@@ -578,16 +619,30 @@ class SwinUNet(nn.Module):
         hp, wp = h + ph, w + pw
 
         # Full-res conv stem.
-        s = nn.Conv(half, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="patch_conv1")(x)
-        s = _lrelu(s)
-        s = nn.Conv(half, (3, 3), padding="SAME", dtype=self.dtype,
-                    name="patch_conv2")(s)
-        s = _lrelu(s)
+        if lane:
+            c1 = _ConvParams(3, half, (3, 3), name="patch_conv1")()
+            s = _lrelu(_lane_padded_conv(
+                x, c1["kernel"], c1["bias"], lane, self.dtype))
+            c2 = _ConvParams(half, half, (3, 3), name="patch_conv2")()
+            s = _lrelu(_lane_padded_conv(
+                s, c2["kernel"], c2["bias"], lane, self.dtype))
+        else:
+            s = nn.Conv(half, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="patch_conv1")(x)
+            s = _lrelu(s)
+            s = nn.Conv(half, (3, 3), padding="SAME", dtype=self.dtype,
+                        name="patch_conv2")(s)
+            s = _lrelu(s)
 
         # Encoder.
-        e1 = nn.Conv(c, (2, 2), strides=(2, 2), padding="VALID",
-                     dtype=self.dtype, name="down1")(s)
+        if lane:
+            dn = _ConvParams(half, c, (2, 2), name="down1")()
+            e1 = _lane_padded_conv(s, dn["kernel"], dn["bias"], 0,
+                                   self.dtype, strides=(2, 2),
+                                   padding="VALID")
+        else:
+            e1 = nn.Conv(c, (2, 2), strides=(2, 2), padding="VALID",
+                         dtype=self.dtype, name="down1")(s)
         e1 = SwinStage(c, c // 32, self.depths[0], dtype=self.dtype,
                        use_pallas=self.use_pallas,
                        fused_block=self.fused_block,
@@ -614,10 +669,24 @@ class SwinUNet(nn.Module):
                        fused_block=self.fused_block,
                        block_windows=self.block_windows, name="swin3")(d2)
 
-        if self.shuffle_via_deconv:
+        if self.shuffle_via_deconv or lane:
             up1p = _DenseParams(c, 4 * half, name="up1")()
-            d1 = _dense_shuffle_as_deconv(d2, up1p["kernel"], up1p["bias"],
-                                          self.dtype)
+            k1, b1 = up1p["kernel"], up1p["bias"]
+            if lane:
+                # dense out index = cc*4 + ry*2 + rx (torch PixelShuffle
+                # CRD, see _dense_shuffle_as_deconv): pad the cc dim so d1
+                # comes out with ``lane`` channels, the extra ones exact 0
+                k1 = jnp.pad(k1.reshape(c, half, 4),
+                             ((0, 0), (0, lane - half), (0, 0))
+                             ).reshape(c, 4 * lane)
+                b1 = jnp.pad(b1.reshape(half, 4),
+                             ((0, lane - half), (0, 0))).reshape(4 * lane)
+            if self.shuffle_via_deconv:
+                d1 = _dense_shuffle_as_deconv(d2, k1, b1, self.dtype)
+            else:
+                d1 = jnp.dot(d2, k1.astype(self.dtype)) + b1.astype(
+                    self.dtype)
+                d1 = _pixel_shuffle(d1, 2)
         else:
             d1 = nn.Dense(4 * half, dtype=self.dtype, name="up1")(d2)
             d1 = _pixel_shuffle(d1, 2)  # full res, C/2
@@ -630,8 +699,14 @@ class SwinUNet(nn.Module):
         # with the shuffle (a pure permutation) — identical output.
         packed = self.packed_head and self.scale > 1
         if self.scale == 1:
-            z = nn.Conv(self.out_channels, (3, 3), padding="SAME",
-                        dtype=self.dtype, name="to_image")(d1)
+            if lane:
+                cp = _ConvParams(half, self.out_channels, (3, 3),
+                                 name="to_image")()
+                z = _lane_padded_conv(d1, cp["kernel"], cp["bias"], 0,
+                                      self.dtype)
+            else:
+                z = nn.Conv(self.out_channels, (3, 3), padding="SAME",
+                            dtype=self.dtype, name="to_image")(d1)
             if self.clamp:
                 z = jnp.clip(z, 0.0, 1.0)
         elif self.packed_x_head and not packed:
@@ -656,9 +731,12 @@ class SwinUNet(nn.Module):
                          and not packed)
             if self.head_via_deconv and not packed:
                 cout = self.out_channels * r * r
-                cp = _ConvParams(d1.shape[-1], cout, (3, 3),
-                                 name="to_image")()
-                z = _conv_shuffle_as_deconv(d1, cp["kernel"], cp["bias"],
+                cp = _ConvParams(half, cout, (3, 3), name="to_image")()
+                kk = cp["kernel"]
+                if lane:
+                    kk = jnp.pad(
+                        kk, ((0, 0), (0, 0), (0, lane - half), (0, 0)))
+                z = _conv_shuffle_as_deconv(d1, kk, cp["bias"],
                                             r, self.dtype)
                 if self.clamp:
                     z = jnp.clip(z, 0.0, 1.0)
@@ -681,9 +759,15 @@ class SwinUNet(nn.Module):
                     z = jnp.clip(z, 0.0, 1.0)
                 z = _pixel_shuffle(_pixel_shuffle(z, 2), 2)
             else:
-                z = nn.Conv(self.out_channels * r * r, (3, 3),
-                            padding="SAME", dtype=self.dtype,
-                            name="to_image")(d1)
+                if lane:
+                    cp = _ConvParams(half, self.out_channels * r * r,
+                                     (3, 3), name="to_image")()
+                    z = _lane_padded_conv(d1, cp["kernel"], cp["bias"], 0,
+                                          self.dtype)
+                else:
+                    z = nn.Conv(self.out_channels * r * r, (3, 3),
+                                padding="SAME", dtype=self.dtype,
+                                name="to_image")(d1)
                 if self.clamp:
                     z = jnp.clip(z, 0.0, 1.0)
                 if not packed:
