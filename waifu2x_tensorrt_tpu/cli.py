@@ -133,6 +133,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "frame-index --resume for interrupted video "
                              "renders, and segment-level work sharding "
                              "under --multihost")
+    render.add_argument("--alpha", choices=("ignore", "auto"),
+                        default="ignore",
+                        help="Transparent still images (extension — the "
+                             "reference drops alpha, capture.cpp:55 TODO): "
+                             "'auto' upscales the alpha channel through the "
+                             "same model and writes RGBA PNG, with opaque "
+                             "colors bled under transparent edges first to "
+                             "prevent halos; 'ignore' keeps reference "
+                             "behavior (RGB only)")
 
     sub.add_parser("build", help="Build model")
     return p
@@ -636,6 +645,47 @@ def _stream_frames(engine, writer, hw, frames, on_index) -> None:
             writer.write(np.asarray(pending))
 
 
+def _render_rgba(args, engine, file, out_path, state, message_cb):
+    """Alpha-aware still-image render (``--alpha auto``; extension — the
+    reference's pipes are rgb24-only, src/videoio/capture.cpp:55 carries a
+    literal alpha-support TODO). Returns None when the file has no alpha
+    channel (callers continue on the normal RGB path).
+
+    The RGB planes are upscaled after bleeding opaque colors under the
+    transparent region (io/image.fill_transparent — prevents dark halos at
+    alpha edges), and the alpha plane rides through the SAME loaded model
+    as a grayscale frame (identical geometry, so it reuses the compiled
+    render program); the recombined RGBA goes out as PNG."""
+    from waifu2x_tensorrt_tpu.io.image import (
+        fill_transparent,
+        read_rgba,
+        write_image,
+    )
+
+    try:
+        rgb, a = read_rgba(file)
+    except Exception:
+        return None  # normal capture path owns decode-error reporting
+    if a is None:
+        return None
+    state["frames"] = 1
+    state["frame"] = 1
+    try:
+        rgb = fill_transparent(rgb, a)
+        out = np.asarray(engine.render(rgb))
+        a_out = np.asarray(engine.render(
+            np.repeat(a[:, :, None], 3, axis=2)))
+        a_up = np.clip(
+            np.rint(a_out.astype(np.float32).mean(axis=2)),
+            0, 255).astype(np.uint8)
+        write_image(out_path, np.dstack([out, a_up]))
+    except Exception as e:
+        message_cb(Severity.error, f"Render failed: {e}.")
+        return -1
+    message_cb(Severity.info, f"Wrote {out_path}")
+    return 0
+
+
 def _render_one(args, engine, capture, file, out_dir, suffix, state,
                 message_cb, batcher=None) -> int:
     try:
@@ -650,6 +700,11 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
         message_cb(Severity.info, f"Skipping {file} (output exists)")
         capture.release()
         return 0
+    if is_image and getattr(args, "alpha", "ignore") == "auto":
+        rc_a = _render_rgba(args, engine, file, out_path, state, message_cb)
+        if rc_a is not None:  # file HAD alpha: fully handled
+            capture.release()
+            return rc_a
     rc0 = 0
     if batcher is not None:
         if is_image:
