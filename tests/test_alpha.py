@@ -169,3 +169,19 @@ def test_cli_alpha_flag_choices():
             "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
             "--batchSize", "4", "--tileSize", "64",
             "render", "-i", "x.png", "--alpha", "bogus"])
+
+
+def test_fill_transparent_cropped_region_matches_full(tmp_path):
+    """The bounding-box crop is an optimization, not a behavior change:
+    a small transparent patch far from the image corner fills exactly as
+    it would at origin, and pixels outside the box are untouched."""
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    a = np.full((64, 64), 255, np.uint8)
+    a[30:40, 40:50] = 0
+    out = fill_transparent(rgb, a)
+    # outside the patch (+margin) untouched
+    np.testing.assert_array_equal(out[:10], rgb[:10])
+    np.testing.assert_array_equal(out[a > 0], rgb[a > 0])
+    # the patch was filled with bled colors, not stored ones
+    assert not np.array_equal(out[30:40, 40:50], rgb[30:40, 40:50])
