@@ -12,7 +12,6 @@ from PIL import Image
 
 from waifu2x_tensorrt_tpu.io.image import (
     fill_transparent,
-    read_image,
     read_rgba,
     write_image,
 )
