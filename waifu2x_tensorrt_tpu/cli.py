@@ -672,11 +672,13 @@ def _render_rgba(args, engine, file, out_path, state, message_cb):
     state["frame"] = 1
     try:
         rgb = fill_transparent(rgb, a)
-        out = np.asarray(engine.render(rgb))
-        a_out = np.asarray(engine.render(
-            np.repeat(a[:, :, None], 3, axis=2)))
+        # both planes dispatch before either fetch: the alpha render
+        # overlaps the RGB render's device time (async dispatch)
+        out_f = engine.render_async(rgb)
+        a_f = engine.render_async(np.repeat(a[:, :, None], 3, axis=2))
+        out = np.asarray(out_f)
         a_up = np.clip(
-            np.rint(a_out.astype(np.float32).mean(axis=2)),
+            np.rint(np.asarray(a_f).astype(np.float32).mean(axis=2)),
             0, 255).astype(np.uint8)
         write_image(out_path, np.dstack([out, a_up]))
     except Exception as e:
