@@ -49,6 +49,46 @@ def log(msg):
 _PARAMS_CACHE: dict = {}
 
 
+def headline_setup():
+    """The flagship stream configuration — ONE definition shared by
+    bench.main and the probes (ADVICE r3: a probe measuring a silently
+    drifted copy of this config would not be comparing against the
+    recorded headline). Returns (frame_hw, tile, batch, scale, config)."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+
+    frame_hw = (720, 1280)
+    tile, batch, scale = 256, 16, 4
+    config = RenderConfig(
+        precision=Precision.FP16, batch_size=batch, height=tile, width=tile,
+        scaling=scale, overlap=(1 / 16, 1 / 16), tta=False,
+    )
+    return frame_hw, tile, batch, scale, config
+
+
+def make_frame(frame_hw, seed: int = 0):
+    """Device-resident random uint8 frame (the bench input convention)."""
+    rng = np.random.default_rng(seed)
+    return jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (*frame_hw, 3), np.uint8)))
+
+
+def prewarm_params(family: str, scale: int, noise: int, config) -> None:
+    """Populate _PARAMS_CACHE for (family, scale) ahead of a timed
+    make_pipeline call: the one-time on-device params init costs ~60 s
+    through the axon tunnel and would otherwise inflate the first
+    measurement's reported compile time (ADVICE r3)."""
+    from waifu2x_tensorrt_tpu.models.registry import (
+        create_model,
+        init_params_host,
+    )
+
+    module, spec = create_model(family, scale, noise,
+                                dtype=config.precision.dtype)
+    pkey = (spec.arch, scale, str(config.precision.dtype))
+    if pkey not in _PARAMS_CACHE:
+        _PARAMS_CACHE[pkey] = jax.device_put(init_params_host(module, tile=32))
+
+
 def make_pipeline(family, scale, noise, config, frame_hw, fused_block,
                   packed=False, **model_kw):
     # packed=True (packed-head blend/scatter) measured slower on v5e:
@@ -196,15 +236,9 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    frame_hw = (720, 1280)
-    tile, batch, scale = 256, 16, 4
-    config = RenderConfig(
-        precision=Precision.FP16, batch_size=batch, height=tile, width=tile,
-        scaling=scale, overlap=(1 / 16, 1 / 16), tta=False,
-    )
+    frame_hw, tile, batch, scale, config = headline_setup()
     rng = np.random.default_rng(0)
-    frame = jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (*frame_hw, 3), np.uint8)))
+    frame = make_frame(frame_hw)
 
     t0 = time.perf_counter()
     try:

@@ -16,24 +16,26 @@ import time
 sys.path.insert(0, ".")
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 import bench
-from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
 
 jax.config.update("jax_compilation_cache_dir", ".jax_bench_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-frame_hw = (720, 1280)
-tile, batch, scale = 256, 16, 4
-config = RenderConfig(
-    precision=Precision.FP16, batch_size=batch, height=tile, width=tile,
-    scaling=scale, overlap=(1 / 16, 1 / 16), tta=False,
-)
-rng = np.random.default_rng(0)
-frame = jax.device_put(jnp.asarray(
-    rng.integers(0, 256, (*frame_hw, 3), np.uint8)))
+# Backend-init watchdog (ADVICE r3): the axon tunnel's outage mode
+# includes an indefinite hang inside backend init; fail fast like
+# bench.main instead of hanging the probe forever.
+bench._probe_devices(float(__import__("os").environ.get(
+    "BENCH_INIT_TIMEOUT_S", "480")))
+
+# Headline config comes from bench.headline_setup — the probe measures
+# the SAME stream the recorded headline number used (ADVICE r3).
+frame_hw, tile, batch, scale, config = bench.headline_setup()
+frame = bench.make_frame(frame_hw)
+
+# Pre-warm params so the first lane's compile timing excludes the
+# one-time ~60 s device_put params init (ADVICE r3).
+bench.prewarm_params("swin_unet/art", scale, 3, config)
 
 lanes = [int(a) for a in sys.argv[1:]] or [0, 64, 128]
 for lane in lanes:

@@ -74,7 +74,14 @@ def resolve_tile_plan(spec: ModelSpec, config: RenderConfig,
     tile = config.height
     if tile == 0:
         d = spec.tile_divisor
-        tile_hw = (_ceil_to(frame_hw[0], d), _ceil_to(frame_hw[1], d))
+        # Offset models (cunet valid convs) shrink the output by
+        # 2*offset; size the whole-frame tile to include that context so
+        # ONE tile covers the full output. Without this a 512px frame at
+        # UpCUNet's offset 36 gets a 512-input tile whose 952px output
+        # undercovers the 1024px canvas -> a 2x2 grid at ~4x redundancy.
+        ctx = -(-2 * spec.offset // spec.scale)  # input-space, both sides
+        tile_hw = (_ceil_to(frame_hw[0] + ctx, d),
+                   _ceil_to(frame_hw[1] + ctx, d))
     else:
         assert config.width == tile, "square tiles only (CLI parity)"
         tile_hw = (tile, tile)
@@ -427,10 +434,15 @@ def make_chunked_fns(
             )
 
         if config.tta:
-            y = jnp.concatenate(outs, 0)[:n_steps].astype(jnp.float32)
+            # inverse in the COMPUTE dtype, cast at the accumulate:
+            # dihedral inverses are exact permutations, so permute-then-
+            # cast is bit-identical to cast-then-permute while the
+            # inverse gathers move half the bytes (bf16 vs fp32).
+            y = jnp.concatenate(outs, 0)[:n_steps]
             y = y.reshape(DIHEDRAL_SIZE, plan.tile_count, oh, ow, 3)
             y = sum(
-                dihedral_inverse(y[i], i) for i in range(DIHEDRAL_SIZE)
+                dihedral_inverse(y[i], i).astype(jnp.float32)
+                for i in range(DIHEDRAL_SIZE)
             ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
             canvas, _ = jax.lax.scan(
                 scatter, canvas, (y, out_origins, row_w, col_w))
@@ -541,14 +553,16 @@ def _make_rect_tta_chunked_fns(plan, config: RenderConfig, n_dp: int):
     prepare.flat = None  # mixed chunk shapes: no cross-frame TileStream
 
     def finalize(*outs):
+        # inverse in the COMPUTE dtype, cast at the accumulate (exact
+        # permutations commute with the cast — see make_chunked_fns)
         ya = jnp.concatenate(outs[:n_group_chunks], 0)[:g_steps]
         yb = jnp.concatenate(outs[n_group_chunks:], 0)[:g_steps]
-        ya = ya.astype(jnp.float32).reshape(half, plan.tile_count, oh, ow, 3)
-        yb = yb.astype(jnp.float32).reshape(half, plan.tile_count, ow, oh, 3)
+        ya = ya.reshape(half, plan.tile_count, oh, ow, 3)
+        yb = yb.reshape(half, plan.tile_count, ow, oh, 3)
         y = (
-            sum(dihedral_inverse(ya[k], i)
+            sum(dihedral_inverse(ya[k], i).astype(jnp.float32)
                 for k, i in enumerate(DIHEDRAL_SHAPE_PRESERVING))
-            + sum(dihedral_inverse(yb[k], i)
+            + sum(dihedral_inverse(yb[k], i).astype(jnp.float32)
                   for k, i in enumerate(DIHEDRAL_TRANSPOSING))
         ) * jnp.float32(1.0 / DIHEDRAL_SIZE)
 

@@ -43,6 +43,37 @@ def _lane_pad(on_tpu: bool) -> int:
         return 0
 
 
+def _guard_fast_softmax(module, params, logger):
+    """Per-checkpoint fast-softmax selection (VERDICT r3 item 4 / ADVICE r2
+    medium finding): the Pallas kernels' no-max-subtract bf16 softmax is
+    exact only while every attention logit stays inside the clamp window
+    (ops/kernel_math.py). Compute the checkpoint's PROVEN worst-case logit
+    bound (ops/logit_bound.py) and clear ``fast_softmax`` whenever the
+    bound exceeds the budget — the max-subtracted form then serves, correct
+    for any logit magnitude. Deterministic in the params, so build() and
+    load() always select the same program (persistent-cache key parity).
+
+    Returns (possibly-cloned module, bound or None)."""
+    import jax.numpy as jnp
+
+    if not getattr(module, "fast_softmax", False):
+        return module, None
+    if module.dtype != jnp.bfloat16:
+        return module, None  # fast softmax is bf16-only; nothing to guard
+    from waifu2x_tensorrt_tpu.ops.kernel_math import FAST_SOFTMAX_BUDGET
+    from waifu2x_tensorrt_tpu.ops.logit_bound import swin_max_logit_bound
+
+    bound = swin_max_logit_bound(params)
+    if bound is None or bound <= FAST_SOFTMAX_BUDGET:
+        return module, bound
+    logger.log(
+        Severity.info,
+        f"checkpoint logit bound {bound:.1f} exceeds the fast-softmax "
+        f"budget {FAST_SOFTMAX_BUDGET:.0f}: selecting exact "
+        f"(max-subtracted) softmax for this model")
+    return module.clone(fast_softmax=False), bound
+
+
 def _npz_arch_overrides(stem: Path, family: str):
     """(trusted verification record, create_model arch overrides) for a
     converted checkpoint: validate.py records the graph-derived
@@ -170,6 +201,9 @@ class Upscaler:
                         f"profile tile size {dim} is not a multiple of "
                         f"{spec.tile_divisor} (required by this model "
                         f"backend)")
+        # Same per-checkpoint softmax selection load() makes: the AOT
+        # entry must be the program render() executes.
+        module, _ = _guard_fast_softmax(module, params, self.logger)
         # Commit params exactly as load() will: the persistent-cache key
         # covers input shardings, so lowering with uncommitted host arrays
         # would write an entry render() never hits.
@@ -331,6 +365,10 @@ class Upscaler:
                         "models/validate.py or serve the .onnx directly "
                         "(models/onnx_backend.py)",
                     )
+        # Per-checkpoint softmax guard (deterministic in params — build()
+        # made the same selection, so the AOT cache entry still matches).
+        module, _logit_bound = _guard_fast_softmax(module, params,
+                                                   self.logger)
         if config.height and config.height % spec.tile_divisor:
             raise ValueError(
                 f"tile size {config.height} is not a multiple of "
@@ -376,6 +414,9 @@ class Upscaler:
                 lane_pad=_lane_pad(on_tpu),
                 **arch_kw,
             )
+            # same params, same guard decision
+            module_px = module_px.clone(
+                fast_softmax=getattr(module, "fast_softmax", True))
         if fuse_frame:
             self._renderers = RendererCache(module, spec, config, sharding)
         else:
@@ -635,6 +676,7 @@ class Upscaler:
                 lane_pad=_lane_pad(on_tpu),
                 **arch_kw,
             )
+        module, _ = _guard_fast_softmax(module, self._params, self.logger)
         self._module = module
         self._fused = False
         if isinstance(self._renderers, ChunkedPipeline):

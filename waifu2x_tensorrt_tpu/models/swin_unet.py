@@ -132,6 +132,7 @@ class WindowAttention(nn.Module):
     shift: int = 0
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    fast_softmax: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -175,6 +176,7 @@ class WindowAttention(nn.Module):
                 num_heads=nh,
                 shift=self.shift,
                 ws=ws,
+                fast_softmax=self.fast_softmax,
             ).reshape(b, n_windows, n_tok, c)
         else:
             qkv = qkv.reshape(b, n_windows, n_tok, 3, nh, hd)
@@ -295,6 +297,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: int = 2
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    fast_softmax: bool = True
     block_windows: int = 32  # pallas kernel grid block (windows per step)
     # EXPERIMENTAL whole-block fusion (ops/swin_block.py): numerically
     # validated in interpret mode, but the compiled Mosaic lowering is
@@ -315,7 +318,8 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = x + WindowAttention(
             self.dim, self.num_heads, shift=self.shift, dtype=self.dtype,
-            use_pallas=self.use_pallas, name="attn")(y)
+            use_pallas=self.use_pallas, fast_softmax=self.fast_softmax,
+            name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype,
                      name="mlp_fc1")(y)
@@ -367,6 +371,7 @@ class SwinBlock(nn.Module):
             kparams, bias, flags,
             num_heads=self.num_heads, shift=self.shift, ws=ws,
             block_windows=self.block_windows,
+            fast_softmax=self.fast_softmax,
         ).reshape(b, n_windows, n_tok, c)
 
 
@@ -379,6 +384,7 @@ class SwinStage(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     fused_block: bool = False
+    fast_softmax: bool = True
     block_windows: int = 32
 
     @nn.compact
@@ -391,6 +397,7 @@ class SwinStage(nn.Module):
                 dtype=self.dtype,
                 use_pallas=self.use_pallas,
                 fused_block=self.fused_block,
+                fast_softmax=self.fast_softmax,
                 block_windows=self.block_windows,
                 name=f"block{i}",
             )
@@ -547,6 +554,11 @@ class SwinUNet(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     fused_block: bool = False
+    # fast_softmax: permit the no-max-subtract bf16 softmax in the Pallas
+    # kernels. The loader clears this per checkpoint when the proven
+    # attention-logit bound (ops/logit_bound.py) exceeds the clamp budget
+    # (engine/upscaler.py _guard_fast_softmax).
+    fast_softmax: bool = True
     block_windows: int = 32  # pallas kernel tuning knob
     # packed_head: skip the final depth-to-space and return the head conv's
     # packed (B, H, W, 3*r*r) output. The per-tile (.., 3, r, r) transpose
@@ -646,6 +658,7 @@ class SwinUNet(nn.Module):
         e1 = SwinStage(c, c // 32, self.depths[0], dtype=self.dtype,
                        use_pallas=self.use_pallas,
                        fused_block=self.fused_block,
+                       fast_softmax=self.fast_softmax,
                        block_windows=self.block_windows, name="swin1")(e1)
 
         e2 = nn.Conv(2 * c, (2, 2), strides=(2, 2), padding="VALID",
@@ -653,6 +666,7 @@ class SwinUNet(nn.Module):
         e2 = SwinStage(2 * c, (2 * c) // 32, self.depths[2],
                        dtype=self.dtype, use_pallas=self.use_pallas,
                        fused_block=self.fused_block,
+                       fast_softmax=self.fast_softmax,
                        block_windows=self.block_windows, name="swin2")(e2)
 
         # Decoder with skip connections.
@@ -667,6 +681,7 @@ class SwinUNet(nn.Module):
         d2 = SwinStage(c, c // 32, self.depths[3], dtype=self.dtype,
                        use_pallas=self.use_pallas,
                        fused_block=self.fused_block,
+                       fast_softmax=self.fast_softmax,
                        block_windows=self.block_windows, name="swin3")(d2)
 
         if self.shuffle_via_deconv or lane:

@@ -102,6 +102,12 @@ def gelu(z, exact: bool = False):
 _CLAMP_LO = -60.0
 _CLAMP_HI = 75.0
 
+# A checkpoint whose worst-case |logit| (ops/logit_bound.py) stays within
+# this budget can NEVER hit the clamp, so the fast path is provably exact
+# for it; the loader selects exact softmax otherwise (engine/upscaler.py
+# _guard_fast_softmax).
+FAST_SOFTMAX_BUDGET = min(-_CLAMP_LO, _CLAMP_HI)
+
 
 def softmax_lastdim(attn, exact: bool = True, keep=None):
     """Softmax over the last axis, fp32 in/out.

@@ -35,7 +35,7 @@ from waifu2x_tensorrt_tpu.ops.kernel_math import softmax_lastdim as _softmax
 
 def _block_body(x, flags, flags_b, n1s, n1b, qkvk, qkvb, bias, projk,
                 projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b,
-                *, ws, shift, wb, nh, hd, pair):
+                *, ws, shift, wb, nh, hd, pair, fast_softmax=True):
     """The whole transformer block on VMEM values: x (wb, Nt, C) window
     tokens -> (wb, Nt, C). flags/flags_b: (wb, 1) int32 shift-boundary
     bits (flags_b only when ``pair``).
@@ -52,8 +52,11 @@ def _block_body(x, flags, flags_b, n1s, n1b, qkvk, qkvb, bias, projk,
     C = nh * hd
     dtype = x.dtype
     # bf16 compute opts into the fast VPU math (kernel_math precision
-    # policy); fp32 keeps the numerically-strict forms.
+    # policy); fp32 keeps the numerically-strict forms. The no-max-subtract
+    # softmax additionally requires the checkpoint's proven logit bound to
+    # clear the clamp budget (ops/logit_bound.py via fast_softmax).
     exact = dtype != jnp.bfloat16
+    exact_sm = exact or not fast_softmax
 
     h = _layernorm(x, n1s, n1b, exact=exact).astype(dtype)
     qkv = jax.lax.dot_general(
@@ -124,7 +127,7 @@ def _block_body(x, flags, flags_b, n1s, n1b, qkvk, qkvb, bias, projk,
                 preferred_element_type=jnp.float32,
             )
         attn = attn + bias[head][None].astype(jnp.float32)
-        attn = _softmax(attn, exact=exact, keep=keep)
+        attn = _softmax(attn, exact=exact_sm, keep=keep)
         if wide_attn:
             head_sel = (lane >= head * hd) & (lane < (head + 1) * hd)
             vm = jnp.where(head_sel, v_all, jnp.zeros_like(v_all))
@@ -172,19 +175,22 @@ def _block_body(x, flags, flags_b, n1s, n1b, qkvk, qkvb, bias, projk,
 def _kernel(x_ref, n1s_ref, n1b_ref, qkvk_ref, qkvb_ref, bias_ref,
             flags_ref, flagsb_ref, projk_ref, projb_ref, n2s_ref, n2b_ref,
             fc1k_ref, fc1b_ref, fc2k_ref, fc2b_ref, o_ref,
-            *, ws, shift, wb, nh, hd, pair):
+            *, ws, shift, wb, nh, hd, pair, fast_softmax):
     o_ref[:] = _block_body(
         x_ref[:], flags_ref[:], flagsb_ref[:], n1s_ref[0], n1b_ref[0],
         qkvk_ref[:], qkvb_ref[0], bias_ref[:], projk_ref[:], projb_ref[0],
         n2s_ref[0], n2b_ref[0], fc1k_ref[:], fc1b_ref[0], fc2k_ref[:],
-        fc2b_ref[0], ws=ws, shift=shift, wb=wb, nh=nh, hd=hd, pair=pair)
+        fc2b_ref[0], ws=ws, shift=shift, wb=wb, nh=nh, hd=hd, pair=pair,
+        fast_softmax=fast_softmax)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_heads", "shift", "ws", "block_windows", "interpret", "pair"))
+    "num_heads", "shift", "ws", "block_windows", "interpret", "pair",
+    "fast_softmax"))
 def fused_swin_block(x, params, bias, flags, *, num_heads: int,
                      shift: int = 0, ws: int = 8, block_windows: int = 32,
-                     interpret: bool = False, pair: bool = False):
+                     interpret: bool = False, pair: bool = False,
+                     fast_softmax: bool = True):
     """Run one full Swin block over window-partitioned tokens.
 
     Args:
@@ -197,6 +203,9 @@ def fused_swin_block(x, params, bias, flags, *, num_heads: int,
       pair: fold two consecutive windows per attention row block (M=128
         MXU matmuls + 128-lane softmax; see _block_body). Requires BW
         even; same math, cross-window terms masked to exactly 0.
+      fast_softmax: allow the no-max-subtract softmax on bf16; pass False
+        when the checkpoint's logit bound exceeds the clamp budget
+        (ops/logit_bound.py).
     Returns:
       (BW, N, C) in x.dtype.
     """
@@ -254,7 +263,8 @@ def fused_swin_block(x, params, bias, flags, *, num_heads: int,
     )
     out = pl.pallas_call(
         functools.partial(_kernel, ws=ws, shift=shift, wb=wb,
-                          nh=num_heads, hd=hd, pair=pair),
+                          nh=num_heads, hd=hd, pair=pair,
+                          fast_softmax=fast_softmax),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows + pad, Nt, C), x.dtype),
         interpret=interpret,

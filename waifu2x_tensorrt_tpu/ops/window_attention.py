@@ -70,7 +70,7 @@ def _mask_from_flags(flags, ws: int, shift: int):
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
-            wb, nh):
+            wb, nh, fast_softmax):
     # Mosaic's tpu.matmul supports at most ONE batch dim: fold (WB, nh)
     # into a single leading batch axis for both dots.
     N = ws * ws
@@ -108,7 +108,8 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
 
     # keep is applied multiplicatively after exp inside softmax_lastdim:
     # masked entries get weight exactly 0 even on the no-max fast path.
-    attn = _softmax(attn, exact=q.dtype != jnp.bfloat16, keep=keep)
+    attn = _softmax(
+        attn, exact=q.dtype != jnp.bfloat16 or not fast_softmax, keep=keep)
     out = jax.lax.dot_general(
         attn.reshape(wb * nh, N, N).astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -118,7 +119,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
 
 
 def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
-                hd):
+                hd, fast_softmax):
     """Packed-layout kernel: qkv (wb, N, 3C) in, attention out (wb, N, C).
 
     Consumes the Dense(3C) output directly — no (3, nh, hd) reshapes or
@@ -157,7 +158,9 @@ def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
             preferred_element_type=jnp.float32,
         )  # (wb, N, N)
         attn = attn + bias_ref[h][None].astype(jnp.float32)
-        attn = _softmax(attn, exact=qkv.dtype != jnp.bfloat16, keep=keep)
+        attn = _softmax(
+            attn, exact=qkv.dtype != jnp.bfloat16 or not fast_softmax,
+            keep=keep)
         outs.append(jax.lax.dot_general(
             attn.astype(v.dtype), v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -167,11 +170,13 @@ def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "ws", "num_heads",
-                                             "block_windows", "interpret"))
+                                             "block_windows", "interpret",
+                                             "fast_softmax"))
 def fused_window_attention_qkv(qkv, bias, flags, *, num_heads: int,
                                shift: int = 0, ws: int = 8,
                                block_windows: int = 32,
-                               interpret: bool = False):
+                               interpret: bool = False,
+                               fast_softmax: bool = True):
     """Pallas window attention over the packed qkv layout.
 
     Args:
@@ -207,7 +212,7 @@ def fused_window_attention_qkv(qkv, bias, flags, *, num_heads: int,
     )
     out = pl.pallas_call(
         functools.partial(_kernel_qkv, ws=ws, shift=shift, wb=wb,
-                          nh=num_heads, hd=hd),
+                          nh=num_heads, hd=hd, fast_softmax=fast_softmax),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((BW + pad, N, C), qkv.dtype),
         interpret=interpret,
@@ -216,10 +221,11 @@ def fused_window_attention_qkv(qkv, bias, flags, *, num_heads: int,
 
 
 @functools.partial(jax.jit, static_argnames=("shift", "ws", "block_windows",
-                                             "interpret"))
+                                             "interpret", "fast_softmax"))
 def fused_window_attention(q, k, v, bias, flags, *, shift: int = 0,
                            ws: int = 8, block_windows: int = 32,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           fast_softmax: bool = True):
     """Pallas-fused window attention.
 
     Args:
@@ -260,7 +266,8 @@ def fused_window_attention(q, k, v, bias, flags, *, shift: int = 0,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, ws=ws, shift=shift, wb=wb, nh=nh),
+        functools.partial(_kernel, ws=ws, shift=shift, wb=wb, nh=nh,
+                          fast_softmax=fast_softmax),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
