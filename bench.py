@@ -39,7 +39,31 @@ import numpy as np
 
 _PROC_T0 = time.perf_counter()
 
-BASELINE_GPU_MPPS = 30.0  # engineering estimate, BENCH_NOTES.md
+BASELINE_GPU_MPPS = 30.0  # defended point estimate, BENCH_NOTES.md
+# Interval for the unmeasurable RTX-4090 TensorRT fp16 baseline
+# (BENCH_NOTES.md "GPU baseline: bounded, not cited"): lower edge = the
+# r2/r3 point estimate (0.6% sustained GPU MFU), upper edge = 3% MFU,
+# the top of the range public SwinIR-class TensorRT end-to-end tiled
+# renders land in once host pre/post + single-stream orchestration
+# (the reference's design, img2img_render.cpp:224-352) is included.
+BASELINE_GPU_INTERVAL_MPPS = (30.0, 150.0)
+GPU_PEAK_FP16_FLOPS = 165.2e12  # RTX 4090 dense fp16 tensor-core peak
+
+# TPU peak (bf16 matmul) by device_kind substring, FLOP/s.
+_TPU_PEAK_BF16 = {
+    "v5 lite": 197e12, "v5e": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v4": 275e12,
+    "v6 lite": 918e12, "v6e": 918e12, "trillium": 918e12,
+}
+
+
+def tpu_peak_bf16_flops() -> float | None:
+    kind = getattr(jax.devices()[0], "device_kind", "").lower()
+    for key, peak in _TPU_PEAK_BF16.items():
+        if key in kind:
+            return peak
+    return None
 
 
 def log(msg):
@@ -286,13 +310,55 @@ def main() -> None:
         "fps_tunnel_limited_full_fetch": round(1.0 / fetch_dt, 3),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
+        "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
         "tiles_per_frame": run.plan.tile_count,
         "chunk_sizes": run.chunk_sizes,
     }
 
+    # ---- MFU + bounded GPU baseline (VERDICT r3 item 1) ----------------
+    # FLOPs from XLA's own cost analysis of the dispatched model programs;
+    # TPU MFU = dispatched model FLOP/s over the chip's bf16 peak. The
+    # same FLOP/output-MP figure bounds the GPU side: a 4090 running the
+    # identical workload at an ASSUMED end-to-end MFU x sustains
+    # 165.2e12*x/(GF/outMP) MP/s, so the >=2x claim holds for every GPU
+    # MFU below measured_MPps / (2 * that rate) — reported here so the
+    # claim's sensitivity is a recorded artifact, not a footnote.
+    try:
+        out_mp = frame_hw[0] * scale * frame_hw[1] * scale / 1e6
+        flops_frame = run.pipeline.flops_per_frame(run.params, frame_hw)
+        gf_per_mp = flops_frame / 1e9 / out_mp
+        aux["model_gflop_per_frame"] = round(flops_frame / 1e9, 2)
+        aux["model_gflop_per_output_mp"] = round(gf_per_mp, 2)
+        peak = tpu_peak_bf16_flops()
+        if peak:
+            aux["tpu_mfu_pct"] = round(
+                100.0 * flops_frame * fps / peak, 2)
+            aux["tpu_peak_bf16_tflops"] = round(peak / 1e12, 0)
+        gpu_mpps_at = lambda mfu: GPU_PEAK_FP16_FLOPS * mfu / (gf_per_mp * 1e9)  # noqa: E731
+        aux["gpu_baseline"] = {
+            "interval_MPps": list(BASELINE_GPU_INTERVAL_MPPS),
+            "point_MPps": BASELINE_GPU_MPPS,
+            "gpu_MPps_at_mfu_pct": {
+                f"{m:g}%": round(gpu_mpps_at(m / 100), 1)
+                for m in (0.6, 1, 3, 5, 10)},
+            "2x_claim_holds_below_gpu_mfu_pct": round(
+                100.0 * mpps * gf_per_mp * 1e9
+                / (2.0 * GPU_PEAK_FP16_FLOPS), 2),
+        }
+    except Exception as e:  # cost analysis is diagnostic, never fatal
+        aux["mfu_error"] = f"{type(e).__name__}: {e}"
+    flush_keys = ("model_gflop_per_output_mp", "tpu_mfu_pct", "gpu_baseline")
+    log(f"[bench] mfu/baseline: "
+        f"{ {k: aux.get(k) for k in flush_keys} }")
+
     # ---- BASELINE.md config-exact rows (VERDICT round 1, item 10) ------
+    # Ordered so every row fits the budget (VERDICT r3 item 1: zero
+    # "skipped (budget)" rows): program-sharing rows first, the expensive
+    # independent compiles later, graph serving last. The persistent XLA
+    # cache makes reruns compile-free; a cold run still lands the high-
+    # value rows (cunet + TTA) before any budget pressure.
     configs = {}
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     aux["baseline_configs"] = configs
 
     def flush_aux():
@@ -329,10 +395,177 @@ def main() -> None:
         flush_aux()
 
     if os.environ.get("BENCH_CONFIGS", "1") != "0":
+        img_hw = (512, 512)
+        img512 = make_frame(img_hw, seed=1)
+
+        def row(name, fn):
+            if over_budget(name):
+                return
+            try:
+                configs[name] = fn()
+            except Exception as e:
+                configs[name] = f"failed: {type(e).__name__}"
+            log(f"[bench] {name}: {configs[name]}")
+            flush_aux()
+
+        def reuse(base):
+            """Second frame geometry over an already-built pipeline: the
+            expensive model program is shared, only prepare/finalize
+            (data movement) compile for the new frame size."""
+            def r(frame_dev):
+                return base.pipeline.render(base.params, frame_dev)
+
+            r.pipeline, r.params = base.pipeline, base.params
+            return r
+
+        # config 6: image-DIRECTORY workload -- 512x512 stills on the
+        # HEADLINE model program (swin_unet/art 4x t256 b16 bf16); only
+        # the 512px prepare/finalize compile. 9 tiles/image vs 16-tile
+        # chunks: per-image renders pad the boundary dispatch (what the
+        # reference always does, img2img_render.cpp:281); cross-file
+        # streaming (cli._ImageStreamBatcher over TileStream) keeps every
+        # dispatch full-batch across images.
+        def config6():
+            run6 = reuse(run)
+            force(run6(img512))
+            v_per, f_per = measure(run6, img512, 4, img_hw, iters=8)
+            v_str, f_str = measure_stream(run6, img512, 4, img_hw,
+                                          iters=12, warm=4)
+            plan6 = run.pipeline.get(img_hw)[2]
+            return {
+                "per_image_MPps": round(v_per, 1),
+                "streamed_MPps": round(v_str, 1),
+                "images_per_s_streamed": round(f_str, 2),
+                "stream_speedup": round(v_str / v_per, 2),
+                "tiles_per_image": plan6.tile_count,
+            }
+        row("config6_image_dir_512", config6)
+
+        # config 1: cunet/art 2x noise 1, 512x512 input, tile 256,
+        # batch 1. (BASELINE.md says fp32 CPU; under the driver this
+        # process owns the TPU platform, so the row is measured on-device
+        # at fp32 and labeled as such.)
+        def config1():
+            cfg1 = RenderConfig(
+                precision=Precision.TF32, batch_size=1, height=256,
+                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
+            run1 = make_pipeline("cunet/art", 2, 1, cfg1, img_hw,
+                                 fused_block=False)
+            force(run1(img512))
+            v, f = measure(run1, img512, 2, img_hw, iters=4)
+            return {"MPps": round(v, 1), "fps": round(f, 2),
+                    "device": str(jax.devices()[0])}
+        row("config1_cunet2x_512_fp32", config1)
+
+        # config 1b: cunet bf16 (VERDICT r2 item 8) -- same geometry,
+        # batch 4; records the bf16 speedup next to the fp32 row.
+        def config1b():
+            cfg1b = RenderConfig(
+                precision=Precision.FP16, batch_size=4, height=256,
+                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
+            run1b = make_pipeline("cunet/art", 2, 1, cfg1b, img_hw,
+                                  fused_block=False)
+            force(run1b(img512))
+            v, f = measure(run1b, img512, 2, img_hw, iters=4)
+            return {"MPps": round(v, 1), "fps": round(f, 2)}
+        row("config1b_cunet2x_512_bf16", config1b)
+
+        # config 1c: cunet BEST levers (VERDICT r3 item 2) -- whole-frame
+        # tile (one tile covers the 512px frame incl. the offset-36
+        # context; no overlap redundancy), bf16, batch-4 streaming (4
+        # frames per full-batch dispatch). 2.3x the r2 config1 number.
+        def config1c():
+            cfg1c = RenderConfig(
+                precision=Precision.FP16, batch_size=4, height=0,
+                width=0, scaling=2, overlap=(1 / 16, 1 / 16))
+            run1c = make_pipeline("cunet/art", 2, 1, cfg1c, img_hw,
+                                  fused_block=False)
+            force(run1c(img512))
+            v, f = measure_stream(run1c, img512, 2, img_hw, iters=8,
+                                  warm=4)
+            return {"MPps": round(v, 1), "fps": round(f, 2),
+                    "mode": "whole-frame tile, bf16, streamed b4"}
+        row("config1c_cunet2x_512_bf16_best", config1c)
+
+        # config 3: swin_unet/art_scan 4x with 8-way TTA, batch 8 (the
+        # BASELINE-pinned batch), 512x512 stills. tileSize is free in
+        # BASELINE.md; 128 measured fastest for the 8x-dihedral stream
+        # (r4 probe: t128 > t256 by ~1.5x -- smaller tiles cut the
+        # overlap redundancy that TTA multiplies 8x).
+        def config3():
+            cfg3 = RenderConfig(
+                precision=Precision.FP16, batch_size=8, height=128,
+                width=128, scaling=4, overlap=(1 / 16, 1 / 16), tta=True)
+            run3 = make_pipeline("swin_unet/art_scan", 4, 3, cfg3, img_hw,
+                                 fused_block=True)
+            force(run3(img512))
+            v, f = measure_stream(run3, img512, 4, img_hw, iters=8,
+                                  warm=4)
+            return {"MPps": round(v, 1), "fps": round(f, 2),
+                    "mode": "tile 128, streamed (cross-image)"}
+        row("config3_artscan4x_tta_512", config3)
+
+        # config 4: swin_unet/photo 2x on 720p frames (video-rate proxy;
+        # the encode/decode pipes run in other processes by design).
+        # batch 16 shares the model program with config 5b.
+        def config4():
+            cfg4 = RenderConfig(
+                precision=Precision.FP16, batch_size=16, height=256,
+                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
+            run4 = make_pipeline("swin_unet/photo", 2, -1, cfg4, frame_hw,
+                                 fused_block=True)
+            force(run4(frame))
+            v, f = measure_stream(run4, frame, 2, frame_hw, iters=12,
+                                  warm=4)
+            config4.run = run4
+            return {"MPps": round(v, 1), "fps_720p_to_1440p": round(f, 2),
+                    "mode": "streamed, batch 16"}
+        row("config4_photo2x_720p_video", config4)
+
+        # config 5: max-throughput -- tile 640, 4K (2160x3840) frames,
+        # swin_unet/photo 2x; plus the measured-best 4K row (tile 256
+        # streamed -- reuses config 4's model program) so the t640 gap
+        # is recorded next to its remedy (VERDICT r3 item 8).
+        hw4k = (2160, 3840)
+
+        def config5():
+            cfg5 = RenderConfig(
+                precision=Precision.FP16, batch_size=4, height=640,
+                width=640, scaling=2, overlap=(1 / 16, 1 / 16))
+            frame4k = make_frame(hw4k, seed=2)
+            run5 = make_pipeline("swin_unet/photo", 2, -1, cfg5, hw4k,
+                                 fused_block=True)
+            force(run5(frame4k))
+            v, f = measure(run5, frame4k, 2, hw4k, iters=3)
+            config5.frame4k = frame4k
+            return {"MPps": round(v, 1), "fps_4k_to_8k_equiv": round(f, 2),
+                    "tiles": run5.plan.tile_count}
+        row("config5_4k_tile640_photo2x", config5)
+
+        def config5b():
+            frame4k = getattr(config5, "frame4k", None)
+            if frame4k is None:
+                frame4k = make_frame(hw4k, seed=2)
+            base = getattr(config4, "run", None)
+            if base is not None:
+                run5b = reuse(base)
+            else:
+                cfg5b = RenderConfig(
+                    precision=Precision.FP16, batch_size=16, height=256,
+                    width=256, scaling=2, overlap=(1 / 16, 1 / 16))
+                run5b = make_pipeline("swin_unet/photo", 2, -1, cfg5b,
+                                      hw4k, fused_block=True)
+            force(run5b(frame4k))
+            v, f = measure_stream(run5b, frame4k, 2, hw4k, iters=6,
+                                  warm=2)
+            plan5b = run5b.pipeline.get(hw4k)[2]
+            return {"MPps": round(v, 1), "fps": round(f, 2),
+                    "tiles": plan5b.tile_count}
+        row("config5b_4k_tile256_photo2x_streamed", config5b)
+
         # config 2: swin_unet/art 4x noise 3, tile 256, BATCH 4, bf16,
-        # blend 1/16 (headline uses batch 8; this is the doc-exact row).
-        if not over_budget("config2_swin4x_b4_720p"):
-          try:
+        # blend 1/16 (headline uses batch 16; this is the doc-exact row).
+        def config2():
             cfg2 = RenderConfig(
                 precision=Precision.FP16, batch_size=4, height=256,
                 width=256, scaling=4, overlap=(1 / 16, 1 / 16))
@@ -340,191 +573,17 @@ def main() -> None:
                                  fused_block=True)
             force(run2(frame))
             v, f = measure(run2, frame, 4, frame_hw, iters=4)
-            configs["config2_swin4x_b4_720p"] = {
-                "MPps": round(v, 1), "fps": round(f, 2)}
-            log(f"[bench] config2_swin4x_b4_720p: {configs['config2_swin4x_b4_720p']}")
-            flush_aux()
-          except Exception as e:
-            configs["config2_swin4x_b4_720p"] = f"failed: {type(e).__name__}"
-            log(f"[bench] config2_swin4x_b4_720p: {configs['config2_swin4x_b4_720p']}")
-            flush_aux()
-        # config 1: cunet/art 2x noise 1, 512x512 input, tile 256, batch 1.
-        # (BASELINE.md says fp32 CPU; under the driver this process owns
-        # the TPU platform, so the row is measured on-device at fp32 and
-        # labeled as such.)
-        if not over_budget("config1_cunet2x_512_fp32"):
-          try:
-            cfg1 = RenderConfig(
-                precision=Precision.TF32, batch_size=1, height=256,
-                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
-            img_hw = (512, 512)
-            img = jax.device_put(jnp.asarray(
-                rng.integers(0, 256, (*img_hw, 3), np.uint8)))
-            run1 = make_pipeline("cunet/art", 2, 1, cfg1, img_hw,
-                                 fused_block=False, packed=False)
-            force(run1(img))
-            v, f = measure(run1, img, 2, img_hw, iters=4)
-            configs["config1_cunet2x_512_fp32"] = {
-                "MPps": round(v, 1), "fps": round(f, 2),
-                "device": str(jax.devices()[0])}
-            log(f"[bench] config1_cunet2x_512_fp32: {configs['config1_cunet2x_512_fp32']}")
-            flush_aux()
-          except Exception as e:
-            configs["config1_cunet2x_512_fp32"] = f"failed: {type(e).__name__}"
-            log(f"[bench] config1_cunet2x_512_fp32: {configs['config1_cunet2x_512_fp32']}")
-            flush_aux()
-        # config 1b: cunet bf16 (VERDICT r2 item 8) — same geometry as
-        # config 1; records the bf16 speedup next to the fp32 row.
-        if not over_budget("config1b_cunet2x_512_bf16"):
-          try:
-            cfg1b = RenderConfig(
-                precision=Precision.FP16, batch_size=4, height=256,
-                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
-            img_hw = (512, 512)
-            img = jax.device_put(jnp.asarray(
-                rng.integers(0, 256, (*img_hw, 3), np.uint8)))
-            run1b = make_pipeline("cunet/art", 2, 1, cfg1b, img_hw,
-                                  fused_block=False, packed=False)
-            force(run1b(img))
-            v, f = measure(run1b, img, 2, img_hw, iters=4)
-            configs["config1b_cunet2x_512_bf16"] = {
-                "MPps": round(v, 1), "fps": round(f, 2)}
-            log(f"[bench] config1b_cunet2x_512_bf16: "
-                f"{configs['config1b_cunet2x_512_bf16']}")
-            flush_aux()
-          except Exception as e:
-            configs["config1b_cunet2x_512_bf16"] = f"failed: {type(e).__name__}"
-            log(f"[bench] config1b_cunet2x_512_bf16: "
-                f"{configs['config1b_cunet2x_512_bf16']}")
-            flush_aux()
-        # config 3: swin_unet/art_scan 4x with 8-way TTA, batch 8, 512x512.
-        if not over_budget("config3_artscan4x_tta_512"):
-          try:
-            cfg3 = RenderConfig(
-                precision=Precision.FP16, batch_size=8, height=256,
-                width=256, scaling=4, overlap=(1 / 16, 1 / 16), tta=True)
-            img_hw = (512, 512)
-            img = jax.device_put(jnp.asarray(
-                rng.integers(0, 256, (*img_hw, 3), np.uint8)))
-            run3 = make_pipeline("swin_unet/art_scan", 4, 3, cfg3, img_hw,
-                                 fused_block=True)
-            force(run3(img))
-            v, f = measure(run3, img, 4, img_hw, iters=2)
-            configs["config3_artscan4x_tta_512"] = {
-                "MPps": round(v, 1), "fps": round(f, 2)}
-            log(f"[bench] config3_artscan4x_tta_512: {configs['config3_artscan4x_tta_512']}")
-            flush_aux()
-          except Exception as e:
-            configs["config3_artscan4x_tta_512"] = f"failed: {type(e).__name__}"
-            log(f"[bench] config3_artscan4x_tta_512: {configs['config3_artscan4x_tta_512']}")
-            flush_aux()
-        # config 4: swin_unet/photo 2x on 720p frames (video-rate proxy;
-        # the encode/decode pipes run in other processes by design).
-        if not over_budget("config4_photo2x_720p_video"):
-          try:
-            cfg4 = RenderConfig(
-                precision=Precision.FP16, batch_size=8, height=256,
-                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
-            run4 = make_pipeline("swin_unet/photo", 2, -1, cfg4, frame_hw,
-                                 fused_block=True)
-            force(run4(frame))
-            # video workloads render through the streaming loop (cli.py)
-            v, f = measure_stream(run4, frame, 2, frame_hw, iters=12)
-            configs["config4_photo2x_720p_video"] = {
-                "MPps": round(v, 1), "fps_720p_to_1440p": round(f, 2),
-                "mode": "streamed"}
-            log(f"[bench] config4_photo2x_720p_video: {configs['config4_photo2x_720p_video']}")
-            flush_aux()
-          except Exception as e:
-            configs["config4_photo2x_720p_video"] = f"failed: {type(e).__name__}"
-            log(f"[bench] config4_photo2x_720p_video: {configs['config4_photo2x_720p_video']}")
-            flush_aux()
-        # config 5: max-throughput — tile 640, 4K (2160x3840) frames,
-        # swin_unet/photo 2x. (BASELINE.md lists this with multi-chip
-        # data-parallel streaming; single-chip rate reported here, the dp
-        # path is exercised by tests + dryrun_multichip.)
-        if not over_budget("config5_4k_tile640_photo2x"):
-          try:
-            cfg5 = RenderConfig(
-                precision=Precision.FP16, batch_size=4, height=640,
-                width=640, scaling=2, overlap=(1 / 16, 1 / 16))
-            hw4k = (2160, 3840)
-            frame4k = jax.device_put(jnp.asarray(
-                rng.integers(0, 256, (*hw4k, 3), np.uint8)))
-            run5 = make_pipeline("swin_unet/photo", 2, -1, cfg5, hw4k,
-                                 fused_block=True)
-            force(run5(frame4k))
-            v, f = measure(run5, frame4k, 2, hw4k, iters=3)
-            configs["config5_4k_tile640_photo2x"] = {
-                "MPps": round(v, 1), "fps_4k_to_8k_equiv": round(f, 2),
-                "tiles": run5.plan.tile_count}
-            log(f"[bench] config5_4k_tile640_photo2x: "
-                f"{configs['config5_4k_tile640_photo2x']}")
-            flush_aux()
-            # best-config 4K row: tile 256 (the t640 model shapes hit the
-            # same large-W layout penalty as strip tiles, BENCH_NOTES.md)
-            # = 144 tiles -> 9 exact batch-16 chunks, streamed.
-            cfg5b = RenderConfig(
-                precision=Precision.FP16, batch_size=16, height=256,
-                width=256, scaling=2, overlap=(1 / 16, 1 / 16))
-            run5b = make_pipeline("swin_unet/photo", 2, -1, cfg5b, hw4k,
-                                  fused_block=True)
-            force(run5b(frame4k))
-            v5b, f5b = measure_stream(run5b, frame4k, 2, hw4k, iters=6,
-                                      warm=2)
-            configs["config5b_4k_tile256_photo2x_streamed"] = {
-                "MPps": round(v5b, 1), "fps": round(f5b, 2),
-                "tiles": run5b.plan.tile_count}
-            log(f"[bench] config5b_4k_tile256_photo2x_streamed: "
-                f"{configs['config5b_4k_tile256_photo2x_streamed']}")
-            flush_aux()
-          except Exception as e:
-            configs["config5_4k_tile640_photo2x"] = f"failed: {type(e).__name__}"
-            log(f"[bench] config5_4k_tile640_photo2x: "
-                f"{configs['config5_4k_tile640_photo2x']}")
-            flush_aux()
-        # config 6: image-DIRECTORY workload — 512x512 stills, headline
-        # model/geometry (swin_unet/art 4x, tile 256, batch 16, bf16).
-        # 9 tiles/image vs a 16-tile batch: per-image renders zero-pad 7
-        # slots of every boundary dispatch (what the reference always
-        # does, img2img_render.cpp:281); cross-file streaming
-        # (cli._ImageStreamBatcher over TileStream) keeps dispatches
-        # full-batch across images. Reuses the already-compiled headline
-        # model program (same tile/batch/dtype).
-        if not over_budget("config6_image_dir_512"):
-          try:
-            img_hw = (512, 512)
-            img = jax.device_put(jnp.asarray(
-                rng.integers(0, 256, (*img_hw, 3), np.uint8)))
-            run6 = make_pipeline("swin_unet/art", 4, 3, config, img_hw,
-                                 fused_block=True)
-            force(run6(img))
-            v_per, f_per = measure(run6, img, 4, img_hw, iters=8)
-            v_str, f_str = measure_stream(run6, img, 4, img_hw, iters=12)
-            configs["config6_image_dir_512"] = {
-                "per_image_MPps": round(v_per, 1),
-                "streamed_MPps": round(v_str, 1),
-                "images_per_s_streamed": round(f_str, 2),
-                "stream_speedup": round(v_str / v_per, 2),
-                "tiles_per_image": run6.plan.tile_count,
-            }
-            log(f"[bench] config6_image_dir_512: "
-                f"{configs['config6_image_dir_512']}")
-            flush_aux()
-          except Exception as e:
-            configs["config6_image_dir_512"] = f"failed: {type(e).__name__}"
-            log(f"[bench] config6_image_dir_512: "
-                f"{configs['config6_image_dir_512']}")
-            flush_aux()
-        # config 7: graph-backed serving — a bare full-size .onnx export
+            return {"MPps": round(v, 1), "fps": round(f, 2)}
+        row("config2_swin4x_b4_720p", config2)
+
+        # config 7: graph-backed serving -- a bare full-size .onnx export
         # (no converted .npz) served through the parsed-graph backend at
         # bf16 (--precision fp16 semantics; onnx_backend.GraphModule).
         # The reference's hand-any-ONNX workflow (img2img_build.cpp:88)
         # measured on its own terms. LAST row: the batch-vmapped 1500-op
         # graph compile is ~55 s warm-cache but up to tens of minutes on
         # a cold remote compile.
-        if not over_budget("config7_graph_serving_bf16"):
-          try:
+        def config7():
             import dataclasses as _dc
             import pathlib
             import tempfile
@@ -532,7 +591,10 @@ def main() -> None:
             from waifu2x_tensorrt_tpu.engine.renderer import (
                 ChunkedPipeline as _CP,
             )
-            from waifu2x_tensorrt_tpu.models.convert import swin_mapping
+            from waifu2x_tensorrt_tpu.models.convert import (
+                state_from_flax,
+                swin_mapping,
+            )
             from waifu2x_tensorrt_tpu.models.onnx_backend import (
                 load_graph_model,
             )
@@ -545,13 +607,13 @@ def main() -> None:
                 init_params_host,
             )
             from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
-            from waifu2x_tensorrt_tpu.models.convert import state_from_flax
 
             depths = (2, 2, 6, 2, 2)
             mod7 = SwinUNet(scale=4, base_dim=96, depths=depths,
                             dtype=jnp.float32)
-            # fresh host init (NOT _PARAMS_CACHE: those are device arrays;
-            # flattening would fetch hundreds of leaves through the tunnel)
+            # fresh host init (NOT _PARAMS_CACHE: those are device
+            # arrays; flattening would fetch hundreds of leaves through
+            # the tunnel)
             flat7 = {k: np.asarray(v) for k, v in _flatten(
                 init_params_host(mod7, tile=32)).items()}
             state7 = state_from_flax(flat7, swin_mapping(4, depths))
@@ -575,20 +637,10 @@ def main() -> None:
             log(f"[bench] graph-backed pipeline ready in "
                 f"{time.perf_counter() - t0:.1f}s")
             v7, f7 = measure(run7, frame, 4, frame_hw, iters=6)
-            configs["config7_graph_serving_bf16"] = {
-                "MPps": round(v7, 1), "fps": round(f7, 2),
-                "artifact_MB": round(art7.stat().st_size / 1e6, 1),
-                "mode": "bare .onnx, bf16 + fp32 islands",
-            }
-            log(f"[bench] config7_graph_serving_bf16: "
-                f"{configs['config7_graph_serving_bf16']}")
-            flush_aux()
-          except Exception as e:
-            configs["config7_graph_serving_bf16"] = (
-                f"failed: {type(e).__name__}")
-            log(f"[bench] config7_graph_serving_bf16: "
-                f"{configs['config7_graph_serving_bf16']}")
-            flush_aux()
+            return {"MPps": round(v7, 1), "fps": round(f7, 2),
+                    "artifact_MB": round(art7.stat().st_size / 1e6, 1),
+                    "mode": "bare .onnx, bf16 + fp32 islands"}
+        row("config7_graph_serving_bf16", config7)
 
     log(json.dumps({"aux": aux}))
     flush_aux()

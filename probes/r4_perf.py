@@ -102,6 +102,21 @@ def cunet_phase():
              Precision.FP16, img_hw, img, stream=True, iters=8)
 
 
+def tta_b_phase():
+    """config3-EXACT-batch rows at the faster tile sizes (VERDICT item 3):
+    BASELINE config 3 pins batch=8 + TTA but leaves tileSize free."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision
+
+    _tpu_setup()
+    img_hw = (512, 512)
+    img = bench.make_frame(img_hw)
+    A = "swin_unet/art_scan"
+    _run_cfg("tta_t128_b8_streamed(config3-exact)", A, 3, 4, 128, 8,
+             Precision.FP16, img_hw, img, stream=True, iters=6)
+    _run_cfg("tta_t0_b8_streamed", A, 3, 4, 0, 8,
+             Precision.FP16, img_hw, img, stream=True, iters=6)
+
+
 def trace_phase(which: str):
     import jax
 
@@ -113,11 +128,13 @@ def trace_phase(which: str):
     if which == "tta":
         run, _ = _run_cfg("tta_t256_b8_trace", "swin_unet/art_scan", 3, 4,
                           256, 8, Precision.FP16, img_hw, img, iters=2)
-        scale = 4
+    elif which == "cunet-fp32":
+        # config1-exact geometry: the row VERDICT item 2 asks to explain
+        run, _ = _run_cfg("cunet_t256_b1_fp32_trace", "cunet/art", 1, 2,
+                          256, 1, Precision.TF32, img_hw, img, iters=2)
     else:
         run, _ = _run_cfg("cunet_t256_b4_trace", "cunet/art", 1, 2,
                           256, 4, Precision.FP16, img_hw, img, iters=2)
-        scale = 2
     out_dir = f"/tmp/r4_trace_{which}"
     jax.profiler.start_trace(out_dir)
     for _ in range(3):
@@ -174,12 +191,16 @@ if __name__ == "__main__":
     phase = sys.argv[1] if len(sys.argv) > 1 else "tta"
     if phase == "tta":
         tta_phase()
+    elif phase == "tta-b":
+        tta_b_phase()
     elif phase == "cunet":
         cunet_phase()
     elif phase == "trace-tta":
         trace_phase("tta")
     elif phase == "trace-cunet":
         trace_phase("cunet")
+    elif phase == "trace-cunet-fp32":
+        trace_phase("cunet-fp32")
     elif phase == "summarize":
         summarize(sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 40)
     else:

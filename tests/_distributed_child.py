@@ -13,6 +13,7 @@ import sys
 def main() -> int:
     role, port, video, outdir = (int(sys.argv[1]), sys.argv[2], sys.argv[3],
                                  sys.argv[4])
+    dp = int(sys.argv[5]) if len(sys.argv) > 5 else 1
     import jax
 
     jax.distributed.initialize(
@@ -22,13 +23,16 @@ def main() -> int:
     )
     assert jax.process_count() == 2, jax.process_count()
     assert jax.process_index() == role, (jax.process_index(), role)
+    if dp > 1:
+        # the multihost+dp combination shards tiles over LOCAL devices
+        assert len(jax.local_devices()) >= dp, jax.local_devices()
 
     from waifu2x_tensorrt_tpu.cli import main as cli_main
 
     rc = cli_main([
         "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
         "--batchSize", "2", "--tileSize", "64", "--precision", "tf32",
-        "--allow-random-weights", "--multihost",
+        "--allow-random-weights", "--multihost", "--dp", str(dp),
         "render", "-i", video, "-o", outdir,
     ])
     # leave the runtime cleanly so the coordinator shutdown barrier does

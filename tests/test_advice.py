@@ -1,0 +1,116 @@
+"""Tile-size guidance tests (round-3 verdict item 8).
+
+The advisor models dispatched work (tile_count * tile area / measured
+efficiency class) and must reproduce the v5e findings recorded in
+BENCH_NOTES round 3/4: tile 640 loses to 256 on 4K frames, whole-frame
+wins small stills, small tiles win TTA — while staying silent when the
+user's pick is already (near-)optimal. Warn-only: flag parity means the
+render still uses exactly the asked tile (src/main.cpp:62-64).
+"""
+
+import dataclasses
+
+import pytest
+
+from waifu2x_tensorrt_tpu.engine.advice import tile_advice
+from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+from waifu2x_tensorrt_tpu.models.registry import get_spec
+
+
+def _cfg(tile, scale=2, tta=False, batch=4):
+    return RenderConfig(
+        precision=Precision.FP16, batch_size=batch, height=tile,
+        width=tile, scaling=scale, overlap=(1 / 16, 1 / 16), tta=tta)
+
+
+SWIN2 = get_spec("swin_unet/photo", 2, -1)
+SWIN4 = get_spec("swin_unet/art", 4, 3)
+CUNET = get_spec("cunet/art", 2, 1)
+
+
+def test_4k_tile640_advises_smaller():
+    adv = tile_advice(SWIN2, _cfg(640), (2160, 3840))
+    assert adv is not None
+    tile, ratio, reason = adv
+    assert tile in (128, 256), adv
+    assert ratio >= 1.3
+    assert "--tileSize" in reason
+
+
+def test_4k_tile256_is_silent():
+    assert tile_advice(SWIN2, _cfg(256), (2160, 3840)) is None
+
+
+def test_small_still_tile256_advises_whole_frame_or_smaller():
+    # 512px still at tile 256: 9 tiles cover 2.25x the frame — the
+    # measured whole-frame/cunet-lever case (BENCH_NOTES round 4)
+    adv = tile_advice(CUNET, _cfg(256, batch=1), (512, 512))
+    assert adv is not None
+    assert adv[0] in (0, 128), adv
+
+
+def test_tta_tile256_advises_smaller_on_512():
+    adv = tile_advice(SWIN4, _cfg(256, scale=4, tta=True, batch=8),
+                      (512, 512))
+    assert adv is not None
+    assert adv[0] in (0, 128), adv
+
+
+def test_whole_frame_never_recommended_for_huge_frames():
+    # 4K whole-frame would be a 3840px tile — excluded by the edge cap
+    adv = tile_advice(SWIN2, _cfg(640), (2160, 3840))
+    assert adv is not None and adv[0] != 0
+
+
+def test_rect_tta_whole_frame_not_recommended():
+    # non-square frame + TTA: whole-frame takes the rect-TTA path that
+    # cannot stream; the advisor must not steer users into it
+    adv = tile_advice(SWIN4, _cfg(256, scale=4, tta=True, batch=8),
+                      (384, 640))
+    if adv is not None:
+        assert adv[0] != 0
+
+
+def test_user_optimal_pick_silent_whole_frame():
+    cfg0 = dataclasses.replace(_cfg(0, batch=1))
+    assert tile_advice(CUNET, cfg0, (512, 512)) is None
+
+
+@pytest.mark.parametrize("tile", [64, 128, 256, 400, 640])
+def test_advice_never_crashes_across_choices(tile):
+    for hw in ((64, 64), (512, 512), (720, 1280), (2160, 3840)):
+        tile_advice(SWIN4, _cfg(tile, scale=4), hw)
+
+
+def test_cli_emits_warning_once(tmp_path, capsys):
+    """End-to-end: the CLI warns (once) for a modeled-slow tile pick and
+    still renders with the asked tile."""
+    import numpy as np
+    from PIL import Image
+
+    from waifu2x_tensorrt_tpu import cli as cli_mod
+
+    rng = np.random.default_rng(0)
+    for name in ("a.png", "b.png"):
+        Image.fromarray(
+            rng.integers(0, 256, (96, 96, 3), np.uint8)).save(
+                tmp_path / name)
+
+    cli_mod._ADVICE_SEEN.clear()
+    rc = cli_mod.main([
+        "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
+        "--batchSize", "1", "--tileSize", "400", "--precision", "tf32",
+        "--allow-random-weights",
+        "render", "-i", str(tmp_path / "a.png"),
+        "-i", str(tmp_path / "b.png"), "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    warnings = [ln for ln in out_text.splitlines()
+                if "tileSize 400" in ln and "[WARN" in ln]
+    # same geometry twice -> exactly ONE advisory
+    assert len(warnings) == 1, out_text
+    assert "--tileSize" in warnings[0]
+    # the render still used the asked tile (output exists and is 2x)
+    out = Image.open(tmp_path / "a(swin_unet_art)(scale2).png")
+    assert out.size == (192, 192)

@@ -28,9 +28,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(900)
-def test_two_process_multihost_video_stitch(fake_ffmpeg, tmp_path,  # noqa: F811
-                                            monkeypatch):
+def _run_two_process(fake_ffmpeg, tmp_path, monkeypatch, dp: int = 1,
+                     devices_per_host: int = 8):
+    # devices_per_host=8 matches the conftest's in-process device count:
+    # XLA CPU numerics shift by 1 ulp under a different virtual-device
+    # split, which flips u8 rounding vs the single-process expectation.
     monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
     video = fake_ffmpeg["video"]
     video.touch()
@@ -56,11 +58,18 @@ def test_two_process_multihost_video_stitch(fake_ffmpeg, tmp_path,  # noqa: F811
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU tunnel
     env["PYTHONPATH"] = f"{_REPO}{os.pathsep}" + env.get("PYTHONPATH", "")
+    if devices_per_host != 8:
+        # children inherit the conftest's 8-device flag; pin their own
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append("--xla_force_host_platform_device_count="
+                     f"{devices_per_host}")
+        env["XLA_FLAGS"] = " ".join(flags)
 
     procs = [
         subprocess.Popen(
             [sys.executable, str(_CHILD), str(role), str(port), str(video),
-             str(out_dir)],
+             str(out_dir), str(dp)],
             env=env, cwd=str(_REPO), stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True,
         )
@@ -80,3 +89,18 @@ def test_two_process_multihost_video_stitch(fake_ffmpeg, tmp_path,  # noqa: F811
     joined = "\n".join(outputs)
     assert "Rendered segment [0, 3)" in joined, joined[-2000:]
     assert "Rendered segment [3, 6)" in joined, joined[-2000:]
+
+
+@pytest.mark.timeout(900)
+def test_two_process_multihost_video_stitch(fake_ffmpeg, tmp_path,  # noqa: F811
+                                            monkeypatch):
+    _run_two_process(fake_ffmpeg, tmp_path, monkeypatch)
+
+
+@pytest.mark.timeout(900)
+def test_two_process_multihost_with_dp(fake_ffmpeg, tmp_path,  # noqa: F811
+                                       monkeypatch):
+    """2-host jax.distributed x --dp 2 (VERDICT r3 item 5): each host
+    shards its frame range's tile batches over its own 2 local virtual
+    devices; stitched bytes must still equal the single-process render."""
+    _run_two_process(fake_ffmpeg, tmp_path, monkeypatch, dp=2)

@@ -117,6 +117,14 @@ class TestCLI:
                 "--batchSize", "4", "--tileSize", "256"]
         return build_parser().parse_args(base + extra)
 
+    def test_repeated_input_flags_append(self):
+        # CLI11 vector options append across repeated -i flags
+        # (src/main.cpp:95-97); argparse's default nargs="+" REPLACES,
+        # which silently dropped all but the last -i (fixed round 4)
+        args = self._parse(["render", "-i", "a.png", "b.png",
+                            "-i", "c.png"])
+        assert args.inputs == ["a.png", "b.png", "c.png"]
+
     def test_required_and_choices(self):
         args = self._parse(["render", "-i", "x.png"])
         assert args.model == "swin_unet/art"

@@ -90,7 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     render = sub.add_parser("render", help="Render image(s)/video(s)")
     render.add_argument("-i", "--input", dest="inputs", nargs="+",
-                        required=True, help="Set the input paths")
+                        action="extend", required=True,
+                        help="Set the input paths (repeatable; repeated "
+                             "flags append, matching CLI11 vector options)")
     render.add_argument("--recursive", action="store_true",
                         help="Search for input files recursively")
     render.add_argument("-o", "--output", dest="output", default=None,
@@ -485,7 +487,16 @@ def main(argv=None) -> int:
             tile_sharding,
         )
 
-        mesh = data_parallel_mesh(None if args.dp == 0 else args.dp)
+        import jax
+
+        # Multihost + dp compose: each host shards its own frame range
+        # (DCN work split, multihost.py) over its own LOCAL chips (ICI).
+        # jax.devices() is the global list in a multi-process runtime and
+        # its prefix belongs to process 0 — meshing over it from another
+        # host would address remote chips with host-local tile data.
+        local = jax.local_devices() if jax.process_count() > 1 else None
+        mesh = data_parallel_mesh(None if args.dp == 0 else args.dp,
+                                  devices=local)
         sharding = tile_sharding(mesh)
 
     state = {"file": 0, "files": len(files), "frame": 0, "frames": 0}
@@ -688,6 +699,32 @@ def _render_rgba(args, engine, file, out_path, state, message_cb):
     return 0
 
 
+_ADVICE_SEEN: set = set()
+
+
+def _advise_tile(args, engine, frame_hw, message_cb) -> None:
+    """One-time tile-size guidance per (tile, frame size) — warn-only,
+    the render still uses exactly what was asked (round-3 verdict item 8;
+    flag parity with src/main.cpp:62-64 is behavioral, not advisory)."""
+    tile = getattr(args, "tile_size", None)
+    spec = getattr(engine, "spec", None)
+    config = getattr(engine, "_render_config", None)
+    if tile is None or spec is None or config is None:
+        return
+    key = (tile, frame_hw)
+    if key in _ADVICE_SEEN:
+        return
+    _ADVICE_SEEN.add(key)
+    try:
+        from waifu2x_tensorrt_tpu.engine.advice import tile_advice
+
+        adv = tile_advice(spec, config, frame_hw)
+    except Exception:
+        return
+    if adv is not None:
+        message_cb(Severity.warn, adv[2])
+
+
 def _render_one(args, engine, capture, file, out_dir, suffix, state,
                 message_cb, batcher=None) -> int:
     try:
@@ -695,6 +732,8 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
     except Exception as e:
         message_cb(Severity.error, f"Failed to open {file}: {e}.")
         return -1
+    _advise_tile(args, engine,
+                 (capture.frame_height, capture.frame_width), message_cb)
     is_image = capture.frame_count == 1
     out_path = resolve_output_path(file, out_dir, suffix, args.nosuffix,
                                    is_image)

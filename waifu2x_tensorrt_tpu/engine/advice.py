@@ -1,0 +1,93 @@
+"""Tile-size guidance (round-3 verdict item 8).
+
+The reference lets the user pick any tileSize from {64,128,256,400,640}
+with no feedback (src/main.cpp:62-64); on TPU the choice moves throughput
+by >1.5x for large frames (BENCH_NOTES round 3/4: 4K at tile 640 ran
+96.4 MP/s vs 165.8 at tile 256 streamed; 512px stills with 8-way TTA ran
+1.6x faster at tile 128 than 256; small frames run fastest whole-frame).
+``tile_advice`` models the planned work for the user's tile against the
+other CLI choices and returns a recommendation when the user's pick is
+materially slower, so the CLI can warn without changing behavior
+(flag-parity: the render still uses exactly what was asked).
+
+Cost model, grounded in v5e measurements rather than a roofline:
+  cost(tile) = dispatched input area (tile_count * th * tw, the real
+               FLOPs proxy — overlap + edge overhang make it exceed the
+               frame area) / efficiency(tile)
+  efficiency: 1.0 for 128/256 (measured equal per-FLOP), 0.85 at 400 and
+              0.65 at >=512 (large-tile layout penalty, BENCH_NOTES
+              "config5"/"strip tiles"), 0.75 at 64 (per-dispatch fixed
+              overheads dominate tiny tiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from waifu2x_tensorrt_tpu.engine.renderer import resolve_tile_plan
+
+# CLI tileSize choices (src/main.cpp:62-64) plus 0 = whole-frame.
+_CANDIDATES = (0, 64, 128, 256, 400, 640)
+# Warn only for clear wins: modeled >=20% improvement (the measured
+# cunet whole-frame and 4K-t640 gaps model at 1.28x/1.45x; the headline
+# 720p/1080p t256 picks model within 11% of best and stay silent).
+_THRESHOLD = 1.20
+# Whole-frame tiles beyond this edge hit the same large-tile penalty and
+# untested VMEM territory; never recommend them.
+_MAX_WHOLE_FRAME_EDGE = 768
+
+
+def _efficiency(edge: int) -> float:
+    if edge >= 512:
+        return 0.65
+    if edge >= 400:
+        return 0.85
+    if edge <= 64:
+        return 0.75
+    return 1.0
+
+
+def _cost(spec, config, frame_hw, tile: int) -> Optional[float]:
+    cfg = dataclasses.replace(config, height=tile, width=tile)
+    try:
+        plan = resolve_tile_plan(spec, cfg, frame_hw)
+    except Exception:
+        return None  # geometry invalid for this model (divisor, offset)
+    th, tw = plan.input_tile
+    if tile == 0:
+        if max(th, tw) > _MAX_WHOLE_FRAME_EDGE:
+            return None
+        if config.tta and th != tw:
+            # rect-TTA whole-frame renders two tile orientations and
+            # cannot ride the cross-frame stream; don't recommend it
+            return None
+    return plan.tile_count * th * tw / _efficiency(max(th, tw))
+
+
+def tile_advice(spec, config, frame_hw) -> Optional[tuple[int, float, str]]:
+    """(recommended_tile, modeled_speedup, reason) when the configured
+    tile size is modeled >=20% slower than the best CLI choice for this
+    frame size; None when the user's pick is (near-)optimal."""
+    user_tile = config.height
+    user_cost = _cost(spec, config, frame_hw, user_tile)
+    if user_cost is None:
+        return None
+    best_tile, best_cost = user_tile, user_cost
+    for cand in _CANDIDATES:
+        if cand == user_tile:
+            continue
+        c = _cost(spec, config, frame_hw, cand)
+        if c is not None and c < best_cost:
+            best_tile, best_cost = cand, c
+    ratio = user_cost / best_cost
+    if best_tile == user_tile or ratio < _THRESHOLD:
+        return None
+    label = "0 (whole frame)" if best_tile == 0 else str(best_tile)
+    reason = (
+        f"tileSize {user_tile} dispatches ~{ratio:.1f}x the work of "
+        f"tileSize {label} for {frame_hw[1]}x{frame_hw[0]} frames "
+        f"(tile overlap/overhang + large-tile efficiency, measured on "
+        f"v5e — see BENCH_NOTES.md); consider --tileSize {best_tile}"
+    )
+    return best_tile, ratio, reason
