@@ -324,8 +324,23 @@ def main() -> None:
     # MFU below measured_MPps / (2 * that rate) — reported here so the
     # claim's sensitivity is a recorded artifact, not a footnote.
     try:
+        from waifu2x_tensorrt_tpu.engine.renderer import (
+            ChunkedPipeline as _CPd,
+        )
+        from waifu2x_tensorrt_tpu.models.registry import create_model
+
         out_mp = frame_hw[0] * scale * frame_hw[1] * scale / 1e6
-        flops_frame = run.pipeline.flops_per_frame(run.params, frame_hw)
+        # Count FLOPs on a DENSE-math twin: the shipped model wraps whole
+        # transformer blocks in Pallas custom calls, which XLA's cost
+        # analysis scores as 0 FLOPs (measured: 9.9 GF/outMP reported vs
+        # ~33 by hand). The dense twin is the same math, fully visible.
+        # lower() is host-side tracing only — no device compile.
+        mod_d, spec_d = create_model(
+            "swin_unet/art", scale, 3, dtype=config.precision.dtype,
+            use_pallas=False, fused_block=False)
+        pl_d = _CPd(mod_d, spec_d, config)
+        flops_frame = pl_d.flops_per_frame(run.params, frame_hw,
+                                           compile_fallback=False)
         gf_per_mp = flops_frame / 1e9 / out_mp
         aux["model_gflop_per_frame"] = round(flops_frame / 1e9, 2)
         aux["model_gflop_per_output_mp"] = round(gf_per_mp, 2)

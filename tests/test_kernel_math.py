@@ -42,7 +42,7 @@ def test_softmax_exact_matches_jax_nn():
 
 
 def test_softmax_fast_in_range_matches():
-    """Within the [-60, 75] clamp the no-max form is the same softmax."""
+    """Within the [-75, 75] clamp the no-max form is the same softmax."""
     x = np.random.default_rng(1).standard_normal((4, 64, 64)).astype(np.float32) * 10
     got = np.asarray(softmax_lastdim(jnp.asarray(x), exact=False))
     ref = np.asarray(jax.nn.softmax(jnp.asarray(x), axis=-1))
@@ -52,7 +52,7 @@ def test_softmax_fast_in_range_matches():
 
 def test_softmax_fast_shift_mask_still_masks():
     """The -1e9 cyclic-shift mask must still zero masked tokens through
-    the clamp (it lands at -60, ~1e-26 below any in-range logit)."""
+    the clamp (it lands at -75, far below any in-range logit)."""
     x = np.zeros((1, 8, 8), np.float32)
     x[0, :, 4:] = -1e9
     got = np.asarray(softmax_lastdim(jnp.asarray(x), exact=False))
@@ -63,7 +63,7 @@ def test_softmax_fast_shift_mask_still_masks():
 def test_softmax_keep_mask_zero_regardless_of_logit_range():
     """ADVICE r2 (medium): the multiplicative keep mask must give masked
     entries weight EXACTLY 0 even when every unmasked logit sits below
-    the fast path's -60 clamp (where an additive -1e9 mask would tie with
+    the fast path's -75 clamp (where an additive -1e9 mask would tie with
     the clamped logits and leak cross-window attention)."""
     x = np.full((2, 8, 8), -500.0, np.float32)  # all below the clamp
     keep = np.zeros((2, 8, 8), bool)

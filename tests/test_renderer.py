@@ -536,3 +536,35 @@ def test_packed_x_pipeline_matches_pixel():
     want2 = np.asarray(ChunkedPipeline(m_pix, spec, cfg2).render(
         params, frame))
     np.testing.assert_array_equal(got2, want2)
+
+
+def test_flops_per_frame_counts_model_chunks():
+    """ChunkedPipeline.flops_per_frame (bench MFU numerator) must sum the
+    dispatched chunk programs' XLA cost-analysis FLOPs: a 1-matmul model
+    has analytically known FLOPs, and the per-frame total scales with the
+    tile count, not the frame area."""
+
+    class OneDense(nn.Module):
+        scale: int = 2
+
+        @nn.compact
+        def __call__(self, x):
+            y = nn.Dense(3, use_bias=False)(x)  # (B,H,W,3)@(3,3)
+            return jnp.repeat(jnp.repeat(y, self.scale, 1), self.scale, 2)
+
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+
+    module = OneDense()
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 8, 8, 3)))["params"]
+    cfg = _cfg(16, 2, 2, blend=0.0)
+    pl = ChunkedPipeline(module, _spec(2), cfg)
+    # 32x48 frame, tile 16, no overlap -> 2x3 = 6 tiles, chunks [2,2,2]
+    fl = pl.flops_per_frame(params, (32, 48))
+    # dense (16*16 px/tile * 6 tiles) @ (3,3): 2*N*3*3 flops minimum;
+    # allow XLA to count the repeat/pad as ~0 but never less than the dot
+    n_px = 16 * 16 * 6
+    assert fl >= 2 * n_px * 3 * 3 * 0.99, fl
+    # doubling the tile count (same tile size) ~doubles the FLOPs
+    fl2 = pl.flops_per_frame(params, (32, 96))
+    assert fl2 == pytest.approx(2 * fl, rel=0.05), (fl, fl2)

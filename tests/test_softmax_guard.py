@@ -1,6 +1,6 @@
 """Per-checkpoint fast-softmax guard (VERDICT r3 item 4).
 
-The no-max-subtract bf16 softmax clamps logits to [-60, 75]; a checkpoint
+The no-max-subtract bf16 softmax clamps logits to [-75, 75] (round 4; was [-60, 75]); a checkpoint
 able to produce logits outside that window would be silently flattened.
 These tests prove three things:
 

@@ -8,6 +8,8 @@ decomposed GELU/LayerNorm where the opset demands it, torch initializer
 names, dynamic-batch Shape chains) that none of the repo's own writers
 emit."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -513,3 +515,84 @@ def test_fused_fallback_keeps_npz_arch_overrides(tmp_path):
     out = np.asarray(up.render(frame))
     assert out.shape == (80, 100, 3)
     assert any("falling back" in m for m in msgs), msgs
+
+
+@pytest.mark.parametrize("scale", [1, 2])
+def test_torch_export_flagship_other_scales(tmp_path, scale):
+    """Flagship-dimension (base_dim 96, depths 2/2/6/2/2 — upstream
+    nunif swin_unet) topology at the OTHER CLI-accepted swin scales:
+    1x (noise-only head, no pixel shuffle) and 2x. Round-3 verdict item
+    6: every (family, scale) the CLI accepts must clear the day-one
+    loop — derive, execute, positionally convert, verify — at release
+    dims, not just toy dims."""
+    import jax.numpy as jnp
+
+    from waifu2x_tensorrt_tpu.models.onnx_backend import (
+        verify_swin_conversion,
+    )
+    from waifu2x_tensorrt_tpu.models.swin_unet import SwinUNet
+
+    model, path = export_torch_swin(
+        tmp_path / f"flag{scale}x.onnx", scale=scale, base_dim=96,
+        depths=(2, 2, 6, 2, 2), tile=64)
+    graph = read_graph(path)
+    arch = derive_arch(graph)
+    assert (arch.arch, arch.scale, arch.base_dim) == (
+        "swin_unet", scale, 96)
+    assert arch.stage_depths == (2, 6, 2)
+
+    rng = np.random.default_rng(8 + scale)
+    x = rng.uniform(0.0, 1.0, (1, 3, 64, 64)).astype(np.float32)
+    want = _torch_forward(model, x)
+    got = run_graph(graph, {graph.inputs[0]: x})[graph.outputs[0]]
+    assert np.abs(got - want).max() < 1e-4
+
+    params = swin_params_from_graph(graph)
+    module = SwinUNet(scale=scale, base_dim=96, depths=(2, 2, 6, 2, 2),
+                      dtype=jnp.float32)
+    flax = np.asarray(
+        module.apply({"params": params},
+                     jnp.asarray(x.transpose(0, 2, 3, 1)))
+    ).transpose(0, 3, 1, 2)
+    assert np.abs(flax - want).max() < 1e-4
+    assert verify_swin_conversion(graph, arch, params) < 1e-4
+
+
+@pytest.mark.parametrize("family,fname", [
+    ("swin_unet/art_scan", "noise3_scale4x.onnx"),
+    ("swin_unet/photo", "scale2x.onnx"),
+])
+def test_torch_export_serves_all_family_paths(tmp_path, family, fname):
+    """The art_scan and photo weight-set directories follow the same
+    models/<family>/<name>.onnx convention (src/main.cpp:201-204); a
+    bare torch export dropped into EITHER must verify and serve through
+    the production Upscaler, not just swin_unet/art."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    scale = 4 if "4x" in fname else 2
+    noise = 3 if "noise3" in fname else -1
+    model, path = export_torch_swin(
+        tmp_path / "src.onnx", scale=scale, base_dim=32,
+        depths=(1, 1, 1, 1, 1), tile=64)
+    fam_dir = tmp_path / "models" / Path(family)
+    fam_dir.mkdir(parents=True)
+    (fam_dir / fname).write_bytes(path.read_bytes())
+
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=2, height=64,
+                       width=64, scaling=scale, overlap=(1 / 16, 1 / 16))
+    msgs = []
+    up = Upscaler(models_dir=tmp_path / "models")
+    up.set_message_callback(lambda s, m: msgs.append(m))
+    up.load(family, scale, noise, cfg)
+    assert any("VERIFIED" in m for m in msgs), msgs
+
+    frame = np.random.default_rng(6).integers(0, 256, (64, 64, 3),
+                                              np.uint8)
+    got = np.asarray(up.render(frame))
+    x = (frame.astype(np.float32) / 255.0).transpose(2, 0, 1)[None]
+    want = _torch_forward(model, x)[0].transpose(1, 2, 0)
+    want_u8 = np.clip(np.rint(want * 255.0), 0, 255).astype(np.uint8)
+    assert got.shape == want_u8.shape
+    diff = np.abs(got.astype(int) - want_u8.astype(int))
+    assert diff.max() <= 1, diff.max()

@@ -697,7 +697,8 @@ class ChunkedPipeline:
             self._geoms[key] = entry
         return entry
 
-    def flops_per_frame(self, params, frame_hw: tuple[int, int]) -> float:
+    def flops_per_frame(self, params, frame_hw: tuple[int, int],
+                        compile_fallback: bool = True) -> float:
         """Model FLOPs dispatched per frame at this geometry, from XLA's
         client-side HLO cost analysis of the shared tile program (no
         device compile: ``lower()`` + ``cost_analysis()`` are host-only).
@@ -719,6 +720,10 @@ class ChunkedPipeline:
                 lowered = model_prog.lower(p_struct, x)
                 ca = lowered.cost_analysis()
                 if ca is None or "flops" not in ca:
+                    if not compile_fallback:
+                        raise RuntimeError(
+                            "lowered cost_analysis unavailable on this "
+                            "backend and compile_fallback=False")
                     # some backends only attach the analysis post-compile;
                     # render() has already compiled this program, so the
                     # jit/persistent caches make this a lookup, not a build

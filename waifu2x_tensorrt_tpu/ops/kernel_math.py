@@ -90,16 +90,18 @@ def gelu(z, exact: bool = False):
 
 
 # Softmax logit clamp for the no-max-subtract fast path: exp(75) stays
-# finite in fp32 even summed over a 64-token row, and exp(-60) cannot
-# underflow the row sum. The clamp can only distort the distribution when
-# the row's TRUE max falls outside [-60, 75]; attention logits here are
-# q.k/sqrt(32) + bias over LayerNorm'd activations, which for any trained
-# SR checkpoint sit orders of magnitude inside that range (|logit| ~ O(10)
-# worst case). The cyclic-shift mask does NOT ride on this bound: it is
-# applied multiplicatively after exp (``keep``), so masked entries get
-# weight exactly 0 for any logit values. Set WAIFU2X_TPU_EXACT_SOFTMAX=1
-# to force the max-subtracted form everywhere regardless.
-_CLAMP_LO = -60.0
+# finite in fp32 even summed over a 64-token row (64*e^75 ~ 2.4e34 <<
+# 3.4e38), and exp(-75) ~ 2.6e-33 stays comfortably normal (fp32 min
+# normal 1.2e-38), so an all--75 row cannot underflow its sum. The clamp
+# can only distort the distribution when a TRUE logit falls outside
+# [-75, 75]; the loader PROVES per checkpoint that none can
+# (ops/logit_bound.py bound <= FAST_SOFTMAX_BUDGET) and selects the
+# max-subtracted form otherwise (engine/upscaler._guard_fast_softmax).
+# The cyclic-shift mask does NOT ride on this bound: it is applied
+# multiplicatively after exp (``keep``), so masked entries get weight
+# exactly 0 for any logit values. Set WAIFU2X_TPU_EXACT_SOFTMAX=1 to
+# force the max-subtracted form everywhere regardless.
+_CLAMP_LO = -75.0
 _CLAMP_HI = 75.0
 
 # A checkpoint whose worst-case |logit| (ops/logit_bound.py) stays within
@@ -115,7 +117,7 @@ def softmax_lastdim(attn, exact: bool = True, keep=None):
     Args:
       attn: logits, fp32.
       exact: True = standard max-subtracted form (fp32-precision path).
-        False = skip the max reduce+subtract behind a [-60, 75] logit
+        False = skip the max reduce+subtract behind a [-75, 75] logit
         clamp — two fewer VPU passes over the (N, N) attention tensor,
         measured ~0.3 ms/stage-1 block on v5e. bf16-only.
       keep: optional bool mask broadcastable to ``attn``; False entries
