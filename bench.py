@@ -13,10 +13,13 @@ stderr and bench_aux.json.
 
 vs_baseline: the reference publishes no numbers (SURVEY.md §6); the
 BASELINE.md target is >=2x an (unmeasured) TensorRT-fp16 RTX-4090 run of
-swin_unet 4x. We use an engineering estimate for that GPU baseline
-(30 MP/s): measured ~30 GFLOP/output-megapixel at the ~0.6% sustained
-MFU public SwinIR-class TensorRT runs achieve end-to-end on a 4090 —
-full derivation in BENCH_NOTES.md. vs_baseline = value / estimate.
+swin_unet 4x. vs_baseline divides by a 30 MP/s point estimate kept for
+round-to-round continuity; the DEFENSIBLE artifact is bench_aux's
+gpu_baseline block — measured 45.4 GFLOP/output-MP (XLA cost analysis,
+dense-math twin), the implied 4090 rate at several assumed end-to-end
+MFUs, and the exact GPU-MFU threshold below which the >=2x claim holds
+(r4: 6.5%). Full derivation in BENCH_NOTES.md "GPU baseline — bounded,
+not cited".
 
 Timing notes (BENCH_NOTES.md): block_until_ready returns early on the
 axon remote platform, so completion is forced with a small strided fetch
@@ -39,14 +42,13 @@ import numpy as np
 
 _PROC_T0 = time.perf_counter()
 
-BASELINE_GPU_MPPS = 30.0  # defended point estimate, BENCH_NOTES.md
+BASELINE_GPU_MPPS = 30.0  # continuity point estimate, BENCH_NOTES.md
 # Interval for the unmeasurable RTX-4090 TensorRT fp16 baseline
-# (BENCH_NOTES.md "GPU baseline: bounded, not cited"): lower edge = the
-# r2/r3 point estimate (0.6% sustained GPU MFU), upper edge = 3% MFU,
-# the top of the range public SwinIR-class TensorRT end-to-end tiled
-# renders land in once host pre/post + single-stream orchestration
-# (the reference's design, img2img_render.cpp:224-352) is included.
-BASELINE_GPU_INTERVAL_MPPS = (30.0, 150.0)
+# (BENCH_NOTES.md "GPU baseline — bounded, not cited"): 0.6%-3% assumed
+# end-to-end GPU MFU at the measured 45.4 GF/outMP = 22-109 MP/s,
+# rounded out to [20, 110]. The per-run artifact is the gpu_baseline
+# block below (per-MFU table + exact threshold), not this constant.
+BASELINE_GPU_INTERVAL_MPPS = (20.0, 110.0)
 GPU_PEAK_FP16_FLOPS = 165.2e12  # RTX 4090 dense fp16 tensor-core peak
 
 # TPU peak (bf16 matmul) by device_kind substring, FLOP/s.
@@ -261,7 +263,6 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     frame_hw, tile, batch, scale, config = headline_setup()
-    rng = np.random.default_rng(0)
     frame = make_frame(frame_hw)
 
     t0 = time.perf_counter()
@@ -338,9 +339,17 @@ def main() -> None:
         mod_d, spec_d = create_model(
             "swin_unet/art", scale, 3, dtype=config.precision.dtype,
             use_pallas=False, fused_block=False)
+        # axon's lowered cost_analysis returns None, so the twin compiles
+        # once (persistent-cached; warm runs are a lookup). BENCH_MFU=0
+        # skips the block entirely if that one-time compile must be
+        # avoided on a cold cache.
+        if os.environ.get("BENCH_MFU", "1") == "0":
+            raise RuntimeError("BENCH_MFU=0")
+        t_mfu = time.perf_counter()
         pl_d = _CPd(mod_d, spec_d, config)
-        flops_frame = pl_d.flops_per_frame(run.params, frame_hw,
-                                           compile_fallback=False)
+        flops_frame = pl_d.flops_per_frame(run.params, frame_hw)
+        log(f"[bench] dense-twin cost analysis in "
+            f"{time.perf_counter() - t_mfu:.1f}s")
         gf_per_mp = flops_frame / 1e9 / out_mp
         aux["model_gflop_per_frame"] = round(flops_frame / 1e9, 2)
         aux["model_gflop_per_output_mp"] = round(gf_per_mp, 2)

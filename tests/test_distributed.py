@@ -28,11 +28,11 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_two_process(fake_ffmpeg, tmp_path, monkeypatch, dp: int = 1,
-                     devices_per_host: int = 8):
-    # devices_per_host=8 matches the conftest's in-process device count:
-    # XLA CPU numerics shift by 1 ulp under a different virtual-device
-    # split, which flips u8 rounding vs the single-process expectation.
+def _run_two_process(fake_ffmpeg, tmp_path, monkeypatch, dp: int = 1):
+    # Children inherit the conftest's 8-virtual-device XLA flag, matching
+    # the in-process expectation's device count: XLA CPU numerics shift
+    # by 1 ulp under a different virtual-device split, which flips u8
+    # rounding vs the single-process render.
     monkeypatch.setenv("W2X_NO_NATIVE_PIPE", "1")
     video = fake_ffmpeg["video"]
     video.touch()
@@ -58,13 +58,6 @@ def _run_two_process(fake_ffmpeg, tmp_path, monkeypatch, dp: int = 1,
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # never touch the TPU tunnel
     env["PYTHONPATH"] = f"{_REPO}{os.pathsep}" + env.get("PYTHONPATH", "")
-    if devices_per_host != 8:
-        # children inherit the conftest's 8-device flag; pin their own
-        flags = [f for f in env.get("XLA_FLAGS", "").split()
-                 if "xla_force_host_platform_device_count" not in f]
-        flags.append("--xla_force_host_platform_device_count="
-                     f"{devices_per_host}")
-        env["XLA_FLAGS"] = " ".join(flags)
 
     procs = [
         subprocess.Popen(
@@ -101,6 +94,7 @@ def test_two_process_multihost_video_stitch(fake_ffmpeg, tmp_path,  # noqa: F811
 def test_two_process_multihost_with_dp(fake_ffmpeg, tmp_path,  # noqa: F811
                                        monkeypatch):
     """2-host jax.distributed x --dp 2 (VERDICT r3 item 5): each host
-    shards its frame range's tile batches over its own 2 local virtual
-    devices; stitched bytes must still equal the single-process render."""
+    shards its frame range's tile batches over a 2-device prefix of its
+    own 8 local virtual devices (the CLI meshes jax.local_devices());
+    stitched bytes must still equal the single-process render."""
     _run_two_process(fake_ffmpeg, tmp_path, monkeypatch, dp=2)

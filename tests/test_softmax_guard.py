@@ -208,3 +208,47 @@ def test_guarded_kernel_output_matches_reference_beyond_clamp():
     tol = 0.1  # bf16-scale tolerance on O(20) outputs
     assert err_fast > 5 * tol, (err_fast, err_exact)  # hazard is real
     assert err_exact < tol, err_exact  # guard fixes it
+
+
+def test_bound_walker_finds_layers_in_all_param_layouts():
+    """The guard must see the same layers whether the model was created
+    dense, with Pallas attention, or with whole-block fusion — the three
+    layouts share flax scope names (norm1/attn/qkv), and the selection
+    must not silently differ between build (dense trace) and load
+    (fused trace)."""
+    bounds = []
+    for kw in ({}, {"use_pallas": True},
+               {"use_pallas": True, "fused_block": True}):
+        module, _ = registry.create_model("swin_unet/art", 2, -1,
+                                          dtype=jnp.bfloat16, **kw)
+        params = registry.init_params_host(module, tile=32, seed=3)
+        bounds.append(swin_max_logit_bound(params))
+    assert bounds[0] is not None
+    assert bounds[0] == pytest.approx(bounds[1]) == pytest.approx(bounds[2])
+
+
+def test_fused_fallback_preserves_guard_decision(tmp_path):
+    """A fused-program failure rebuilds the model (attention-only
+    kernels); the rebuilt module (and the packed-x twin, when present)
+    must inherit the ORIGINAL guard decision rather than resetting to
+    fast_softmax=True — a guarded checkpoint would otherwise silently
+    render through the clamped softmax it provably exceeds (round-4
+    review finding)."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    cfg = RenderConfig(precision=Precision.FP16, batch_size=1, height=32,
+                       width=32, scaling=2, overlap=(1 / 16, 1 / 16))
+    up = Upscaler(models_dir=tmp_path, allow_random_init=True)
+    up.load("swin_unet/art", 2, -1, cfg)
+    # simulate a checkpoint the guard rejected (the decision is carried
+    # on the module, which is what the fallback must consult)
+    up._module = up._module.clone(fast_softmax=False)
+    up._fall_back_from_fused(RuntimeError("simulated fused failure"))
+    assert up._module.fast_softmax is False
+    assert up._fused is False
+    # and the swapped-in model still renders
+    frame = np.random.default_rng(2).integers(0, 256, (40, 40, 3),
+                                              np.uint8)
+    out = np.asarray(up.render(frame))
+    assert out.shape == (80, 80, 3)

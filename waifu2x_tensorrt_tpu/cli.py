@@ -24,7 +24,12 @@ from pathlib import Path
 
 import numpy as np
 
-from waifu2x_tensorrt_tpu.engine.config import BuildConfig, Precision, RenderConfig
+from waifu2x_tensorrt_tpu.engine.config import (
+    TILE_CHOICES,
+    BuildConfig,
+    Precision,
+    RenderConfig,
+)
 from waifu2x_tensorrt_tpu.io.discover import DEFAULT_EXTENSIONS, find_files_by_extension
 from waifu2x_tensorrt_tpu.io.video import VideoCapture, VideoWriter
 from waifu2x_tensorrt_tpu.models.registry import validate as validate_model
@@ -33,9 +38,9 @@ from waifu2x_tensorrt_tpu.utils.logging import (
     console_message_callback,
 )
 
-# reference choices (src/main.cpp:62-64) + 0 = auto whole-frame (TPU
-# extension: no tiling/overlap when the frame fits on-chip)
-TILE_CHOICES = (0, 64, 128, 256, 400, 640)
+# TILE_CHOICES (imported above): reference choices (src/main.cpp:62-64)
+# + 0 = auto whole-frame (TPU extension); canonical tuple lives in
+# engine/config.py, which engine/advice.py models as the candidate set.
 BLEND_CHOICES = (1 / 8, 1 / 16, 1 / 32, 0.0)  # src/main.cpp:108-115
 MODEL_CHOICES = (
     "cunet/art",
@@ -366,6 +371,7 @@ def resolve_output_path(
 
 
 def main(argv=None) -> int:
+    _ADVICE_SEEN.clear()  # once-per-geometry is scoped to one invocation
     args = build_parser().parse_args(argv)
     try:
         _validate(args)
@@ -458,16 +464,12 @@ def main(argv=None) -> int:
         message_cb(Severity.error, "No input files found.")
         return -1
 
-    if args.tile_size == 0 and args.model.startswith("cunet"):
-        # cunet's context shrink (offset 36/px side) makes whole-frame mode
-        # degenerate into a grid of giant context-shrunk tiles
-        # (engine/renderer.py resolve_tile_plan) — legal but much slower
-        # than tiled renders; surface the surprise up front.
-        message_cb(
-            Severity.warn,
-            "--tileSize 0 with cunet still tiles internally (valid-conv "
-            "context shrink) and is usually slower than --tileSize 256",
-        )
+    # (A round-3 warning that cunet --tileSize 0 "still tiles internally
+    # and is usually slower" was removed in round 4: resolve_tile_plan now
+    # sizes the whole-frame tile to include the offset context, making ONE
+    # tile cover the output — the measured-FASTEST cunet config for small
+    # stills (bench config1c, 2.4x the tiled fp32 row). Per-frame-size
+    # guidance now comes from engine/advice.py via _advise_tile.)
     config = RenderConfig(
         device_id=args.device,
         precision=precision,
@@ -711,7 +713,8 @@ def _advise_tile(args, engine, frame_hw, message_cb) -> None:
     config = getattr(engine, "_render_config", None)
     if tile is None or spec is None or config is None:
         return
-    key = (tile, frame_hw)
+    key = (getattr(args, "model", None), getattr(args, "scale", None),
+           config.tta, tile, frame_hw)
     if key in _ADVICE_SEEN:
         return
     _ADVICE_SEEN.add(key)

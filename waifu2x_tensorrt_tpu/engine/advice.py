@@ -27,8 +27,9 @@ from typing import Optional
 
 from waifu2x_tensorrt_tpu.engine.renderer import resolve_tile_plan
 
-# CLI tileSize choices (src/main.cpp:62-64) plus 0 = whole-frame.
-_CANDIDATES = (0, 64, 128, 256, 400, 640)
+# CLI tileSize choices (one source of truth: engine/config.py, which
+# cli.py also exposes as TILE_CHOICES) — includes 0 = whole-frame.
+from waifu2x_tensorrt_tpu.engine.config import TILE_CHOICES as _CANDIDATES
 # Warn only for clear wins: modeled >=20% improvement (the measured
 # cunet whole-frame and 4K-t640 gaps model at 1.28x/1.45x; the headline
 # 720p/1080p t256 picks model within 11% of best and stay silent).
@@ -48,14 +49,21 @@ def _efficiency(edge: int) -> float:
     return 1.0
 
 
-def _cost(spec, config, frame_hw, tile: int) -> Optional[float]:
+def _cost(spec, config, frame_hw, tile: int,
+          candidate: bool = False) -> Optional[float]:
+    """Modeled dispatch cost; None = cannot model / must not recommend.
+
+    ``candidate`` applies the recommendation-only exclusions (huge
+    whole-frame tiles, rect-TTA whole-frame). The USER'S own pick is
+    always costed — excluding it would silence the advisor exactly where
+    the pick is worst (e.g. --tileSize 0 on a 1080p frame)."""
     cfg = dataclasses.replace(config, height=tile, width=tile)
     try:
         plan = resolve_tile_plan(spec, cfg, frame_hw)
     except Exception:
         return None  # geometry invalid for this model (divisor, offset)
     th, tw = plan.input_tile
-    if tile == 0:
+    if tile == 0 and candidate:
         if max(th, tw) > _MAX_WHOLE_FRAME_EDGE:
             return None
         if config.tta and th != tw:
@@ -77,7 +85,7 @@ def tile_advice(spec, config, frame_hw) -> Optional[tuple[int, float, str]]:
     for cand in _CANDIDATES:
         if cand == user_tile:
             continue
-        c = _cost(spec, config, frame_hw, cand)
+        c = _cost(spec, config, frame_hw, cand, candidate=True)
         if c is not None and c < best_cost:
             best_tile, best_cost = cand, c
     ratio = user_cost / best_cost

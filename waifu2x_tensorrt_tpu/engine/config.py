@@ -13,6 +13,11 @@ import enum
 
 import jax.numpy as jnp
 
+# CLI tileSize choices (reference src/main.cpp:62-64) plus 0 = whole-frame
+# (TPU extension). Single source of truth: cli.py re-exports this and
+# engine/advice.py models exactly this candidate set.
+TILE_CHOICES = (0, 64, 128, 256, 400, 640)
+
 
 class Precision(enum.Enum):
     FP16 = "fp16"  # bfloat16 compute on TPU

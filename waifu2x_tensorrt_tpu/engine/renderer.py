@@ -704,7 +704,10 @@ class ChunkedPipeline:
         device compile: ``lower()`` + ``cost_analysis()`` are host-only).
         Prepare/finalize are data movement (pad/slice/blend/scatter) —
         sub-1% of FLOPs — so the model chunks are the honest numerator
-        for an MFU figure (bench.py, VERDICT r4 item 1)."""
+        for an MFU figure (bench.py, VERDICT r4 item 1). Rect-TTA
+        geometries dispatch half their chunks transposed ((n, tw, th));
+        counting them as (n, th, tw) is exact anyway — conv/attention
+        FLOPs depend on the pixel count, not the orientation."""
         prep_prog, _fin, plan, _n = self.get(frame_hw)
         model_prog = self._model_for(prep_prog)
         th, tw = plan.input_tile
@@ -724,9 +727,12 @@ class ChunkedPipeline:
                         raise RuntimeError(
                             "lowered cost_analysis unavailable on this "
                             "backend and compile_fallback=False")
-                    # some backends only attach the analysis post-compile;
-                    # render() has already compiled this program, so the
-                    # jit/persistent caches make this a lookup, not a build
+                    # Some backends (axon) only attach the analysis
+                    # post-compile. For a pipeline render() has already
+                    # run, the jit/persistent caches make this a lookup;
+                    # for a fresh pipeline (bench's dense-math twin) it
+                    # is a REAL one-time compile that the persistent
+                    # cache amortizes across runs.
                     ca = lowered.compile().cost_analysis()
                 fl = float(ca["flops"])
                 cache[n] = fl

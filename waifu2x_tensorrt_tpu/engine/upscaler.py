@@ -650,6 +650,11 @@ class Upscaler:
         (family, scale, noise, config, sharding, use_pallas,
          arch_kw) = self._load_args
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        # Reuse load()'s per-checkpoint softmax selection: the decision is
+        # deterministic in the params, and recomputing the bound here
+        # would fetch every weight leaf device-to-host (expensive through
+        # a remote tunnel) for an answer we already hold.
+        fast_sm = getattr(self._module, "fast_softmax", True)
         if self._artifact_arch is not None \
                 and self._artifact_arch.arch == "swin_unet":
             # optimized-artifact serving: rebuild from the DERIVED arch
@@ -676,7 +681,8 @@ class Upscaler:
                 lane_pad=_lane_pad(on_tpu),
                 **arch_kw,
             )
-        module, _ = _guard_fast_softmax(module, self._params, self.logger)
+        if hasattr(module, "fast_softmax"):
+            module = module.clone(fast_softmax=fast_sm)
         self._module = module
         self._fused = False
         if isinstance(self._renderers, ChunkedPipeline):
@@ -686,9 +692,11 @@ class Upscaler:
                     family, scale, noise, dtype=config.precision.dtype,
                     use_pallas=use_pallas, fused_block=False,
                     packed_x_head=True, shuffle_via_deconv=on_tpu,
-                lane_pad=_lane_pad(on_tpu),
+                    lane_pad=_lane_pad(on_tpu),
                     **arch_kw,
                 )
+                # same checkpoint -> same guard decision on the twin
+                module_px = module_px.clone(fast_softmax=fast_sm)
             self._renderers.set_module(module, module_px)
         else:
             self._renderers = RendererCache(module, spec, config, sharding)
