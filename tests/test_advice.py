@@ -56,6 +56,20 @@ def test_tta_tile256_advises_smaller_on_512():
     assert adv[0] in (0, 128), adv
 
 
+def test_whole_frame_never_recommended_when_backend_rejects_it():
+    """graph-backed .onnx serving hard-rejects --tileSize 0 (upscaler
+    load); the advisor must never print a recommendation the next run
+    would die on (round-4 review). Same geometry as the measured
+    whole-frame-wins case, so without the exclusion tile 0 WOULD win."""
+    adv = tile_advice(SWIN2, _cfg(256, batch=1), (512, 512),
+                      allow_whole_frame=False)
+    assert adv is None or adv[0] != 0, adv
+    # sanity: with whole-frame allowed the same setup does recommend 0
+    adv_open = tile_advice(SWIN2, _cfg(256, batch=1), (512, 512))
+    if adv_open is not None:
+        assert adv_open[0] == 0, adv_open
+
+
 def test_whole_frame_never_recommended_for_huge_frames():
     # 4K whole-frame would be a 3840px tile — excluded by the edge cap
     adv = tile_advice(SWIN2, _cfg(640), (2160, 3840))

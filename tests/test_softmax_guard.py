@@ -210,6 +210,43 @@ def test_guarded_kernel_output_matches_reference_beyond_clamp():
     assert err_exact < tol, err_exact  # guard fixes it
 
 
+def test_guard_walks_frozendict_trees():
+    """flax FrozenDict layouts must walk identically to plain dicts: a
+    dict-only walker failed OPEN on Mappings — the adversarial checkpoint
+    below would have kept the clamped fast path (round-4 review)."""
+    from flax.core import freeze
+
+    module, params = _swin_params(scale_qkv=400.0)
+    bound_dict = swin_max_logit_bound(params)
+    bound_frozen = swin_max_logit_bound(freeze(params))
+    assert bound_frozen == pytest.approx(bound_dict)
+    guarded, _ = _guard_fast_softmax(module, freeze(params), Logger())
+    assert guarded.fast_softmax is False
+
+
+def test_guard_fails_closed_on_opaque_param_tree():
+    """A bf16 module carrying fast_softmax=True whose param tree yields
+    no attention layers (layout change, scope rename) means NO PROOF —
+    the guard must select exact softmax, not silently keep the clamped
+    path (round-4 review)."""
+    module, _ = _swin_params()
+    guarded, bound = _guard_fast_softmax(
+        module, {"unrecognized": {"layout": np.zeros(3)}}, Logger())
+    assert bound is None
+    assert guarded.fast_softmax is False
+
+
+def test_budget_keeps_margin_below_clamp_edge():
+    """The proof runs in fp64 on stored weights; the kernel computes from
+    bf16-rounded values (~2^-8 relative per rounding). The budget must sit
+    strictly inside the clamp window so 'bound <= budget' covers the
+    arithmetic actually executed (round-4 review)."""
+    from waifu2x_tensorrt_tpu.ops.kernel_math import _CLAMP_HI, _CLAMP_LO
+
+    edge = min(-_CLAMP_LO, _CLAMP_HI)
+    assert FAST_SOFTMAX_BUDGET <= 0.99 * edge
+
+
 def test_bound_walker_finds_layers_in_all_param_layouts():
     """The guard must see the same layers whether the model was created
     dense, with Pallas attention, or with whole-block fusion — the three

@@ -721,7 +721,9 @@ def _advise_tile(args, engine, frame_hw, message_cb) -> None:
     try:
         from waifu2x_tensorrt_tpu.engine.advice import tile_advice
 
-        adv = tile_advice(spec, config, frame_hw)
+        adv = tile_advice(
+            spec, config, frame_hw,
+            allow_whole_frame=not getattr(engine, "_graph_backed", False))
     except Exception:
         return
     if adv is not None:

@@ -49,14 +49,15 @@ def _efficiency(edge: int) -> float:
     return 1.0
 
 
-def _cost(spec, config, frame_hw, tile: int,
-          candidate: bool = False) -> Optional[float]:
+def _cost(spec, config, frame_hw, tile: int, candidate: bool = False,
+          allow_whole_frame: bool = True) -> Optional[float]:
     """Modeled dispatch cost; None = cannot model / must not recommend.
 
     ``candidate`` applies the recommendation-only exclusions (huge
-    whole-frame tiles, rect-TTA whole-frame). The USER'S own pick is
-    always costed — excluding it would silence the advisor exactly where
-    the pick is worst (e.g. --tileSize 0 on a 1080p frame)."""
+    whole-frame tiles, rect-TTA whole-frame, backends that reject tile 0).
+    The USER'S own pick is always costed — excluding it would silence the
+    advisor exactly where the pick is worst (e.g. --tileSize 0 on a 1080p
+    frame)."""
     cfg = dataclasses.replace(config, height=tile, width=tile)
     try:
         plan = resolve_tile_plan(spec, cfg, frame_hw)
@@ -64,6 +65,10 @@ def _cost(spec, config, frame_hw, tile: int,
         return None  # geometry invalid for this model (divisor, offset)
     th, tw = plan.input_tile
     if tile == 0 and candidate:
+        if not allow_whole_frame:
+            # graph-backed .onnx serving hard-rejects --tileSize 0
+            # (engine/upscaler.py load); never advise a fatal flag
+            return None
         if max(th, tw) > _MAX_WHOLE_FRAME_EDGE:
             return None
         if config.tta and th != tw:
@@ -73,7 +78,9 @@ def _cost(spec, config, frame_hw, tile: int,
     return plan.tile_count * th * tw / _efficiency(max(th, tw))
 
 
-def tile_advice(spec, config, frame_hw) -> Optional[tuple[int, float, str]]:
+def tile_advice(spec, config, frame_hw,
+                allow_whole_frame: bool = True
+                ) -> Optional[tuple[int, float, str]]:
     """(recommended_tile, modeled_speedup, reason) when the configured
     tile size is modeled >=20% slower than the best CLI choice for this
     frame size; None when the user's pick is (near-)optimal."""
@@ -85,7 +92,8 @@ def tile_advice(spec, config, frame_hw) -> Optional[tuple[int, float, str]]:
     for cand in _CANDIDATES:
         if cand == user_tile:
             continue
-        c = _cost(spec, config, frame_hw, cand, candidate=True)
+        c = _cost(spec, config, frame_hw, cand, candidate=True,
+                  allow_whole_frame=allow_whole_frame)
         if c is not None and c < best_cost:
             best_tile, best_cost = cand, c
     ratio = user_cost / best_cost

@@ -64,7 +64,19 @@ def _guard_fast_softmax(module, params, logger):
     from waifu2x_tensorrt_tpu.ops.logit_bound import swin_max_logit_bound
 
     bound = swin_max_logit_bound(params)
-    if bound is None or bound <= FAST_SOFTMAX_BUDGET:
+    if bound is None:
+        # Fail CLOSED (round-4 review finding): a module carrying a
+        # fast_softmax flag IS a window-attention model, so a param tree
+        # the walker cannot see (layout change, scope rename, exotic
+        # Mapping type) means NO PROOF — serve the exact max-subtracted
+        # softmax rather than silently keeping the clamped fast path for
+        # exactly the checkpoints the guard exists to protect.
+        logger.log(
+            Severity.warn,
+            "could not derive an attention-logit bound from this param "
+            "tree; selecting exact (max-subtracted) softmax, fail-closed")
+        return module.clone(fast_softmax=False), None
+    if bound <= FAST_SOFTMAX_BUDGET:
         return module, bound
     logger.log(
         Severity.info,
@@ -373,6 +385,9 @@ class Upscaler:
             raise ValueError(
                 f"tile size {config.height} is not a multiple of "
                 f"{spec.tile_divisor} (required by this model backend)")
+        # the tile advisor must not recommend whole-frame mode to a
+        # session this same check would reject (round-4 review finding)
+        self._graph_backed = graph_backed
         if graph_backed and not config.height:
             # whole-frame mode sizes the tile from the frame; the parsed
             # graph cannot self-pad arbitrary geometries the way the flax

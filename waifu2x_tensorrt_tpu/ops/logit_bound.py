@@ -31,6 +31,7 @@ closed kernels (SURVEY.md component 22).
 from __future__ import annotations
 
 import math
+from collections.abc import Mapping
 from typing import Optional
 
 import numpy as np
@@ -76,23 +77,29 @@ def attention_logit_bound(norm1: dict, qkv: dict, bias_table: np.ndarray,
     return worst
 
 
-def _walk(tree: dict, out: list) -> None:
+def _walk(tree: Mapping, out: list) -> None:
+    # Mapping, not dict: flax FrozenDict trees (and any other Mapping the
+    # caller hands us) must walk identically — a plain-dict-only walk
+    # would fail OPEN on them (no layers found -> no guard).
     attn = tree.get("attn")
     norm1 = tree.get("norm1")
-    if (isinstance(attn, dict) and isinstance(norm1, dict)
+    if (isinstance(attn, Mapping) and isinstance(norm1, Mapping)
             and "qkv" in attn and "relative_position_bias" in attn):
         out.append((norm1, attn["qkv"], attn["relative_position_bias"]))
     for v in tree.values():
-        if isinstance(v, dict):
+        if isinstance(v, Mapping):
             _walk(v, out)
 
 
 def swin_max_logit_bound(params) -> Optional[float]:
     """Max attention_logit_bound over every Swin block in a param tree
     (dense and fused param layouts share scope names norm1/attn/qkv).
-    Returns None when the tree holds no window-attention layers (cunet)."""
+    Returns None when the tree holds no window-attention layers — the
+    CALLER must treat None as 'no proof' and fail closed for any module
+    that actually contains attention (engine/upscaler._guard_fast_softmax)."""
     layers: list = []
-    _walk(params if isinstance(params, dict) else dict(params), layers)
+    if isinstance(params, Mapping):
+        _walk(params, layers)
     if not layers:
         return None
     worst = 0.0
