@@ -70,6 +70,37 @@ def test_whole_frame_never_recommended_when_backend_rejects_it():
         assert adv_open[0] == 0, adv_open
 
 
+def test_advice_respects_session_tile_divisor():
+    """Graph-backed swin serving raises the divisor to window*4 = 32; the
+    advisor must not recommend a candidate off that grid (400 % 32 != 0)
+    that the next run's load() would die on (round-4 review, second
+    pass)."""
+    spec32 = dataclasses.replace(SWIN2, tile_divisor=32)
+    adv = tile_advice(spec32, _cfg(256, batch=1), (400, 400),
+                      allow_whole_frame=False)
+    assert adv is None or adv[0] % 32 == 0, adv
+
+
+def test_advise_tile_silent_for_static_geometry():
+    """A fixed-geometry .onnx export accepts exactly ONE tile size; the
+    CLI advisor must stay silent rather than recommend a fatal flag."""
+    import types
+
+    from waifu2x_tensorrt_tpu import cli as cli_mod
+
+    class _Engine:
+        spec = SWIN2
+        _render_config = _cfg(256, batch=1)
+        _static_geometry = (256, 256)
+
+    msgs = []
+    args = types.SimpleNamespace(tile_size=256, model="static-test",
+                                 scale=2)
+    cli_mod._advise_tile(args, _Engine(), (512, 512),
+                         lambda sev, m: msgs.append(m))
+    assert msgs == []
+
+
 def test_whole_frame_never_recommended_for_huge_frames():
     # 4K whole-frame would be a 3840px tile — excluded by the edge cap
     adv = tile_advice(SWIN2, _cfg(640), (2160, 3840))

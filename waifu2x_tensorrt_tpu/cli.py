@@ -713,6 +713,9 @@ def _advise_tile(args, engine, frame_hw, message_cb) -> None:
     config = getattr(engine, "_render_config", None)
     if tile is None or spec is None or config is None:
         return
+    if getattr(engine, "_static_geometry", None):
+        # fixed-geometry .onnx export: every other tile size is fatal
+        return
     key = (getattr(args, "model", None), getattr(args, "scale", None),
            config.tta, tile, frame_hw)
     if key in _ADVICE_SEEN:

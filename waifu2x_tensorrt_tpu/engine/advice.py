@@ -58,6 +58,12 @@ def _cost(spec, config, frame_hw, tile: int, candidate: bool = False,
     The USER'S own pick is always costed — excluding it would silence the
     advisor exactly where the pick is worst (e.g. --tileSize 0 on a 1080p
     frame)."""
+    if (candidate and tile and spec.tile_divisor
+            and tile % spec.tile_divisor):
+        # load() rejects tiles off the session's divisor grid — which is
+        # RAISED to window*4 for graph-backed swin serving, where e.g.
+        # 400 % 32 != 0 (round-4 review: never advise a fatal flag)
+        return None
     cfg = dataclasses.replace(config, height=tile, width=tile)
     try:
         plan = resolve_tile_plan(spec, cfg, frame_hw)

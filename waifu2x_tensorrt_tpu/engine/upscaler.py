@@ -86,6 +86,18 @@ def _guard_fast_softmax(module, params, logger):
     return module.clone(fast_softmax=False), bound
 
 
+def _inherit_fast_softmax(module, fast_sm: bool):
+    """Propagate load()'s per-checkpoint softmax-guard decision onto a
+    REBUILT module (packed-x twin, fused-kernel fallback). Every
+    module-construction site that runs after the guard must route through
+    this: constructing afresh silently resets fast_softmax to its default
+    True, re-enabling the clamped softmax for a checkpoint the guard
+    provably rejected (the round-4 bug class)."""
+    if hasattr(module, "fast_softmax"):
+        return module.clone(fast_softmax=fast_sm)
+    return module
+
+
 def _npz_arch_overrides(stem: Path, family: str):
     """(trusted verification record, create_model arch overrides) for a
     converted checkpoint: validate.py records the graph-derived
@@ -130,6 +142,7 @@ class Upscaler:
         self._module = None
         self._spec: Optional[registry.ModelSpec] = None
         self._params = None
+        self._static_geometry: Optional[tuple] = None
         self._renderers: Optional[RendererCache] = None
         self._render_config: Optional[RenderConfig] = None
         self._sharding = None
@@ -388,6 +401,8 @@ class Upscaler:
         # the tile advisor must not recommend whole-frame mode to a
         # session this same check would reject (round-4 review finding)
         self._graph_backed = graph_backed
+        if not graph_backed:
+            self._static_geometry = None  # flax path: any tile size works
         if graph_backed and not config.height:
             # whole-frame mode sizes the tile from the frame; the parsed
             # graph cannot self-pad arbitrary geometries the way the flax
@@ -430,8 +445,8 @@ class Upscaler:
                 **arch_kw,
             )
             # same params, same guard decision
-            module_px = module_px.clone(
-                fast_softmax=getattr(module, "fast_softmax", True))
+            module_px = _inherit_fast_softmax(
+                module_px, getattr(module, "fast_softmax", True))
         if fuse_frame:
             self._renderers = RendererCache(module, spec, config, sharding)
         else:
@@ -531,6 +546,10 @@ class Upscaler:
                     f"— models/validate.py — for any tile size)")
         spec = dataclasses.replace(base, offset=arch.offset,
                                    tile_divisor=tile_divisor)
+        # fixed-geometry exports accept exactly ONE tile size: the tile
+        # advisor must stay silent for such sessions (round-4 review)
+        self._static_geometry = (tuple(arch.static_hw)
+                                 if arch.static_hw else None)
         self.logger.log(
             Severity.info,
             f"serving parsed ONNX graph {onnx_path.name} directly at "
@@ -696,8 +715,7 @@ class Upscaler:
                 lane_pad=_lane_pad(on_tpu),
                 **arch_kw,
             )
-        if hasattr(module, "fast_softmax"):
-            module = module.clone(fast_softmax=fast_sm)
+        module = _inherit_fast_softmax(module, fast_sm)
         self._module = module
         self._fused = False
         if isinstance(self._renderers, ChunkedPipeline):
@@ -711,7 +729,7 @@ class Upscaler:
                     **arch_kw,
                 )
                 # same checkpoint -> same guard decision on the twin
-                module_px = module_px.clone(fast_softmax=fast_sm)
+                module_px = _inherit_fast_softmax(module_px, fast_sm)
             self._renderers.set_module(module, module_px)
         else:
             self._renderers = RendererCache(module, spec, config, sharding)
