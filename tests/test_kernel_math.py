@@ -115,3 +115,62 @@ def test_layernorm_matches_flax():
     got_exact = layernorm(x, scale, bias, exact=True)
     np.testing.assert_allclose(np.asarray(got_exact), np.asarray(ref),
                                atol=2e-5)
+
+
+def _hazard_row(c=96):
+    """mean ~ 100, std ~ 0.01 across channels: sigma/m = 1e-4, the regime
+    where a bf16-pass E[x^2] (relative error ~2^-9) destroys the variance
+    — measured on v5e 2026-08-19: the r3 naive form inflated unit-scale
+    outputs to 8.7 absolute error here (~|x-mean|/sqrt(eps))."""
+    rng = np.random.default_rng(5)
+    x = (100.0 + 0.01 * rng.standard_normal((4, 64, c))).astype(np.float32)
+    x64 = x.astype(np.float64)
+    mu = x64.mean(-1, keepdims=True)
+    var = x64.var(-1, keepdims=True)
+    ref = (x64 - mu) / np.sqrt(var + 1e-5)
+    return x, ref
+
+
+def test_layernorm_hazard_row_default_form_is_exact(monkeypatch):
+    """Catastrophic-cancellation guard (round-4 review), default "pilot"
+    (shifted-moments) form: row-exact at every mean/std ratio — and
+    measured as fast as the hazardous naive form on v5e (see the
+    layernorm docstring's A/B table)."""
+    monkeypatch.delenv("WAIFU2X_TPU_LN", raising=False)
+    c = 96
+    x, ref = _hazard_row(c)
+    ones = jnp.ones(c, jnp.float32)
+    zeros = jnp.zeros(c, jnp.float32)
+    got = np.asarray(layernorm(jnp.asarray(x), ones, zeros))
+    assert np.abs(got - ref).max() < 0.05, np.abs(got - ref).max()
+
+
+def test_layernorm_hazard_row_floor_form_is_bounded(monkeypatch):
+    """Opt-in "floor" form: the naive dots stay (zero extra passes) but
+    the relative variance floor must cap rsqrt, so the worst case on a
+    degenerate high-mean/low-variance row is a bounded attenuation toward
+    0 — never the multi-hundred-x blowup that would also void the
+    fast-softmax logit-bound guard. The floor is data-dependent, so it
+    engages on CPU (exact f32 dots) exactly as on TPU."""
+    monkeypatch.setenv("WAIFU2X_TPU_LN", "floor")
+    c = 96
+    x, _ = _hazard_row(c)
+    ones = jnp.ones(c, jnp.float32)
+    zeros = jnp.zeros(c, jnp.float32)
+    got = np.asarray(layernorm(jnp.asarray(x), ones, zeros))
+    # var floored at 2^-7 * E[x^2] ~ 78 here -> |y| ~ std/(|x| * 2^-3.5);
+    # anything <= 1 proves the blowup is gone (r3 naive measured 8.7)
+    assert np.abs(got).max() < 1.0, np.abs(got).max()
+    assert np.isfinite(got).all()
+
+
+def test_layernorm_hazard_row_exact_flag_is_exact(monkeypatch):
+    """exact=True (the fp32 CLI precision path) always uses the pilot
+    form with HIGHEST-precision dots, independent of the env knob."""
+    monkeypatch.setenv("WAIFU2X_TPU_LN", "floor")
+    c = 96
+    x, ref = _hazard_row(c)
+    ones = jnp.ones(c, jnp.float32)
+    zeros = jnp.zeros(c, jnp.float32)
+    got = np.asarray(layernorm(jnp.asarray(x), ones, zeros, exact=True))
+    assert np.abs(got - ref).max() < 1e-3, np.abs(got - ref).max()

@@ -247,6 +247,32 @@ def test_budget_keeps_margin_below_clamp_edge():
     assert FAST_SOFTMAX_BUDGET <= 0.99 * edge
 
 
+def test_bound_applies_ln_var_slack():
+    """The ||x_hat|| <= sqrt(C) step of the proof holds only for EXACT
+    LayerNorm arithmetic; the shipped bf16 LN forms can undershoot var
+    and inflate it by up to kernel_math.LN_VAR_SLACK (round-4). The bound
+    must carry that factor or 'bound <= budget' would not cover the
+    arithmetic actually executed. Identity layer makes it analytic:
+    gamma=1, beta=0, bias=0, table=0, Wq=Wk=I (nh=1, hd=C) gives
+    a = sqrt(C*slack) and bound = a^2/sqrt(C) = sqrt(C)*slack."""
+    import math
+
+    from waifu2x_tensorrt_tpu.ops.kernel_math import LN_VAR_SLACK
+
+    c = 16
+    kernel = np.zeros((c, 3 * c), np.float32)
+    kernel[:, :c] = np.eye(c)
+    kernel[:, c:2 * c] = np.eye(c)
+    norm1 = {"scale": np.ones(c, np.float32),
+             "bias": np.zeros(c, np.float32)}
+    qkv = {"kernel": kernel, "bias": np.zeros(3 * c, np.float32)}
+    table = np.zeros((49, 1), np.float32)
+    got = attention_logit_bound(norm1, qkv, table, num_heads=1)
+    expected = math.sqrt(c) * LN_VAR_SLACK
+    assert abs(got - expected) < 1e-9 * expected, (got, expected)
+    assert LN_VAR_SLACK > 1.0  # the slack must actually widen the bound
+
+
 def test_bound_walker_finds_layers_in_all_param_layouts():
     """The guard must see the same layers whether the model was created
     dense, with Pallas attention, or with whole-block fusion — the three

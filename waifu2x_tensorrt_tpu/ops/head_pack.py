@@ -96,8 +96,13 @@ def pack_head_x16(z, *, r: int, rows_block: int = 32,
     zv = z.reshape(b, h, w // g, in_lanes)  # free: merges contiguous dims
     s = jnp.asarray(_select_mats(r))
 
+    # largest row-block <= rows_block that divides h (round-4 review: the
+    # previous `assert h % rb == 0` relied on the CALLER padding heights
+    # to multiples of 32 — an invariant SwinUNet holds but this kernel
+    # does not own; h=48 would have crashed at trace time)
     rb = min(rows_block, h)
-    assert h % rb == 0, (h, rb)
+    while h % rb:
+        rb -= 1
     grid_spec = pl.GridSpec(
         grid=(b, h // rb),
         in_specs=[

@@ -118,6 +118,30 @@ _CLAMP_HI = 75.0
 FAST_SOFTMAX_BUDGET = 0.98 * min(-_CLAMP_LO, _CLAMP_HI)
 
 
+def shift_crossing(tok, tok_m, ws: int, shift: int):
+    """Canonical Swin shift-mask law (round-4 review: previously copied
+    at four sites; the clamped fast softmax's correctness depends on
+    every kernel building the IDENTICAL keep mask). ``tok``/``tok_m`` are
+    window-LOCAL token indices (any broadcastable int arrays — jnp arange
+    outer pairs or Mosaic broadcasted_iota planes). Returns boolean
+    (row_cross, col_cross): does entry (tok, tok_m) pair tokens from
+    opposite sides of the cyclic-shift ROW (resp. COLUMN) seam?"""
+    row_cross = ((tok // ws) >= (ws - shift)) != (
+        (tok_m // ws) >= (ws - shift))
+    col_cross = ((tok % ws) >= (ws - shift)) != (
+        (tok_m % ws) >= (ws - shift))
+    return row_cross, col_cross
+
+
+def keep_from_flags(bottom, right, row_cross, col_cross):
+    """keep = NOT((bottom & row_cross) | (right & col_cross)): an entry
+    is masked only in windows wrapping the frame's bottom (flag bit 1) /
+    right (bit 2) edge, and only when it crosses the matching seam. All
+    arguments pre-broadcast by the caller (flag selection differs per
+    kernel layout: plain, pair-folded, jnp)."""
+    return ~((bottom & row_cross) | (right & col_cross))
+
+
 def softmax_lastdim(attn, exact: bool = True, keep=None):
     """Softmax over the last axis, fp32 in/out.
 
@@ -143,27 +167,123 @@ def softmax_lastdim(attn, exact: bool = True, keep=None):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
+# bf16-path LayerNorm variance form (read at TRACE time):
+#   "pilot" — DEFAULT: shifted-moments (pilot = the row's own first
+#             channel): row-exact at every mean/std ratio. The extra
+#             elementwise subtract fuses away — same-session A/B on the
+#             v5e headline stream (2026-08-19, probes/ln_form_ab.py):
+#             pilot 478.1 MP/s vs floor 475.6 — within jitter of each
+#             other and of the r3 naive form's 475.3-479.4.
+#   "floor" — naive E[x^2]-mean^2 dots plus a relative variance floor:
+#             zero extra elementwise passes; on rows where cancellation
+#             has destroyed the variance the floor bounds rsqrt, so the
+#             failure mode degrades to "row normalized toward 0" instead
+#             of a multi-hundred-x blowup. Row-exact only while
+#             var/E[x^2] > 2^-7 (|mean|/std < ~11 — every healthy
+#             activation row; see layernorm docstring). Kept selectable
+#             for re-measurement; not the default because pilot costs
+#             nothing and is exact everywhere.
+_LN_FORM_ENV = "WAIFU2X_TPU_LN"
+
+# Relative floor: a single-bf16-pass reduction truncates at ~2^-9 of the
+# summand magnitude; E[x^2] is the magnitude scale of both dots, so any
+# computed var below 2^-7 * E[x^2] (4x margin) is indistinguishable from
+# rounding noise — flooring there caps rsqrt at its trustworthy range.
+_LN_FLOOR_REL = 2.0 ** -7
+
+# Worst-case inflation of sum(x_hat^2) (x_hat = LN-normalized row) over
+# the exact-math value C*var/(var+eps) <= C, under the shipped bf16 LN
+# forms. The fast-softmax logit bound (ops/logit_bound.py) consumes this:
+# its ||x_hat|| <= sqrt(C) step assumes exact LN arithmetic, which bf16
+# reduction error can violate — var_used may UNDERSHOOT var_true, so
+# sum(x_hat^2) ~ C*var_true/var_used can exceed C.
+#   floor form: |var_meas - var_true| <= floor/4 (the 4x margin above)
+#     and var_used = max(var_meas, floor) >= max(var_true - floor/4,
+#     floor); the ratio var_true/var_used peaks at 1.25 (var_true =
+#     1.25*floor). Mean-estimate error adds <= 2^-18*E[x^2] to the
+#     numerator — absorbed in the 1.26.
+#   pilot form: var error is RELATIVE to var + (mean-p)^2 <= ~10*var, so
+#     the ratio stays under ~1.07.
+#   exact=True: full-f32 dots, ratio 1 + O(2^-20).
+# 1.26 dominates every form. Without a floor (the r3 naive form) the
+# ratio was UNBOUNDED — a degenerate row could void the logit proof;
+# that is closed, not just slack-adjusted, by the floor.
+LN_VAR_SLACK = 1.26
+
+
 def layernorm(x, scale, bias, eps: float = 1e-5, exact: bool = False):
     """Fast-variance LayerNorm in fp32 (nn.LayerNorm semantics) with the
-    row reductions on the MXU: mean and mean-of-squares are dots with a
-    ones vector, freeing VPU passes (v5e: ~0.09 ms/stage-1 block).
+    row reductions on the MXU: mean and variance are dots with a ones
+    vector, freeing VPU passes (v5e: ~0.09 ms/stage-1 block).
 
-    exact=True forces full-f32 MXU passes for the reduction dots: TPU
-    default-precision f32 dots may multiply in bf16 passes, which would
-    silently soften the fp32 ("tf32" CLI) precision path. Cost is
-    negligible — the dots contract against a length-C ones vector.
+    Numerics (round-4 review): TPU default-precision f32 dots may multiply
+    in single bf16 passes, and the naive E[x^2] - mean^2 form cancels
+    catastrophically on high-mean/low-variance token rows — var collapses
+    toward 0 and rsqrt(var+eps) inflates the row by up to
+    sqrt(var_true/eps), measured 8.7 absolute error on unit-scale outputs
+    at mean/std = 1e4 (v5e 2026-08-19). A blown-up LN row would also void
+    the fast-softmax guard's proven logit bound (ops/logit_bound.py
+    assumes LN rows are unit-scale), so the bf16 path must bound this.
+    Every candidate fix was MEASURED on the v5e headline stream the same
+    day:
+
+      naive dots (r3 shipped)                      479.4 MP/s, hazard
+      Precision.HIGHEST both dots                  364
+      Precision.HIGHEST mean dot only              418
+      Kahan 3-dot (center, residual, square)       441.9
+      pilot shifted-moments (2 dots + 1 sub pass)  478.1  <- default
+      naive + relative var floor ("floor")         475.6
+
+    (The last two are a same-session A/B, probes/ln_form_ab.py —
+    cross-run tunnel drift is larger than their difference.) The bf16
+    form is selected by WAIFU2X_TPU_LN ("pilot" default, or "floor", see
+    _LN_FORM_ENV comment above). "floor" keeps the naive dots
+    bit-identical on every healthy row (floor engages only when
+    var < 2^-7 * E[x^2], i.e. |mean|/std > ~11 across channels — a
+    near-degenerate activation row) and converts the blowup into a
+    bounded attenuation: var >= 2^-7 * E[x^2] caps rsqrt so |y| stays
+    O(2^-5 + std/|mean|), preserving the logit-bound guard. "pilot" is
+    row-exact everywhere and measured just as fast, so it is the
+    default:
+
+      p   = x[..., 0:1]            # any in-row sample value works
+      xc  = x - p                  # deviation-scale operand
+      d   = dot(xc)/C              # = mean - p; bf16 error at DEVIATION
+                                   #   scale, not mean scale
+      s2  = dot(xc*xc)/C           # = var + d^2
+      var = s2 - d^2               # d = mean - p is O(std), so the
+                                   #   cancellation loses O(1) bits only
+      y   = (xc - d) * rsqrt(var + eps)
+
+    exact=True (the fp32 "tf32" CLI path, selected per-block on dtype in
+    swin_block) uses the pilot form with full-f32 MXU passes for the two
+    dots: golden-grade agreement with the dense flax forward at every
+    ratio; cost there is already accepted.
     """
     x32 = x.astype(jnp.float32)
     c = x32.shape[-1]
     ones = jnp.ones((c, 1), jnp.float32)
     dims = (((x32.ndim - 1,), (0,)), ((), ()))
-    prec = jax.lax.Precision.HIGHEST if exact else None
-    s1 = jax.lax.dot_general(x32, ones, dims, precision=prec,
-                             preferred_element_type=jnp.float32)
-    s2 = jax.lax.dot_general(x32 * x32, ones, dims, precision=prec,
-                             preferred_element_type=jnp.float32)
     inv_c = jnp.float32(1.0 / c)
-    mean = s1 * inv_c
-    var = jnp.maximum(s2 * inv_c - mean * mean, 0.0)
-    y = (x32 - mean) * jax.lax.rsqrt(var + jnp.float32(eps))
+    prec = jax.lax.Precision.HIGHEST if exact else None
+
+    def rowdot(a):
+        return jax.lax.dot_general(
+            a, ones, dims, precision=prec,
+            preferred_element_type=jnp.float32) * inv_c
+
+    form = os.environ.get(_LN_FORM_ENV, "pilot")
+    if exact or form != "floor":
+        p = jax.lax.slice_in_dim(x32, 0, 1, axis=-1)
+        xc = x32 - p
+        d = rowdot(xc)           # = mean - p; independent of s2 below
+        s2 = rowdot(xc * xc)
+        var = jnp.maximum(s2 - d * d, 0.0)
+        y = (xc - d) * jax.lax.rsqrt(var + jnp.float32(eps))
+    else:
+        mean = rowdot(x32)
+        s2 = rowdot(x32 * x32)
+        var = jnp.maximum(s2 - mean * mean,
+                          s2 * jnp.float32(_LN_FLOOR_REL))
+        y = (x32 - mean) * jax.lax.rsqrt(var + jnp.float32(eps))
     return y * scale.astype(jnp.float32) + bias.astype(jnp.float32)

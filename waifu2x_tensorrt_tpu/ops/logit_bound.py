@@ -11,9 +11,13 @@ budget.
 Derivation, per attention layer and head (window attention over pre-norm
 LayerNorm output):
 
-  x_hat = LN-normalized token (before affine): sum(x_hat^2) =
-          C * var / (var + eps) <= C, so ||x_hat||_2 <= sqrt(C).
-  y     = gamma * x_hat + beta:  ||y||_2 <= max|gamma| sqrt(C) + ||beta||_2
+  x_hat = LN-normalized token (before affine): with exact arithmetic
+          sum(x_hat^2) = C * var / (var + eps) <= C; the shipped bf16 LN
+          forms can undershoot var, inflating this by at most
+          kernel_math.LN_VAR_SLACK (1.26 — derivation at its
+          definition), so ||x_hat||_2 <= sqrt(C * LN_VAR_SLACK).
+  y     = gamma * x_hat + beta:
+          ||y||_2 <= max|gamma| sqrt(C * LN_VAR_SLACK) + ||beta||_2
   q     = Wq^T y + bq:           ||q||_2 <= sigma_max(Wq) ||y|| + ||bq||_2
   logit = q . k / sqrt(hd) + bias[table]:
           |logit| <= ||q|| ||k|| / sqrt(hd) + max|table|   (Cauchy-Schwarz)
@@ -35,6 +39,8 @@ from collections.abc import Mapping
 from typing import Optional
 
 import numpy as np
+
+from waifu2x_tensorrt_tpu.ops.kernel_math import LN_VAR_SLACK
 
 
 def _spectral_norm(w: np.ndarray) -> float:
@@ -62,7 +68,10 @@ def attention_logit_bound(norm1: dict, qkv: dict, bias_table: np.ndarray,
     table = np.asarray(bias_table, np.float64)
     c = kernel.shape[0]
     hd = c // num_heads
-    a = float(np.max(np.abs(gamma))) * math.sqrt(c) + float(
+    # sqrt(C * LN_VAR_SLACK): bf16 LN reduction error can undershoot var,
+    # inflating ||x_hat|| past the exact-math sqrt(C) — see LN_VAR_SLACK
+    # in ops/kernel_math.py for the per-form worst cases.
+    a = float(np.max(np.abs(gamma))) * math.sqrt(c * LN_VAR_SLACK) + float(
         np.linalg.norm(beta))
     worst = 0.0
     for h in range(num_heads):

@@ -29,7 +29,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from waifu2x_tensorrt_tpu.ops.kernel_math import gelu as _gelu
+from waifu2x_tensorrt_tpu.ops.kernel_math import (
+    keep_from_flags as _keep_from_flags,
+)
 from waifu2x_tensorrt_tpu.ops.kernel_math import layernorm as _layernorm
+from waifu2x_tensorrt_tpu.ops.kernel_math import (
+    shift_crossing as _shift_crossing,
+)
 from waifu2x_tensorrt_tpu.ops.kernel_math import softmax_lastdim as _softmax
 
 
@@ -73,11 +79,9 @@ def _block_body(x, flags, flags_b, n1s, n1b, qkvk, qkvb, bias, projk,
         if pair:
             keep = ((tok // N) == (tok_m // N))[None]  # (1, Nt, Nt)
     if shift:
-        tl, tml = tok % N, tok_m % N
-        row_cross = ((tl // ws) >= (ws - shift)) != (
-            (tml // ws) >= (ws - shift))
-        col_cross = ((tl % ws) >= (ws - shift)) != (
-            (tml % ws) >= (ws - shift))
+        # window-LOCAL token indices: in pair mode tok spans two windows
+        row_cross, col_cross = _shift_crossing(tok % N, tok_m % N, ws,
+                                               shift)
         if pair:
             # the flag governing an entry is the ROW token's window's —
             # select via int arithmetic (Mosaic rejects bool selects)
@@ -89,9 +93,10 @@ def _block_body(x, flags, flags_b, n1s, n1b, qkvk, qkvb, bias, projk,
         else:
             bottom = ((flags & 1) > 0)[:, :, None]
             right = ((flags & 2) > 0)[:, :, None]
-        crossing = (bottom & row_cross[None]) | (right & col_cross[None])
+        keep_cross = _keep_from_flags(bottom, right, row_cross[None],
+                                      col_cross[None])
         # (wb, Nt, Nt); zeroed after exp in softmax
-        keep = ~crossing if keep is None else (keep & ~crossing)
+        keep = keep_cross if keep is None else (keep & keep_cross)
 
     scale = jnp.asarray(hd ** -0.5, dtype)
     # MXU-fill variants, each bitwise-exact vs the plain per-head form and
@@ -271,14 +276,19 @@ def fused_swin_block(x, params, bias, flags, *, num_heads: int,
     )(
         x,
         vec("n1_scale", C), vec("n1_bias", C),
-        params["qkv_kernel"], vec("qkv_bias", 3 * C),
+        # GEMM weights ship to VMEM in the COMPUTE dtype (round-4 review):
+        # the kernel multiplies in x.dtype anyway (in-kernel astype), so
+        # pre-casting outside is bit-identical while halving the bf16
+        # path's weight block VMEM footprint and DMA traffic. Biases and
+        # LN params stay f32 — the kernel consumes them in f32.
+        params["qkv_kernel"].astype(x.dtype), vec("qkv_bias", 3 * C),
         bias,
         flags_a.reshape(-1, 1).astype(jnp.int32),
         flags_b.reshape(-1, 1).astype(jnp.int32),
-        params["proj_kernel"], vec("proj_bias", C),
+        params["proj_kernel"].astype(x.dtype), vec("proj_bias", C),
         vec("n2_scale", C), vec("n2_bias", C),
-        params["fc1_kernel"], vec("fc1_bias", mlp_dim),
-        params["fc2_kernel"], vec("fc2_bias", C),
+        params["fc1_kernel"].astype(x.dtype), vec("fc1_bias", mlp_dim),
+        params["fc2_kernel"].astype(x.dtype), vec("fc2_bias", C),
     )
     if pad:
         out = out[:rows]

@@ -32,6 +32,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from waifu2x_tensorrt_tpu.ops.kernel_math import (
+    keep_from_flags as _keep_from_flags,
+)
+from waifu2x_tensorrt_tpu.ops.kernel_math import (
+    shift_crossing as _shift_crossing,
+)
 from waifu2x_tensorrt_tpu.ops.kernel_math import softmax_lastdim as _softmax
 
 
@@ -59,14 +65,13 @@ def _mask_from_flags(flags, ws: int, shift: int):
     """(BW, N, N) additive mask from per-window flag bits (jnp)."""
     N = ws * ws
     t = jnp.arange(N)
-    row_region = (t // ws) >= (ws - shift)
-    col_region = (t % ws) >= (ws - shift)
-    row_cross = row_region[:, None] != row_region[None, :]
-    col_cross = col_region[:, None] != col_region[None, :]
+    row_cross, col_cross = _shift_crossing(t[:, None], t[None, :], ws,
+                                           shift)
     bottom = ((flags & 1) > 0)[:, None, None]
     right = ((flags & 2) > 0)[:, None, None]
-    crossing = (bottom & row_cross[None]) | (right & col_cross[None])
-    return jnp.where(crossing, -1e9, 0.0).astype(jnp.float32)
+    keep = _keep_from_flags(bottom, right, row_cross[None],
+                            col_cross[None])
+    return jnp.where(~keep, -1e9, 0.0).astype(jnp.float32)
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
@@ -93,16 +98,12 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, flags_ref, o_ref, *, ws, shift,
         # fully vectorized: no dynamic indexing (unsupported in Mosaic).
         tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
         tok_m = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        row_cross = ((tok // ws) >= (ws - shift)) != (
-            (tok_m // ws) >= (ws - shift))
-        col_cross = ((tok % ws) >= (ws - shift)) != (
-            (tok_m % ws) >= (ws - shift))
+        row_cross, col_cross = _shift_crossing(tok, tok_m, ws, shift)
         flags = flags_ref[:]  # (wb, 1) int32 block
         bottom = ((flags & 1) > 0)[:, :, None, None]  # (wb, 1, 1, 1)
         right = ((flags & 2) > 0)[:, :, None, None]
-        crossing = (bottom & row_cross[None, None]) | (
-            right & col_cross[None, None])  # (wb, 1, N, N)
-        keep = ~crossing
+        keep = _keep_from_flags(bottom, right, row_cross[None, None],
+                                col_cross[None, None])  # (wb, 1, N, N)
     else:
         keep = None
 
@@ -135,15 +136,13 @@ def _kernel_qkv(qkv_ref, bias_ref, flags_ref, o_ref, *, ws, shift, wb, nh,
     if shift:
         tok = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
         tok_m = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        row_cross = ((tok // ws) >= (ws - shift)) != (
-            (tok_m // ws) >= (ws - shift))
-        col_cross = ((tok % ws) >= (ws - shift)) != (
-            (tok_m % ws) >= (ws - shift))
+        row_cross, col_cross = _shift_crossing(tok, tok_m, ws, shift)
         flags = flags_ref[:]  # (wb, 1)
         bottom = ((flags & 1) > 0)[:, :, None]
         right = ((flags & 2) > 0)[:, :, None]
-        crossing = (bottom & row_cross[None]) | (right & col_cross[None])
-        keep = ~crossing  # (wb, N, N); zeroed after exp in softmax
+        keep = _keep_from_flags(bottom, right, row_cross[None],
+                                col_cross[None])
+        # (wb, N, N); zeroed after exp in softmax
     else:
         keep = None
 
