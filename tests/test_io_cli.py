@@ -346,3 +346,41 @@ def test_metrics_json_marks_deferred_stream_failures(tmp_path, monkeypatch):
     assert rec["totals"]["failed"] == 0
     assert rec["totals"]["exit_code"] == rc
     assert rec["totals"]["deferred_write_failures"] is True
+
+
+def test_unicode_paths_end_to_end(tmp_path):
+    """Wide-char path support, listed as an unshipped TODO in the
+    reference (README.md "Add wide char support" — its Windows build
+    takes char* paths): here paths are Unicode-native end to end. A
+    non-ASCII input directory AND filename render through the CLI into a
+    non-ASCII output directory with the suffix convention intact, and
+    recursive discovery walks Unicode trees."""
+    from waifu2x_tensorrt_tpu.cli import main
+
+    rng = np.random.default_rng(0)
+    in_dir = tmp_path / "入力 フォルダ" / "ソース"
+    in_dir.mkdir(parents=True)
+    names = ["画像 テスト①.png", "imágé–✨.png"]
+    for name in names:
+        write_image(in_dir / name,
+                    rng.integers(0, 256, (40, 52, 3), np.uint8))
+    # recursive discovery over the Unicode tree (discover.py)
+    found = find_files_by_extension(
+        [str(tmp_path / "入力 フォルダ")], [".png"], recursive=True)
+    assert sorted(Path(f).name for f in found) == sorted(names)
+
+    out_dir = tmp_path / "出力先"
+    out_dir.mkdir()
+    rc = main([
+        "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
+        "--batchSize", "2", "--tileSize", "64", "--precision", "tf32",
+        "--allow-random-weights",
+        "render", "-i", str(in_dir / names[0]), str(in_dir / names[1]),
+        "-o", str(out_dir),
+    ])
+    assert rc == 0
+    for name in names:
+        out = out_dir / f"{Path(name).stem}(swin_unet_art)(scale2).png"
+        assert out.exists(), sorted(p.name for p in out_dir.iterdir())
+        up = read_image(out)
+        assert up.shape == (80, 104, 3)
