@@ -127,6 +127,60 @@ def test_advice_never_crashes_across_choices(tile):
         tile_advice(SWIN4, _cfg(tile, scale=4), hw)
 
 
+def test_tile_auto_parses_and_build_rejects(capsys):
+    """--tileSize accepts 'auto' (render-only TPU extension); invalid
+    values keep a choice-style error; build rejects auto (one concrete
+    geometry per engine)."""
+    from waifu2x_tensorrt_tpu import cli as cli_mod
+
+    base = ["--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
+            "--batchSize", "1"]
+    p = cli_mod.build_parser()
+    args = p.parse_args(base + ["--tileSize", "auto", "render", "-i", "x"])
+    assert args.tile_size == "auto"
+    args = p.parse_args(base + ["--tileSize", "256", "render", "-i", "x"])
+    assert args.tile_size == 256
+    with pytest.raises(SystemExit):
+        p.parse_args(base + ["--tileSize", "100", "render", "-i", "x"])
+    capsys.readouterr()
+    rc = cli_mod.main(base + ["--tileSize", "auto", "build"])
+    assert rc == -1
+    assert "render subcommand" in capsys.readouterr().err
+
+
+def test_cli_tile_auto_selects_whole_frame(tmp_path, capsys):
+    """End-to-end --tileSize auto: small stills render whole-frame (the
+    measured-best class, BENCH_NOTES config1c/TTA rows), the choice is
+    announced once, and no tile warning fires afterwards."""
+    import numpy as np
+    from PIL import Image
+
+    from waifu2x_tensorrt_tpu import cli as cli_mod
+
+    rng = np.random.default_rng(1)
+    Image.fromarray(
+        rng.integers(0, 256, (96, 96, 3), np.uint8)).save(
+            tmp_path / "a.png")
+
+    cli_mod._ADVICE_SEEN.clear()
+    rc = cli_mod.main([
+        "--model", "swin_unet/art", "--scale", "2", "--noise", "-1",
+        "--batchSize", "1", "--tileSize", "auto", "--precision", "tf32",
+        "--allow-random-weights",
+        "render", "-i", str(tmp_path / "a.png"), "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    chosen = [ln for ln in out_text.splitlines()
+              if "--tileSize auto: using" in ln]
+    assert len(chosen) == 1, out_text
+    assert "0 (whole frame)" in chosen[0]
+    assert not [ln for ln in out_text.splitlines()
+                if "[WARN" in ln and "tileSize" in ln], out_text
+    out = Image.open(tmp_path / "a(swin_unet_art)(scale2).png")
+    assert out.size == (192, 192)
+
+
 def test_cli_emits_warning_once(tmp_path, capsys):
     """End-to-end: the CLI warns (once) for a modeled-slow tile pick and
     still renders with the asked tile."""

@@ -50,6 +50,23 @@ MODEL_CHOICES = (
 )
 
 
+def _tile_size_arg(value: str):
+    """--tileSize accepts the reference's numeric choices
+    (src/main.cpp:62-64) plus two TPU extensions: 0 (whole-frame) and
+    'auto' (advisor-selected; engine/advice.py)."""
+    if value == "auto":
+        return "auto"
+    try:
+        tile = int(value)
+    except ValueError:
+        tile = None
+    if tile not in TILE_CHOICES:
+        choices = ", ".join(str(t) for t in TILE_CHOICES)
+        raise argparse.ArgumentTypeError(
+            f"invalid choice: {value!r} (choose from {choices}, auto)")
+    return tile
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="waifu2x-tpu",
@@ -63,9 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=(-1, 0, 1, 2, 3), help="Set the noise level")
     p.add_argument("--batchSize", dest="batch_size", required=True, type=int,
                    help="Set the batch size")
-    p.add_argument("--tileSize", dest="tile_size", required=True, type=int,
-                   choices=TILE_CHOICES,
-                   help="Set the tile size (0 = whole-frame, no tiling)")
+    p.add_argument("--tileSize", dest="tile_size", required=True,
+                   type=_tile_size_arg, metavar="{%s,auto}" % ",".join(
+                       str(t) for t in TILE_CHOICES),
+                   help="Set the tile size (0 = whole-frame, no tiling; "
+                        "auto = pick the modeled-best size for the first "
+                        "input's frame size — render only)")
     p.add_argument("--device", dest="device", type=int, default=0,
                    help="Set the device ID")
     p.add_argument("--precision", choices=("fp16", "tf32"), default="fp16",
@@ -163,6 +183,10 @@ def _validate(args) -> None:
         # a negative value would silently slice devices[:-n] — the wrong
         # device count with no error (0 means "all devices")
         raise ValueError("--dp must be >= 0 (0 = all devices)")
+    if args.tile_size == "auto" and args.command == "build":
+        raise ValueError(
+            "--tileSize auto requires the render subcommand (build "
+            "compiles one concrete geometry; pass a numeric tile size)")
     if args.command == "render":
         # --tileSize 0 + --tta is supported: non-square frames render
         # through the rect-TTA path (engine/renderer.py
@@ -470,6 +494,13 @@ def main(argv=None) -> int:
     # tile cover the output — the measured-FASTEST cunet config for small
     # stills (bench config1c, 2.4x the tiled fp32 row). Per-frame-size
     # guidance now comes from engine/advice.py via _advise_tile.)
+    auto_tile = args.tile_size == "auto"
+    if auto_tile:
+        # provisional: 256 is the measured all-round default (BENCH_NOTES
+        # headline + config sweeps); re-selected against the first
+        # input's probed frame size after load, where the session's real
+        # constraints (graph-backed divisor, static geometry) are known.
+        args.tile_size = 256
     config = RenderConfig(
         device_id=args.device,
         precision=precision,
@@ -519,6 +550,22 @@ def main(argv=None) -> int:
     except Exception as e:
         message_cb(Severity.error, f"Engine load failed: {e}.")
         return -1
+
+    if auto_tile:
+        new_tile = _resolve_auto_tile(engine, files, message_cb)
+        if new_tile is not None and new_tile != args.tile_size:
+            import dataclasses as _dc
+
+            args.tile_size = new_tile
+            config = _dc.replace(config, height=new_tile, width=new_tile)
+            try:
+                engine.load(args.model, args.scale, args.noise, config,
+                            sharding=sharding,
+                            bucket=getattr(args, "bucket", 0),
+                            graph_exact=args.graph_exact)
+            except Exception as e:
+                message_cb(Severity.error, f"Engine load failed: {e}.")
+                return -1
 
     suffix = output_suffix(args.model, args.noise, args.scale, args.tta)
     out_dir = Path(args.output) if args.output else None
@@ -731,6 +778,47 @@ def _advise_tile(args, engine, frame_hw, message_cb) -> None:
         return
     if adv is not None:
         message_cb(Severity.warn, adv[2])
+
+
+def _resolve_auto_tile(engine, files, message_cb):
+    """``--tileSize auto``: pick the modeled-best CLI tile for the FIRST
+    input's frame size (extension — the reference offers no guidance at
+    all, src/main.cpp:62-64). Returns the tile to switch to, or None to
+    keep the provisional 256 (probe failure, fixed-geometry artifacts,
+    or 256 already near-optimal — the advisor only moves on modeled
+    >=20% wins, so model noise never flips the measured all-round
+    default). Later files of other frame sizes keep the session tile and
+    get the normal warn-only advice."""
+    if getattr(engine, "_static_geometry", None):
+        return None  # the export accepts exactly one geometry
+    try:
+        from waifu2x_tensorrt_tpu.io.video import probe_size
+
+        hw = probe_size(files[0])
+    except Exception as e:
+        message_cb(Severity.warn,
+                   f"--tileSize auto: could not probe {files[0]} ({e}); "
+                   f"using tileSize 256")
+        return None
+    try:
+        from waifu2x_tensorrt_tpu.engine.advice import tile_advice
+
+        adv = tile_advice(
+            engine.spec, engine._render_config, hw,
+            allow_whole_frame=not getattr(engine, "_graph_backed", False))
+    except Exception:
+        return None
+    if adv is None:
+        message_cb(Severity.info,
+                   f"--tileSize auto: using 256 for {hw[1]}x{hw[0]} frames")
+        return None
+    tile, ratio, _ = adv
+    label = "0 (whole frame)" if tile == 0 else str(tile)
+    message_cb(Severity.info,
+               f"--tileSize auto: using {label} for {hw[1]}x{hw[0]} "
+               f"frames (modeled {ratio:.1f}x less dispatched work than "
+               f"tileSize 256)")
+    return tile
 
 
 def _render_one(args, engine, capture, file, out_dir, suffix, state,

@@ -86,6 +86,37 @@ def probe(path: str | Path) -> dict[str, str]:
     return parse_key_value_string(out.stdout)
 
 
+def probe_size(path: str | Path) -> tuple[int, int]:
+    """(frame_height, frame_width) of an image or video WITHOUT starting
+    a decode pipe: image headers via PIL, videos via ffprobe (or an
+    OpenCV open/release when ffmpeg is absent). Size-dependent planning
+    (``--tileSize auto``) needs the geometry before any engine state
+    exists, so this stays cheaper than ``VideoCapture.open``."""
+    path = Path(path)
+    if not path.exists():
+        raise FileNotFoundError(str(path))
+    if path.suffix.lower() in IMAGE_SUFFIXES:
+        return image_size(path)
+    if have_ffmpeg():
+        info = probe(path)
+        return int(info["height"]), int(info["width"])
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    try:
+        if not cap.isOpened():
+            raise RuntimeError(
+                f"could not probe {path}: no ffmpeg on PATH and OpenCV "
+                "could not open it")
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    finally:
+        cap.release()
+    if h <= 0 or w <= 0:
+        raise RuntimeError(f"could not probe frame size of {path}")
+    return h, w
+
+
 class VideoCapture:
     """Streaming decoder (reference class VideoCapture, capture.h:6-31).
 
