@@ -158,10 +158,103 @@ def test_layernorm_hazard_row_floor_form_is_bounded(monkeypatch):
     ones = jnp.ones(c, jnp.float32)
     zeros = jnp.zeros(c, jnp.float32)
     got = np.asarray(layernorm(jnp.asarray(x), ones, zeros))
-    # var floored at 2^-7 * E[x^2] ~ 78 here -> |y| ~ std/(|x| * 2^-3.5);
+    # var floored at 2^-6 * E[x^2] ~ 156 here -> |y| ~ std/(|x| * 2^-3);
     # anything <= 1 proves the blowup is gone (r3 naive measured 8.7)
     assert np.abs(got).max() < 1.0, np.abs(got).max()
     assert np.isfinite(got).all()
+
+
+def test_layernorm_pilot_floor_engages_on_outlier_pilot_row():
+    """The pilot form's relative floor (kernel_math._LN_PILOT_FLOOR_REL)
+    must engage when the pilot channel is an extreme outlier of its row
+    (d^2/var > ~20) — the regime where single-pass bf16 dot error on TPU
+    could otherwise zero the computed variance (see LN_VAR_SLACK). On
+    CPU (exact dots) engagement shows as a bounded attenuation; the
+    exact=True (fp32 CLI) path keeps no floor and stays exact."""
+    from waifu2x_tensorrt_tpu.ops.kernel_math import _LN_PILOT_FLOOR_REL
+
+    c = 96
+    rng = np.random.default_rng(3)
+    x = (0.01 * rng.standard_normal((1, 4, c))).astype(np.float32)
+    x[..., 0] = 10.0  # pilot channel carries ~all the row variance
+    x64 = x.astype(np.float64)
+    mu = x64.mean(-1, keepdims=True)
+    var = x64.var(-1, keepdims=True)
+    ref = (x64 - mu) / np.sqrt(var + 1e-5)
+    s2 = ((x64 - x64[..., 0:1]) ** 2).mean(-1, keepdims=True)
+    floor = _LN_PILOT_FLOOR_REL * s2
+    assert (floor > var).all()  # the construction reaches the floor
+    ones = jnp.ones(c, jnp.float32)
+    zeros = jnp.zeros(c, jnp.float32)
+    got = np.asarray(layernorm(jnp.asarray(x), ones, zeros)).astype(
+        np.float64)
+    # attenuated by exactly sqrt(var/floor), never inflated
+    np.testing.assert_allclose(got, ref * np.sqrt((var + 1e-5) / (
+        floor + 1e-5)), rtol=2e-3, atol=2e-4)
+    assert (np.abs(got) <= np.abs(ref) + 1e-6).all()
+    # sum(x_hat^2) stays within the logit-bound slack, exactly the
+    # property ops/logit_bound.py consumes
+    from waifu2x_tensorrt_tpu.ops.kernel_math import LN_VAR_SLACK
+
+    assert ((got ** 2).sum(-1) <= c * LN_VAR_SLACK).all()
+    got_exact = np.asarray(layernorm(jnp.asarray(x), ones, zeros,
+                                     exact=True))
+    np.testing.assert_allclose(got_exact, ref, atol=1e-3)
+
+
+def _bf16_rtn(a):
+    """Round-to-nearest bf16 (the operand truncation of a single-pass
+    MXU dot), back to f64."""
+    import ml_dtypes
+
+    return np.asarray(a, dtype=ml_dtypes.bfloat16).astype(np.float64)
+
+
+def test_pilot_floor_bounds_emulated_bf16_dot_error():
+    """Adversarial soundness of LN_VAR_SLACK under the documented TPU
+    error model (dot OPERANDS truncated to bf16, f32 accumulation):
+    emulate the pilot form's two dots with real bf16 operand rounding
+    over adversarial two-value rows. WITHOUT the floor, rounding alone
+    drives sum(x_hat^2) past C * LN_VAR_SLACK at C=192 (the round-4
+    review gap: the error bound 3u*(C+1)*var exceeds var itself); WITH
+    the shipped floor every row stays inside the slack, for every C the
+    fused kernels run (96 and 192) and far beyond."""
+    from waifu2x_tensorrt_tpu.ops.kernel_math import (
+        LN_VAR_SLACK,
+        _LN_PILOT_FLOOR_REL,
+    )
+
+    def sumsq(x, floored: bool) -> float:
+        p = x[0]
+        xc = x - p
+        d = _bf16_rtn(xc).mean()       # operand-truncated dots
+        s2 = _bf16_rtn(xc * xc).mean()
+        var = s2 - d * d
+        var = max(var, _LN_PILOT_FLOOR_REL * s2) if floored else max(
+            var, 0.0)
+        y = (xc - d) / np.sqrt(var + 1e-5)
+        return float((y ** 2).sum())
+
+    worst_unfloored = 0.0
+    violations = 0
+    for c in (96, 192, 384):
+        for k in range(1, 512):
+            # all non-pilot channels equal: var_true/s2 = 1/c, the
+            # Chebyshev extreme where the d^2 cancellation is sharpest;
+            # scan the bf16 grid gap for the worst rounding alignment
+            v = 1.0 + k * 2.0 ** -16
+            x = np.full(c, v, np.float64)
+            x[0] = 0.0
+            got = sumsq(x, floored=True)
+            assert got <= c * LN_VAR_SLACK, (c, v, got / c)
+            un = sumsq(x, floored=False) / c
+            worst_unfloored = max(worst_unfloored, un)
+            if un > LN_VAR_SLACK:
+                violations += 1
+    # the hazard is real: without the floor, round-to-nearest bf16
+    # operands alone (no adversarial rounding mode needed) break the
+    # 1.26 slack on these rows
+    assert violations > 0, worst_unfloored
 
 
 def test_layernorm_hazard_row_exact_flag_is_exact(monkeypatch):

@@ -185,11 +185,27 @@ def softmax_lastdim(attn, exact: bool = True, keep=None):
 #             nothing and is exact everywhere.
 _LN_FORM_ENV = "WAIFU2X_TPU_LN"
 
-# Relative floor: a single-bf16-pass reduction truncates at ~2^-9 of the
-# summand magnitude; E[x^2] is the magnitude scale of both dots, so any
-# computed var below 2^-7 * E[x^2] (4x margin) is indistinguishable from
-# rounding noise — flooring there caps rsqrt at its trustworthy range.
-_LN_FLOOR_REL = 2.0 ** -7
+# Error model for the default-precision f32 dots in-kernel: the OPERAND
+# is truncated to bf16 for a single MXU pass and accumulated in f32.
+# Per-element relative error u <= 2^-8 (round-to-nearest bf16 unit
+# roundoff is 2^-9; 2^-8 also covers a truncate-toward-zero lowering —
+# the proof below must not depend on the rounding mode Mosaic happens to
+# use). x itself enters the kernels as bf16 activations, so casting it
+# to f32 is exact and a dot whose operand is x directly has NO
+# truncation error (f32-accumulation error ~C*2^-24, absorbed below).
+
+# Relative variance floors (4x margin over the worst-case dot error of
+# the respective form — see LN_VAR_SLACK): any computed var below the
+# floor is indistinguishable from rounding noise, so flooring there caps
+# rsqrt at its trustworthy range.
+#   floor form: one truncated operand (x*x), |dvar| <= u*E[x^2]
+#               -> floor 4u = 2^-6 of E[x^2].
+#   pilot form: both dots run at deviation scale s2 = var + d^2;
+#               |ds2| <= u*s2, |2*d*dd| <= 2u*s2 (|d| <= E|xc|,
+#               |dd| <= u*E|xc|, E|xc|^2 <= s2) -> |dvar| <= 3u*s2
+#               -> floor 12u = 3*2^-6 of s2.
+_LN_FLOOR_REL = 2.0 ** -6
+_LN_PILOT_FLOOR_REL = 3.0 * 2.0 ** -6
 
 # Worst-case inflation of sum(x_hat^2) (x_hat = LN-normalized row) over
 # the exact-math value C*var/(var+eps) <= C, under the shipped bf16 LN
@@ -197,17 +213,28 @@ _LN_FLOOR_REL = 2.0 ** -7
 # its ||x_hat|| <= sqrt(C) step assumes exact LN arithmetic, which bf16
 # reduction error can violate — var_used may UNDERSHOOT var_true, so
 # sum(x_hat^2) ~ C*var_true/var_used can exceed C.
-#   floor form: |var_meas - var_true| <= floor/4 (the 4x margin above)
-#     and var_used = max(var_meas, floor) >= max(var_true - floor/4,
-#     floor); the ratio var_true/var_used peaks at 1.25 (var_true =
-#     1.25*floor). Mean-estimate error adds <= 2^-18*E[x^2] to the
-#     numerator — absorbed in the 1.26.
-#   pilot form: var error is RELATIVE to var + (mean-p)^2 <= ~10*var, so
-#     the ratio stays under ~1.07.
-#   exact=True: full-f32 dots, ratio 1 + O(2^-20).
-# 1.26 dominates every form. Without a floor (the r3 naive form) the
-# ratio was UNBOUNDED — a degenerate row could void the logit proof;
-# that is closed, not just slack-adjusted, by the floor.
+#
+# Both shipped forms floor var_used at 4x their worst-case error bound D
+# (the floor constants above), so var_used >= max(var_true - D, 4D) and
+#   sum(x_hat^2) / C <= (var_true + dd^2) / var_used
+#                    <= max over v of v/max(v - D, 4D) + (u^2*s2)/(4D)
+#                    =  (4D + D)/(4D) + 2^-16/(12*2^-8)  <  1.2504.
+# (The d-estimate error enters the NUMERATOR only quadratically:
+# sum((xc - d_meas)^2) = C*(var + dd^2) exactly — the cross term
+# vanishes — so a mis-centered mean cannot inflate the row linearly.)
+# This holds for EVERY channel width, mean/std ratio, and input row:
+# no "healthy activation" assumption remains. Chebyshev bounds
+# d^2 <= C*var for the pilot form (the pilot is an in-row sample), so
+# its floor engages only where d^2/var > ~20 — a pilot channel that is
+# a >4.5-sigma outlier of its own row; such a row degrades to a bounded
+# attenuation (the safe direction for the guard), never a blowup.
+#   exact=True: full-f32 multi-pass dots, ratio 1 + O(2^-18); no floor
+#     (it would needlessly perturb legitimate extreme-outlier rows).
+# 1.2504 -> 1.26 covers every form. The r3 naive form had NO finite
+# bound (a degenerate row could zero the computed var and void the
+# logit proof); the round-4 review found the first pilot form's bound
+# was C-dependent and unbounded for C >= 170 (3u*(C+1) > 1) — both are
+# closed, not slack-adjusted, by the floors.
 LN_VAR_SLACK = 1.26
 
 
@@ -278,7 +305,13 @@ def layernorm(x, scale, bias, eps: float = 1e-5, exact: bool = False):
         xc = x32 - p
         d = rowdot(xc)           # = mean - p; independent of s2 below
         s2 = rowdot(xc * xc)
-        var = jnp.maximum(s2 - d * d, 0.0)
+        # bf16 path: relative floor at 4x the worst-case dot error so the
+        # logit-bound slack holds for EVERY row (see LN_VAR_SLACK). It
+        # engages only where the pilot channel is a >4.5-sigma outlier of
+        # its row (d^2/var > ~20; Chebyshev caps it at C); exact=True dots
+        # are multi-pass f32 and keep the plain non-negative clamp.
+        floor = 0.0 if exact else s2 * jnp.float32(_LN_PILOT_FLOOR_REL)
+        var = jnp.maximum(s2 - d * d, floor)
         y = (xc - d) * jax.lax.rsqrt(var + jnp.float32(eps))
     else:
         mean = rowdot(x32)
