@@ -142,6 +142,19 @@ class TestCLI:
                 ["--model", "cunet/art", "--scale", "3", "--noise", "1",
                  "--batchSize", "4", "--tileSize", "256", "build"])
 
+    def test_precision_numeric_aliases(self):
+        # The reference's CLI11 enum accepts the names OR the numeric
+        # values {fp16->1, tf32->0} (src/main.cpp:76-84); scripts written
+        # for the reference binary must parse unchanged here.
+        for flag, want in (("fp16", "fp16"), ("tf32", "tf32"),
+                           ("1", "fp16"), ("0", "tf32")):
+            args = self._parse(["--precision", flag, "render",
+                                "-i", "x.png"])
+            assert args.precision == want, flag
+        assert self._parse(["render", "-i", "x.png"]).precision == "fp16"
+        with pytest.raises(SystemExit):
+            self._parse(["--precision", "fp32", "render", "-i", "x.png"])
+
     def test_semantic_validation_exit(self, capsys):
         from waifu2x_tensorrt_tpu.cli import main
 

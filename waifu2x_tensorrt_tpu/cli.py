@@ -67,6 +67,17 @@ def _tile_size_arg(value: str):
     return tile
 
 
+def _precision_arg(value: str) -> str:
+    """--precision accepts the names and the reference's numeric enum
+    values (CLI11 ``{fp16->1,tf32->0} OR {1,0}``, src/main.cpp:76-84), so
+    scripts written for the reference binary run unchanged."""
+    mapped = {"fp16": "fp16", "tf32": "tf32", "1": "fp16", "0": "tf32"}
+    if value not in mapped:
+        raise argparse.ArgumentTypeError(
+            f"invalid choice: {value!r} (choose from fp16, tf32, 1, 0)")
+    return mapped[value]
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="waifu2x-tpu",
@@ -88,8 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "input's frame size — render only)")
     p.add_argument("--device", dest="device", type=int, default=0,
                    help="Set the device ID")
-    p.add_argument("--precision", choices=("fp16", "tf32"), default="fp16",
-                   help="Set the precision")
+    p.add_argument("--precision", type=_precision_arg,
+                   metavar="{fp16,tf32,1,0}", default="fp16",
+                   help="Set the precision (fp16=1, tf32=0 — the numeric "
+                        "forms match the reference's CLI11 enum mapping, "
+                        "src/main.cpp:76-84)")
     p.add_argument("--models-dir", default="models",
                    help="Model weight directory (default: models)")
     p.add_argument("--dp", type=int, default=1,
