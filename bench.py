@@ -194,6 +194,12 @@ def measure_stream(run, frame_dev, scale, frame_hw, iters=16, rounds=3,
             outs = stream.submit(frame_dev)
             if outs:
                 last = outs[-1]
+        if last is None:
+            raise ValueError(
+                f"measure_stream: no chunk flushed in a round — raise "
+                f"iters (={iters}) to at least the frames-per-flush of "
+                f"this config (whole-frame tiles flush every batch_size "
+                f"frames)")
         force(last)
         best = min(best, (time.perf_counter() - t0) / iters)
     out_mp = frame_hw[0] * scale * frame_hw[1] * scale / 1e6
@@ -496,19 +502,24 @@ def main() -> None:
 
         # config 1c: cunet BEST levers (VERDICT r3 item 2) -- whole-frame
         # tile (one tile covers the 512px frame incl. the offset-36
-        # context; no overlap redundancy), bf16, batch-4 streaming (4
-        # frames per full-batch dispatch). 2.3x the r2 config1 number.
+        # context; no overlap redundancy), bf16, batch-16 streaming (16
+        # frames per full-batch dispatch). Whole-frame cunet scales
+        # super-linearly in batch on v5e (39.8 / 78.1 / 103.9 MP/s at
+        # b4/b8/b16, aligned-iters measurement 2026-08-19): the conv
+        # layouts XLA picks at larger batch need far fewer relayout
+        # copies. iters/warm are multiples of the 16-frame flush so every
+        # timed round covers whole chunks.
         def config1c():
             cfg1c = RenderConfig(
-                precision=Precision.FP16, batch_size=4, height=0,
+                precision=Precision.FP16, batch_size=16, height=0,
                 width=0, scaling=2, overlap=(1 / 16, 1 / 16))
             run1c = make_pipeline("cunet/art", 2, 1, cfg1c, img_hw,
                                   fused_block=False)
             force(run1c(img512))
-            v, f = measure_stream(run1c, img512, 2, img_hw, iters=8,
-                                  warm=4)
+            v, f = measure_stream(run1c, img512, 2, img_hw, iters=32,
+                                  warm=16)
             return {"MPps": round(v, 1), "fps": round(f, 2),
-                    "mode": "whole-frame tile, bf16, streamed b4"}
+                    "mode": "whole-frame tile, bf16, streamed b16"}
         row("config1c_cunet2x_512_bf16_best", config1c)
 
         # config 3: swin_unet/art_scan 4x with 8-way TTA, batch 8 (the

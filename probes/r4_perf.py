@@ -117,6 +117,45 @@ def tta_b_phase():
              Precision.FP16, img_hw, img, stream=True, iters=6)
 
 
+def cunet_ct_phase():
+    """A/B ct_as_shuffle (k2s2 ConvTranspose -> GEMM+depth-to-space) on
+    the shipped cunet rows. Motivated by the config1c device trace: the
+    transposed-conv interior-pad lowering shows up as broadcast+select
+    passes and full-res relayout copies (~33% of device time is raw
+    copies)."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision
+
+    _tpu_setup()
+    img_hw = (512, 512)
+    img = bench.make_frame(img_hw)
+    C = "cunet/art"
+    for name, tile, batch, stream, kw in (
+        ("t0_b4_bf16_streamed(config1c) base", 0, 4, True, {}),
+        ("t0_b4_bf16_streamed(config1c) ctshuf", 0, 4, True,
+         {"ct_as_shuffle": True}),
+        ("t256_b4_bf16_streamed base", 256, 4, True, {}),
+        ("t256_b4_bf16_streamed ctshuf", 256, 4, True,
+         {"ct_as_shuffle": True}),
+        ("t0_b8_bf16_streamed ctshuf", 0, 8, True,
+         {"ct_as_shuffle": True}),
+    ):
+        from waifu2x_tensorrt_tpu.engine.config import RenderConfig
+        cfg = RenderConfig(precision=Precision.FP16, batch_size=batch,
+                           height=tile, width=tile, scaling=2,
+                           overlap=(1 / 16, 1 / 16))
+        t0 = time.perf_counter()
+        run = bench.make_pipeline(C, 2, 1, cfg, img_hw, fused_block=False,
+                                  **kw)
+        bench.force(run(img))
+        log(f"[probe] {name} ready {time.perf_counter() - t0:.0f}s")
+        if stream:
+            v, f = bench.measure_stream(run, img, 2, img_hw, iters=8,
+                                        warm=4)
+        else:
+            v, f = bench.measure(run, img, 2, img_hw, iters=6)
+        print(f"{name}: {v:.1f} MP/s, {f:.2f} frames/s", flush=True)
+
+
 def trace_phase(which: str):
     import jax
 
@@ -128,6 +167,11 @@ def trace_phase(which: str):
     if which == "tta":
         run, _ = _run_cfg("tta_t256_b8_trace", "swin_unet/art_scan", 3, 4,
                           256, 8, Precision.FP16, img_hw, img, iters=2)
+    elif which == "cunet-best":
+        # config1c geometry (the shipped best-levers bench row): whole-
+        # frame tile, bf16, batch 4 — what binds the 37 MP/s row?
+        run, _ = _run_cfg("cunet_t0_b4_bf16_trace", "cunet/art", 1, 2,
+                          0, 4, Precision.FP16, img_hw, img, iters=2)
     elif which == "cunet-fp32":
         # config1-exact geometry: the row VERDICT item 2 asks to explain
         run, _ = _run_cfg("cunet_t256_b1_fp32_trace", "cunet/art", 1, 2,
@@ -136,11 +180,28 @@ def trace_phase(which: str):
         run, _ = _run_cfg("cunet_t256_b4_trace", "cunet/art", 1, 2,
                           256, 4, Precision.FP16, img_hw, img, iters=2)
     out_dir = f"/tmp/r4_trace_{which}"
-    jax.profiler.start_trace(out_dir)
-    for _ in range(3):
-        out = run(img)
-    bench.force(out)
-    jax.profiler.stop_trace()
+    if which == "cunet-best":
+        # config1c is a STREAMED row (4 whole-frame tiles per dispatch);
+        # trace the stream, not per-frame batch-1 renders.
+        from waifu2x_tensorrt_tpu.engine.renderer import TileStream
+
+        stream = TileStream(run.pipeline, run.params, img_hw)
+        for _ in range(8):
+            stream.submit(img)
+        jax.profiler.start_trace(out_dir)
+        out = None
+        for _ in range(8):
+            outs = stream.submit(img)
+            if outs:
+                out = outs[-1]
+        bench.force(out)
+        jax.profiler.stop_trace()
+    else:
+        jax.profiler.start_trace(out_dir)
+        for _ in range(3):
+            out = run(img)
+        bench.force(out)
+        jax.profiler.stop_trace()
     print(f"trace written to {out_dir}", flush=True)
 
 
@@ -195,10 +256,14 @@ if __name__ == "__main__":
         tta_b_phase()
     elif phase == "cunet":
         cunet_phase()
+    elif phase == "cunet-ct":
+        cunet_ct_phase()
     elif phase == "trace-tta":
         trace_phase("tta")
     elif phase == "trace-cunet":
         trace_phase("cunet")
+    elif phase == "trace-cunet-best":
+        trace_phase("cunet-best")
     elif phase == "trace-cunet-fp32":
         trace_phase("cunet-fp32")
     elif phase == "summarize":

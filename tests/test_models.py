@@ -167,6 +167,34 @@ def test_shuffle_via_deconv_is_equivalent():
     assert np.abs(y1 - y2).max() < 1e-5
 
 
+@pytest.mark.parametrize("scale", [1, 2])
+def test_cunet_ct_as_shuffle_is_equivalent(scale):
+    """The GEMM+depth-to-space form of cunet's k2s2 transposed convs
+    (models/cunet.py::_CT2x2Shuffle) computes the same sums over the
+    identical parameter tree; residual fp32 reassociation drift stays an
+    order of magnitude below the u8 output quantization step (1/255)."""
+    import jax.numpy as jnp
+    import jax.tree_util as tu
+
+    from waifu2x_tensorrt_tpu.models.registry import (
+        create_model,
+        init_params,
+    )
+
+    m1, _ = create_model("cunet/art", scale, 1, dtype=jnp.float32)
+    m2, _ = create_model("cunet/art", scale, 1, dtype=jnp.float32,
+                         ct_as_shuffle=True)
+    p = init_params(m1, tile=80)
+    assert (tu.tree_structure(p)
+            == tu.tree_structure(init_params(m2, tile=80)))
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (2, 80, 80, 3)).astype(np.float32))
+    y1 = np.asarray(m1.apply({"params": p}, x))
+    y2 = np.asarray(m2.apply({"params": p}, x))
+    assert y1.shape == y2.shape
+    assert np.abs(y1 - y2).max() < 4e-4  # 1/255 = 3.9e-3
+
+
 def test_head_via_deconv_is_equivalent():
     """The stride-r transposed-conv form of the head sub-pixel conv
     (swin_unet._conv_shuffle_as_deconv) is the SAME math as

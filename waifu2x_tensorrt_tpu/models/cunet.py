@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _NEG_SLOPE = 0.1
@@ -57,6 +58,58 @@ class SEBlock(nn.Module):
         return x * z[:, None, None, :]
 
 
+class _CT2x2Shuffle(nn.Module):
+    """ConvTranspose(k=2, s=2, VALID) as one GEMM + depth-to-space.
+
+    At kernel == stride == 2 every output pixel receives exactly ONE
+    contributing input pixel: out[2i+di, 2j+dj, o] = sum_c x[i,j,c] *
+    K[di,dj,c,o] + b[o]. XLA lowers a transposed conv through an
+    interior-padded (zero-interleaved) convolution — on v5e the
+    zero-interleave materializes as broadcast+select passes plus layout
+    relayout copies over the full-resolution tensors (measured in the
+    config1c device trace, BENCH_NOTES round 4 cunet section). The GEMM
+    form computes the identical sum (the interleaved zeros contribute
+    exact 0s), so it is numerically equivalent with the same param tree
+    (kernel (2,2,cin,out) + bias, flax ConvTranspose names/shapes), and
+    checkpoints load into either form unchanged.
+
+    TPU-only opt via ``ct_as_shuffle`` (registry.create_model); default
+    stays flax ConvTranspose.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        b, h, w = x.shape[0], x.shape[1], x.shape[2]
+        # lax.conv_transpose applies the kernel UNFLIPPED over the
+        # zero-dilated input, so output parity (di,dj) reads tap
+        # K[1-di, 1-dj] (verified vs nn.ConvTranspose): flip both spatial
+        # axes, then pack K[di,dj,c,o] -> W[c, (di,dj,o)].
+        wmat = jnp.transpose(kernel[::-1, ::-1], (2, 0, 1, 3)).reshape(
+            cin, 4 * self.features).astype(self.dtype)
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), wmat,
+            (((x.ndim - 1,), (0,)), ((), ())))
+        y = y.reshape(b, h, w, 2, 2, self.features)
+        y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(
+            b, 2 * h, 2 * w, self.features)
+        return y + bias.astype(self.dtype)
+
+
+def _conv_transpose_2x2(features, dtype, name, shuffle: bool):
+    if shuffle:
+        return _CT2x2Shuffle(features, dtype=dtype, name=name)
+    return nn.ConvTranspose(features, (2, 2), strides=(2, 2),
+                            padding="VALID", dtype=dtype, name=name)
+
+
 class UNetConv(nn.Module):
     """conv3x3(valid) → lrelu → conv3x3(valid) → lrelu → optional SE."""
 
@@ -85,6 +138,7 @@ class UNet1(nn.Module):
     out_channels: int = 3
     deconv: bool = False
     dtype: Any = jnp.float32
+    ct_as_shuffle: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -93,8 +147,8 @@ class UNet1(nn.Module):
                      dtype=self.dtype, name="conv1_down")(x1)
         x2 = _lrelu(x2)
         x2 = UNetConv(128, 64, se=True, dtype=self.dtype, name="conv2")(x2)
-        x2 = nn.ConvTranspose(64, (2, 2), strides=(2, 2), padding="VALID",
-                              dtype=self.dtype, name="conv2_up")(x2)
+        x2 = _conv_transpose_2x2(64, self.dtype, "conv2_up",
+                                 self.ct_as_shuffle)(x2)
         x2 = _lrelu(x2)
         x3 = nn.Conv(64, (3, 3), padding="VALID", dtype=self.dtype,
                      name="conv3")(_crop(x1, 4) + x2)
@@ -118,6 +172,7 @@ class UNet2(nn.Module):
     out_channels: int = 3
     deconv: bool = False
     dtype: Any = jnp.float32
+    ct_as_shuffle: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -130,13 +185,13 @@ class UNet2(nn.Module):
                      dtype=self.dtype, name="conv2_down")(x2)
         x3 = _lrelu(x3)
         x3 = UNetConv(256, 128, se=True, dtype=self.dtype, name="conv3")(x3)
-        x3 = nn.ConvTranspose(128, (2, 2), strides=(2, 2), padding="VALID",
-                              dtype=self.dtype, name="conv3_up")(x3)
+        x3 = _conv_transpose_2x2(128, self.dtype, "conv3_up",
+                                 self.ct_as_shuffle)(x3)
         x3 = _lrelu(x3)
         x4 = UNetConv(64, 64, se=True, dtype=self.dtype, name="conv4")(
             _crop(x2, 4) + x3)
-        x4 = nn.ConvTranspose(64, (2, 2), strides=(2, 2), padding="VALID",
-                              dtype=self.dtype, name="conv4_up")(x4)
+        x4 = _conv_transpose_2x2(64, self.dtype, "conv4_up",
+                                 self.ct_as_shuffle)(x4)
         x4 = _lrelu(x4)
         x5 = nn.Conv(64, (3, 3), padding="VALID", dtype=self.dtype,
                      name="conv5")(_crop(x1, 16) + x4)
@@ -161,6 +216,7 @@ class CUNet(nn.Module):
     out_channels: int = 3
     clamp: bool = True
     dtype: Any = jnp.float32
+    ct_as_shuffle: bool = False
 
     scale: int = 1
     offset: int = 28  # per-side, output space
@@ -169,9 +225,9 @@ class CUNet(nn.Module):
     def __call__(self, x):
         x = x.astype(self.dtype)
         z1 = UNet1(self.out_channels, deconv=False, dtype=self.dtype,
-                   name="unet1")(x)
+                   ct_as_shuffle=self.ct_as_shuffle, name="unet1")(x)
         z2 = UNet2(self.out_channels, deconv=False, dtype=self.dtype,
-                   name="unet2")(z1)
+                   ct_as_shuffle=self.ct_as_shuffle, name="unet2")(z1)
         z = _crop(z1, 20) + z2
         if self.clamp:
             z = jnp.clip(z, 0.0, 1.0)
@@ -187,6 +243,7 @@ class UpCUNet(nn.Module):
     out_channels: int = 3
     clamp: bool = True
     dtype: Any = jnp.float32
+    ct_as_shuffle: bool = False
 
     scale: int = 2
     offset: int = 36
@@ -195,9 +252,9 @@ class UpCUNet(nn.Module):
     def __call__(self, x):
         x = x.astype(self.dtype)
         z1 = UNet1(self.out_channels, deconv=True, dtype=self.dtype,
-                   name="unet1")(x)
+                   ct_as_shuffle=self.ct_as_shuffle, name="unet1")(x)
         z2 = UNet2(self.out_channels, deconv=False, dtype=self.dtype,
-                   name="unet2")(z1)
+                   ct_as_shuffle=self.ct_as_shuffle, name="unet2")(z1)
         z = _crop(z1, 20) + z2
         if self.clamp:
             z = jnp.clip(z, 0.0, 1.0)

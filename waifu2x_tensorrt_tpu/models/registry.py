@@ -110,6 +110,7 @@ def create_model(
     lane_pad: int = 0,
     base_dim: Optional[int] = None,
     depths: Optional[tuple] = None,
+    ct_as_shuffle: bool = False,
 ):
     """Build the Flax module + spec for a (family, scale, noise) choice.
 
@@ -130,10 +131,15 @@ def create_model(
     dtype = dtype or jnp.float32
     spec = get_spec(family, scale, noise)
     if spec.arch == "cunet":
+        # ct_as_shuffle: k2s2 transposed convs as GEMM+depth-to-space —
+        # identical math/params (models/cunet.py::_CT2x2Shuffle), avoids
+        # XLA's interior-padded transposed-conv lowering.
         if scale == 1:
-            module = _cunet.CUNet(dtype=dtype, clamp=clamp)
+            module = _cunet.CUNet(dtype=dtype, clamp=clamp,
+                                  ct_as_shuffle=ct_as_shuffle)
         else:
-            module = _cunet.UpCUNet(dtype=dtype, clamp=clamp)
+            module = _cunet.UpCUNet(dtype=dtype, clamp=clamp,
+                                    ct_as_shuffle=ct_as_shuffle)
     else:
         packed = packed_head and scale > 1
         pack_x = packed_x_head and scale > 1 and not packed
