@@ -84,6 +84,65 @@ def _cost(spec, config, frame_hw, tile: int, candidate: bool = False,
     return plan.tile_count * th * tw / _efficiency(max(th, tw))
 
 
+# Measured v5e batch-scaling, streamed throughput relative to batch 16
+# (BENCH_NOTES "Round 4 (continued session): cunet whole-frame batch
+# scaling" — aligned-iters methodology). cunet points are the TILED
+# t256 measurements (28.1 / 51.0 / 62.6 MP/s at b4/b8/b16), the more
+# conservative of the two measured series (whole-frame scales harder:
+# 39.8/78.1/103.9). swin has measured points at b4 (287.4, BENCH_NOTES
+# config2) and b16 (475.3 headline); b8 is unmeasured, so swin stays
+# silent there. Below the smallest measured batch the efficiency is
+# floored at that point — gains only shrink with batch on every
+# measured series, so the advisor UNDER-states the win for b1/b2.
+_BATCH_EFF = {
+    "cunet": {4: 0.45, 8: 0.81, 16: 1.0},
+    "swin_unet": {4: 0.60, 16: 1.0},
+}
+# Never recommend beyond 16: cunet whole-frame b32 fails to compile
+# (remote tpu_compile_helper exit 1 — 2.3 GB full-res activations) and
+# swin b32 measured SLOWER than b16 (446.0 vs 475.3, BENCH_NOTES
+# "tile 256, batch 32").
+_BATCH_CAP = 16
+
+
+def batch_advice(spec, config, stream_frames: Optional[int] = None
+                 ) -> Optional[tuple[int, float, str]]:
+    """(recommended_batch, measured_speedup_lower_bound, reason) when the
+    configured batchSize is measured >=20% slower than batch 16 for this
+    model family; None when the pick is (near-)optimal or unmeasured.
+
+    Warn-only, like ``tile_advice``: the reference exposes batchSize with
+    no feedback (src/main.cpp:65-69, where it only bounds the TensorRT
+    profile); on TPU the choice moves cunet throughput 2.2-2.6x
+    (BENCH_NOTES round 4). ``stream_frames``: total frames the session
+    will stream (files x frames); when known and smaller than the
+    recommendation, batch 16 would only pad the dispatch, so the advisor
+    stays silent. TileStream crosses frame AND file boundaries, so any
+    longer workload genuinely fills the bigger batch."""
+    eff_points = _BATCH_EFF.get(spec.arch)
+    b = config.batch_size
+    if eff_points is None or b >= _BATCH_CAP:
+        return None
+    if stream_frames is not None and stream_frames < _BATCH_CAP:
+        return None
+    # efficiency is monotone increasing in batch on every measured
+    # series, so eff(b) <= eff(p) for the smallest measured p >= b and
+    # 1/eff(p) LOWER-bounds the real speedup (conservative: swin b8,
+    # between the measured b4 and b16 points, bounds at 1.0 -> silent).
+    above = [p for p in sorted(eff_points) if p >= b]
+    eff = eff_points[above[0]]
+    ratio = 1.0 / eff
+    if ratio < _THRESHOLD:
+        return None
+    reason = (
+        f"batchSize {b} streams ~{ratio:.1f}x slower than batchSize "
+        f"{_BATCH_CAP} for {spec.arch} on TPU (measured on v5e — see "
+        f"BENCH_NOTES.md batch-scaling tables); consider --batchSize "
+        f"{_BATCH_CAP}"
+    )
+    return _BATCH_CAP, ratio, reason
+
+
 def tile_advice(spec, config, frame_hw,
                 allow_whole_frame: bool = True
                 ) -> Optional[tuple[int, float, str]]:
