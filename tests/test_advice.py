@@ -96,8 +96,9 @@ def test_advise_tile_silent_for_static_geometry():
     msgs = []
     args = types.SimpleNamespace(tile_size=256, model="static-test",
                                  scale=2)
-    cli_mod._advise_tile(args, _Engine(), (512, 512),
-                         lambda sev, m: msgs.append(m))
+    cli_mod._ADVICE_SEEN.clear()
+    cli_mod._advise_config(args, _Engine(), (512, 512),
+                           lambda sev, m: msgs.append(m))
     assert msgs == []
 
 
@@ -125,6 +126,116 @@ def test_user_optimal_pick_silent_whole_frame():
 def test_advice_never_crashes_across_choices(tile):
     for hw in ((64, 64), (512, 512), (720, 1280), (2160, 3840)):
         tile_advice(SWIN4, _cfg(tile, scale=4), hw)
+
+
+def test_batch_advice_cunet_small_batch_warns():
+    """config1's literal batchSize 1 leaves a measured 2.2x on the table
+    (BENCH_NOTES round-4 batch-scaling: cunet tiled t256 b4->b16)."""
+    from waifu2x_tensorrt_tpu.engine.advice import batch_advice
+
+    for b in (1, 4):
+        adv = batch_advice(CUNET, _cfg(256, batch=b))
+        assert adv is not None, b
+        rec, ratio, reason = adv
+        assert rec == 16
+        assert ratio >= 2.0
+        assert "--batchSize 16" in reason
+
+
+def test_batch_advice_swin_b4_warns_b8_silent():
+    from waifu2x_tensorrt_tpu.engine.advice import batch_advice
+
+    adv = batch_advice(SWIN2, _cfg(256, batch=4))
+    assert adv is not None and adv[0] == 16 and adv[1] >= 1.5
+    # b8 sits between the measured b4/b16 points: the conservative bound
+    # is 1.0, below threshold -> silent
+    assert batch_advice(SWIN2, _cfg(256, batch=8)) is None
+
+
+def test_batch_advice_b16_silent():
+    from waifu2x_tensorrt_tpu.engine.advice import batch_advice
+
+    assert batch_advice(CUNET, _cfg(256, batch=16)) is None
+    assert batch_advice(SWIN2, _cfg(256, batch=16)) is None
+
+
+def test_batch_advice_short_workload_silent():
+    """4 whole-frame stills can never fill a batch-16 dispatch — silence
+    (batch 16 would only pad)."""
+    from waifu2x_tensorrt_tpu.engine.advice import batch_advice
+
+    assert batch_advice(CUNET, _cfg(0, batch=4), stream_frames=4,
+                        frame_hw=(256, 256)) is None
+
+
+def test_batch_advice_single_tiled_4k_frame_counts_tiles():
+    """ONE tiled 4K frame is ~100+ dispatch items: the short-workload
+    guard must count tiles, not frames (round-4 advisor review)."""
+    from waifu2x_tensorrt_tpu.engine.advice import batch_advice
+
+    adv = batch_advice(CUNET, _cfg(256, batch=4), stream_frames=1,
+                       frame_hw=(2160, 3840))
+    assert adv is not None and adv[0] == 16
+
+
+def test_batch_advice_cunet_b32_warns_swin_b32_silent():
+    """cunet whole-frame b32 failed to COMPILE on v5e (BENCH_NOTES
+    batch-scaling follow-ups) — warn before the user hits it; swin b32
+    measured only 6% slower than b16 (below threshold) — silent."""
+    from waifu2x_tensorrt_tpu.engine.advice import batch_advice
+
+    adv = batch_advice(CUNET, _cfg(256, batch=32))
+    assert adv is not None and adv[0] == 16
+    assert "compile" in adv[2]
+    assert batch_advice(SWIN2, _cfg(256, batch=32)) is None
+
+
+def test_precision_advice_tf32_warns_fp16_silent():
+    from waifu2x_tensorrt_tpu.engine.advice import precision_advice
+
+    for spec in (CUNET, SWIN2):
+        cfg = dataclasses.replace(_cfg(256), precision=Precision.TF32)
+        adv = precision_advice(spec, cfg)
+        assert adv is not None, spec.arch
+        assert adv[0] == "fp16" and adv[1] >= 1.5
+        assert "--precision fp16" in adv[2]
+        assert precision_advice(spec, _cfg(256)) is None
+
+
+def test_cli_config1_literal_gets_batch_and_precision_advice(
+        tmp_path, capsys):
+    """BASELINE config1 typed verbatim (cunet t256 b1 tf32) leaves a
+    measured 6.8x on the table (15.9 vs 108.1 MP/s, BENCH_NOTES); the
+    CLI must warn on BOTH the batch and the precision axis — and still
+    render with exactly the asked flags (round-4 verdict item 3)."""
+    import numpy as np
+    from PIL import Image
+
+    from waifu2x_tensorrt_tpu import cli as cli_mod
+
+    rng = np.random.default_rng(2)
+    for name in ("a.png", "b.png"):
+        Image.fromarray(
+            rng.integers(0, 256, (720, 720, 3), np.uint8)).save(
+                tmp_path / name)
+
+    cli_mod._ADVICE_SEEN.clear()
+    rc = cli_mod.main([
+        "--model", "cunet/art", "--scale", "2", "--noise", "1",
+        "--batchSize", "1", "--tileSize", "256", "--precision", "tf32",
+        "--allow-random-weights",
+        "render", "-i", str(tmp_path / "a.png"),
+        "-i", str(tmp_path / "b.png"), "-o", str(tmp_path),
+    ])
+    assert rc == 0
+    out_text = capsys.readouterr().out
+    warns = [ln for ln in out_text.splitlines() if "[WARN" in ln]
+    batch_warns = [ln for ln in warns if "--batchSize 16" in ln]
+    prec_warns = [ln for ln in warns if "--precision fp16" in ln]
+    assert len(batch_warns) == 1, out_text
+    assert len(prec_warns) == 1, out_text
+    out = Image.open(tmp_path / "a(cunet_art)(noise1)(scale2).png")
+    assert out.size == (1440, 1440)
 
 
 def test_tile_auto_parses_and_build_rejects(capsys):

@@ -507,7 +507,7 @@ def main(argv=None) -> int:
     # sizes the whole-frame tile to include the offset context, making ONE
     # tile cover the output — the measured-FASTEST cunet config for small
     # stills (bench config1c, 2.4x the tiled fp32 row). Per-frame-size
-    # guidance now comes from engine/advice.py via _advise_tile.)
+    # guidance now comes from engine/advice.py via _advise_config.)
     auto_tile = args.tile_size == "auto"
     if auto_tile:
         # provisional: 256 is the measured all-round default (BENCH_NOTES
@@ -765,33 +765,81 @@ def _render_rgba(args, engine, file, out_path, state, message_cb):
 _ADVICE_SEEN: set = set()
 
 
-def _advise_tile(args, engine, frame_hw, message_cb) -> None:
-    """One-time tile-size guidance per (tile, frame size) — warn-only,
-    the render still uses exactly what was asked (round-3 verdict item 8;
-    flag parity with src/main.cpp:62-64 is behavioral, not advisory)."""
-    tile = getattr(args, "tile_size", None)
+def _advise_config(args, engine, frame_hw, message_cb,
+                   frame_count=None, files_total=1) -> None:
+    """One-time configuration guidance — warn-only, the render still uses
+    exactly what was asked (round-3 verdict item 8; flag parity with
+    src/main.cpp:56-84 is behavioral, not advisory). Three axes, each
+    with its own once-per-session dedup key:
+
+    - tileSize per (tile, frame size) — engine/advice.tile_advice
+    - batchSize per (batch, frame size) — batch_advice; ``frame_count``
+      (this file's frames) x ``files_total`` estimates the session's
+      stream length so one-off tiny workloads stay silent
+    - precision, once per (model, precision) — precision_advice
+
+    Batch advice is skipped on graph-backed/static sessions (the
+    measured batch-scaling tables are for the verified flax fast path);
+    precision advice IS emitted for graph-backed sessions (its fp32 vs
+    bf16 numbers were measured on both paths, BENCH_NOTES round 4)."""
     spec = getattr(engine, "spec", None)
     config = getattr(engine, "_render_config", None)
-    if tile is None or spec is None or config is None:
+    if spec is None or config is None:
         return
-    if getattr(engine, "_static_geometry", None):
-        # fixed-geometry .onnx export: every other tile size is fatal
-        return
-    key = (getattr(args, "model", None), getattr(args, "scale", None),
-           config.tta, tile, frame_hw)
-    if key in _ADVICE_SEEN:
-        return
-    _ADVICE_SEEN.add(key)
-    try:
-        from waifu2x_tensorrt_tpu.engine.advice import tile_advice
+    from waifu2x_tensorrt_tpu.engine.advice import (
+        batch_advice,
+        precision_advice,
+        tile_advice,
+    )
 
-        adv = tile_advice(
-            spec, config, frame_hw,
-            allow_whole_frame=not getattr(engine, "_graph_backed", False))
-    except Exception:
-        return
-    if adv is not None:
-        message_cb(Severity.warn, adv[2])
+    model = getattr(args, "model", None)
+    static = bool(getattr(engine, "_static_geometry", None))
+    graph_backed = bool(getattr(engine, "_graph_backed", False))
+    models_dir = getattr(engine, "models_dir", None)
+
+    tile = getattr(args, "tile_size", None)
+    if tile is not None and not static:
+        # fixed-geometry .onnx exports skip tile advice: every other
+        # tile size is fatal
+        key = ("tile", model, getattr(args, "scale", None), config.tta,
+               tile, frame_hw)
+        if key not in _ADVICE_SEEN:
+            _ADVICE_SEEN.add(key)
+            try:
+                adv = tile_advice(spec, config, frame_hw,
+                                  allow_whole_frame=not graph_backed,
+                                  models_dir=models_dir)
+            except Exception:
+                adv = None
+            if adv is not None:
+                message_cb(Severity.warn, adv[2])
+
+    if not static and not graph_backed:
+        key = ("batch", model, config.batch_size, config.tta, frame_hw)
+        if key not in _ADVICE_SEEN:
+            _ADVICE_SEEN.add(key)
+            stream_frames = None
+            if frame_count is not None and frame_count > 0:
+                stream_frames = frame_count * max(1, files_total)
+            try:
+                adv = batch_advice(spec, config,
+                                   stream_frames=stream_frames,
+                                   frame_hw=frame_hw,
+                                   models_dir=models_dir)
+            except Exception:
+                adv = None
+            if adv is not None:
+                message_cb(Severity.warn, adv[2])
+
+    key = ("precision", model, config.precision)
+    if key not in _ADVICE_SEEN:
+        _ADVICE_SEEN.add(key)
+        try:
+            adv = precision_advice(spec, config, models_dir=models_dir)
+        except Exception:
+            adv = None
+        if adv is not None:
+            message_cb(Severity.warn, adv[2])
 
 
 def _resolve_auto_tile(engine, files, message_cb):
@@ -819,7 +867,8 @@ def _resolve_auto_tile(engine, files, message_cb):
 
         adv = tile_advice(
             engine.spec, engine._render_config, hw,
-            allow_whole_frame=not getattr(engine, "_graph_backed", False))
+            allow_whole_frame=not getattr(engine, "_graph_backed", False),
+            models_dir=getattr(engine, "models_dir", None))
     except Exception:
         return None
     if adv is None:
@@ -842,8 +891,10 @@ def _render_one(args, engine, capture, file, out_dir, suffix, state,
     except Exception as e:
         message_cb(Severity.error, f"Failed to open {file}: {e}.")
         return -1
-    _advise_tile(args, engine,
-                 (capture.frame_height, capture.frame_width), message_cb)
+    _advise_config(args, engine,
+                   (capture.frame_height, capture.frame_width), message_cb,
+                   frame_count=capture.frame_count,
+                   files_total=state.get("files", 1))
     is_image = capture.frame_count == 1
     out_path = resolve_output_path(file, out_dir, suffix, args.nosuffix,
                                    is_image)
