@@ -471,3 +471,144 @@ def build_swin_onnx(state: Mapping[str, np.ndarray], scale: int,
     g.nodes.append(node_proto("Identity", [y], ["y"]))
     return write_model(g.nodes, g.inits, ["x"], ["y"], path,
                        graph_name=f"swin_unet_{scale}x")
+
+
+# --------------------------------------------------------------------------
+# External-data rewriter (VERDICT r4 item 2: day-one artifact robustness)
+# --------------------------------------------------------------------------
+
+
+def external_tensor_proto(name: str, arr: np.ndarray, location: str,
+                          offset: int, length: int) -> bytes:
+    """TensorProto with data_location=EXTERNAL: dims/dtype/name stay
+    inline, the payload lives at [offset, offset+length) of ``location``
+    (the onnx spec's StringStringEntryProto external_data entries)."""
+    arr = np.asarray(arr)
+    out = b"".join(_int_field(1, int(d)) for d in arr.shape)
+    out += _int_field(2, _NP_TO_ONNX[arr.dtype])
+    out += _len_field(8, name.encode())
+    for k, v in (("location", location), ("offset", str(offset)),
+                 ("length", str(length))):
+        entry = _len_field(1, k.encode()) + _len_field(2, v.encode())
+        out += _len_field(13, entry)
+    out += _int_field(14, 1)  # data_location = EXTERNAL
+    return out
+
+
+def _reencode(field: int, wire: int, value) -> bytes:
+    """Re-emit one parsed protobuf field verbatim (the parser's canonical
+    varints round-trip exactly)."""
+    if wire == 0:
+        return _int_field(field, value)
+    if wire == 2:
+        return _len_field(field, value)
+    if wire in (1, 5):
+        return _tag(field, wire) + value
+    raise ValueError(f"unsupported wire type {wire}")
+
+
+def externalize_initializers(src: str | Path, dst: str | Path,
+                             location: str | None = None,
+                             threshold_bytes: int = 0,
+                             align: int = 64) -> Path:
+    """Rewrite ``src`` so every initializer >= ``threshold_bytes`` moves
+    into one external-data sidecar file next to ``dst`` — the layout
+    ``onnx.save_model(..., save_as_external_data=True)`` and torch's
+    >2 GB exports produce. Used to rehearse the acceptance path on
+    external-data artifacts without the onnx package (ARTIFACTS.md
+    matrix). Every non-initializer byte of the model round-trips
+    verbatim."""
+    from waifu2x_tensorrt_tpu.models.onnx_reader import (
+        _iter_fields,
+        _parse_tensor,
+    )
+
+    src, dst = Path(src), Path(dst)
+    location = location or (dst.name + ".data")
+    blob = bytearray()
+
+    def _extern(tbuf: bytes) -> bytes:
+        name, arr = _parse_tensor(tbuf, base_dir=src.parent)
+        payload = np.ascontiguousarray(arr).tobytes()
+        if len(payload) < threshold_bytes:
+            return _len_field(5, tbuf)
+        if align > 1 and len(blob) % align:
+            blob.extend(b"\0" * (align - len(blob) % align))
+        offset = len(blob)
+        blob.extend(payload)
+        return _len_field(5, external_tensor_proto(
+            name, arr, location, offset, len(payload)))
+
+    out = bytearray()
+    for field, wire, value in _iter_fields(src.read_bytes()):
+        if field == 7 and wire == 2:  # ModelProto.graph
+            graph = bytearray()
+            for gf, gw, gv in _iter_fields(value):
+                if gf == 5 and gw == 2:  # GraphProto.initializer
+                    graph += _extern(gv)
+                else:
+                    graph += _reencode(gf, gw, gv)
+            out += _len_field(7, bytes(graph))
+        else:
+            out += _reencode(field, wire, value)
+    dst.write_bytes(bytes(out))
+    (dst.parent / location).write_bytes(bytes(blob))
+    return dst
+
+
+def quantize_initializers_fp16(src: str | Path, dst: str | Path) -> Path:
+    """Rewrite ``src`` with every float32 initializer stored as float16 —
+    the layout a ``model.half()`` torch export (or an onnxconverter
+    float16 pass) produces. Values round to the nearest half; every other
+    byte of the model round-trips verbatim. Rehearses the fp16-artifact
+    acceptance path (ARTIFACTS.md matrix, VERDICT r4 item 2)."""
+    from waifu2x_tensorrt_tpu.models.onnx_reader import (
+        _iter_fields,
+        _parse_tensor,
+    )
+
+    src, dst = Path(src), Path(dst)
+
+    def _half(tbuf: bytes) -> bytes:
+        name, arr = _parse_tensor(tbuf, base_dir=src.parent)
+        if arr.dtype == np.float32:
+            arr = arr.astype(np.float16)
+        return _len_field(5, tensor_proto(name, arr))
+
+    out = bytearray()
+    for field, wire, value in _iter_fields(src.read_bytes()):
+        if field == 7 and wire == 2:
+            graph = bytearray()
+            for gf, gw, gv in _iter_fields(value):
+                if gf == 5 and gw == 2:
+                    graph += _half(gv)
+                else:
+                    graph += _reencode(gf, gw, gv)
+            out += _len_field(7, bytes(graph))
+        else:
+            out += _reencode(field, wire, value)
+    dst.write_bytes(bytes(out))
+    return dst
+
+
+def fold_model(src: str | Path, dst: str | Path) -> Path:
+    """Constant-fold ``src`` (onnx_graph.fold_constants) and re-serialize
+    — producing the graph layout onnx-simplifier or the dynamo exporter
+    would hand us from the same model: Constant nodes promoted to
+    initializers, static shape chains collapsed, folded arithmetic.
+    The dynamo exporter itself is environment-blocked (needs onnxscript;
+    see ARTIFACTS.md), so this rewriter is how its graph idioms are
+    rehearsed against the acceptance path."""
+    from waifu2x_tensorrt_tpu.models.onnx_graph import (
+        fold_constants,
+        read_graph,
+    )
+
+    graph = read_graph(src)
+    fold_constants(graph)
+    nodes = [
+        node_proto(n.op_type, n.inputs, n.outputs, name=n.name, **n.attrs)
+        for n in graph.nodes
+    ]
+    return write_model(nodes, graph.initializers, graph.inputs,
+                       graph.outputs, dst, graph_name=graph.name or "folded")

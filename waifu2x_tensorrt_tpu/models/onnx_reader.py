@@ -9,7 +9,19 @@ extraction are implemented:
   ModelProto.graph = 7 (message GraphProto)
   GraphProto.initializer = 5 (repeated message TensorProto)
   TensorProto.dims = 1 (repeated int64), .data_type = 2 (enum),
-  .name = 8 (string), .float_data = 4, .int64_data = 7, .raw_data = 9
+  .name = 8 (string), .float_data = 4, .int64_data = 7, .raw_data = 9,
+  .external_data = 13 (repeated StringStringEntryProto),
+  .data_location = 14 (enum: 0 DEFAULT, 1 EXTERNAL)
+
+External-data artifacts (``torch.onnx.export`` splits initializers past
+2 GB into a sidecar ``.data`` file; ``onnx.save_model(...,
+save_as_external_data=True)`` does it for any size) resolve their
+tensors from the sibling file named by the ``location`` entry when a
+``base_dir`` is supplied; without one — or when the sidecar file is
+missing — loading fails LOUD with :class:`OnnxExternalDataError` naming
+the missing file (VERDICT r4 item 2: day-one robustness to exporters we
+didn't author; the reference hands such artifacts to nvonnxparser which
+resolves them the same way, img2img_build.cpp:88).
 """
 
 from __future__ import annotations
@@ -30,6 +42,14 @@ _DTYPES = {
     10: np.float16,
     11: np.float64,
 }
+
+
+class OnnxExternalDataError(ValueError):
+    """An initializer's bytes live in an external-data sidecar file that
+    cannot be resolved (no base directory, missing/short file, or an
+    unsafe location path). Named so callers (validate.py triage,
+    Upscaler load) can distinguish "artifact needs its .data sibling"
+    from a corrupt model."""
 
 
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -68,13 +88,69 @@ def _iter_fields(buf: bytes):
         yield field, wire, value
 
 
-def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
+def _parse_string_entries(buf: bytes) -> dict[str, str]:
+    """StringStringEntryProto: key = 1, value = 2 (both strings)."""
+    key = val = ""
+    for field, wire, value in _iter_fields(buf):
+        if field == 1 and wire == 2:
+            key = value.decode()
+        elif field == 2 and wire == 2:
+            val = value.decode()
+    return {key: val}
+
+
+def _read_external(name: str, entries: dict[str, str],
+                   base_dir) -> bytes:
+    """Resolve a data_location=EXTERNAL tensor's bytes from its sidecar
+    file. Fails loud (OnnxExternalDataError) on every unresolvable case
+    rather than silently yielding an empty tensor."""
+    location = entries.get("location", "")
+    if not location:
+        raise OnnxExternalDataError(
+            f"initializer {name!r} is marked EXTERNAL but carries no "
+            "location entry (corrupt external_data)")
+    if base_dir is None:
+        raise OnnxExternalDataError(
+            f"initializer {name!r} lives in external-data file "
+            f"{location!r} but this entry point has no model directory "
+            "to resolve it from; load via read_initializers/read_graph "
+            "with the .onnx path")
+    base = Path(base_dir).resolve()
+    target = (base / location).resolve()
+    if base not in target.parents and target != base:
+        # the spec requires location to be relative to the model file;
+        # reject traversal outside the model directory
+        raise OnnxExternalDataError(
+            f"initializer {name!r}: external-data location {location!r} "
+            f"escapes the model directory {base}")
+    if not target.is_file():
+        raise OnnxExternalDataError(
+            f"initializer {name!r}: external-data file {location!r} not "
+            f"found next to the model (expected {target}); release "
+            "artifacts with external data ship as a pair — copy the "
+            "data file alongside the .onnx")
+    offset = int(entries.get("offset", "0") or 0)
+    length = int(entries.get("length", "-1") or -1)
+    with open(target, "rb") as f:
+        f.seek(offset)
+        raw = f.read() if length < 0 else f.read(length)
+    if length >= 0 and len(raw) != length:
+        raise OnnxExternalDataError(
+            f"initializer {name!r}: external-data file {location!r} is "
+            f"short (wanted {length} bytes at offset {offset}, got "
+            f"{len(raw)})")
+    return raw
+
+
+def _parse_tensor(buf: bytes, base_dir=None) -> tuple[str, np.ndarray]:
     dims: list[int] = []
     dtype_code = 1
     name = ""
     raw = None
     floats: list[float] = []
     int64s: list[int] = []
+    external: dict[str, str] = {}
+    data_location = 0
     for field, wire, value in _iter_fields(buf):
         if field == 1 and wire == 0:
             dims.append(value)
@@ -84,6 +160,10 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
             name = value.decode()
         elif field == 9 and wire == 2:
             raw = value
+        elif field == 13 and wire == 2:
+            external.update(_parse_string_entries(value))
+        elif field == 14 and wire == 0:
+            data_location = value
         elif field == 4:
             if wire == 2:  # packed floats
                 floats.extend(struct.unpack(f"<{len(value) // 4}f", value))
@@ -103,6 +183,8 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
     dtype = _DTYPES.get(dtype_code)
     if dtype is None:
         raise ValueError(f"unsupported ONNX dtype {dtype_code} for {name!r}")
+    if data_location == 1:  # EXTERNAL
+        raw = _read_external(name, external, base_dir)
     if raw is not None:
         arr = np.frombuffer(raw, dtype=dtype)
     elif floats:
@@ -122,13 +204,16 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
 
 
 def read_initializers(path: str | Path) -> dict[str, np.ndarray]:
-    """All graph initializers of an ONNX model as {name: array}."""
-    data = Path(path).read_bytes()
+    """All graph initializers of an ONNX model as {name: array}.
+
+    External-data tensors resolve against the model's own directory."""
+    path = Path(path)
+    data = path.read_bytes()
     out: dict[str, np.ndarray] = {}
     for field, wire, value in _iter_fields(data):
         if field == 7 and wire == 2:  # ModelProto.graph
             for gfield, gwire, gvalue in _iter_fields(value):
                 if gfield == 5 and gwire == 2:  # GraphProto.initializer
-                    name, arr = _parse_tensor(gvalue)
+                    name, arr = _parse_tensor(gvalue, base_dir=path.parent)
                     out[name] = arr
     return out

@@ -99,8 +99,28 @@ def main(argv=None) -> int:
     )
     from waifu2x_tensorrt_tpu.models.registry import create_model, save_params
 
-    graph = read_graph(args.onnx_path)
+    from waifu2x_tensorrt_tpu.models.onnx_reader import OnnxExternalDataError
+
+    try:
+        graph = read_graph(args.onnx_path)
+    except OnnxExternalDataError as e:
+        # the .onnx itself parsed — its DATA sidecar is what's missing
+        # (release artifacts with external data ship as a pair)
+        print(f"error: {e}")
+        print("triage: this artifact stores its weights in an external "
+              "data file; copy that file into the same directory as the "
+              ".onnx and re-run")
+        return 2
+    except ValueError as e:
+        print(f"error: {e}")
+        print("triage: the file is not a parseable ONNX ModelProto — "
+              "re-download the artifact or check the path")
+        return 2
     print(json.dumps(summarize(graph), indent=2))
+    if graph.had_fp16:
+        print("note: artifact stores fp16 weights/casts — upcast exactly "
+              "to fp32 for conversion and ground-truth execution; serving "
+              "precision remains governed by --precision")
 
     # -- step 1b: derived architecture vs the reconstruction ---------------
     derived = derive_arch(graph)
