@@ -1,0 +1,198 @@
+"""Executable store (engine/exe_cache): the portable AOT warm start.
+
+Reference UX being matched: build writes a serialized engine, a later
+process deserializes it in seconds instead of recompiling
+(/root/reference/src/tensorrt/img2img_build.cpp:151-166,
+img2img_load.cpp:157-172). These tests force the store on (it defaults
+to TPU-only) and prove on CPU that:
+- programs round-trip through the on-disk blob,
+- a loaded program NEVER recompiles (lower() is boobytrapped),
+- keys cover tag / shapes / dtype,
+- corrupt blobs and disabled stores degrade to the plain jit path,
+- the Upscaler render path populates the store and a "fresh process"
+  (cleared jit caches + new Upscaler) renders byte-identically from it.
+"""
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from waifu2x_tensorrt_tpu.engine import exe_cache
+
+
+@pytest.fixture
+def store(tmp_path, monkeypatch):
+    monkeypatch.setenv("WAIFU2X_EXE_CACHE", "1")
+    exe_cache.configure(tmp_path)
+    yield tmp_path / ".jax_cache" / "executables"
+    exe_cache.configure(None)
+
+
+def _blobs(store):
+    return sorted(store.glob(f"*{exe_cache.EXE_SUFFIX}"))
+
+
+def test_unconfigured_returns_plain_jit(monkeypatch):
+    exe_cache.configure(None)
+    prog = exe_cache.cached_jit(lambda x: x + 1, tag="t")
+    assert not isinstance(prog, exe_cache.CachedProgram)
+    assert int(prog(jnp.int32(1))) == 2
+
+
+def test_roundtrip_writes_and_loads(store):
+    def f(x):
+        return x * 2.0
+
+    prog = exe_cache.cached_jit(f, tag="double")
+    x = jnp.arange(8, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(prog(x)), np.arange(8) * 2.0)
+    blobs = _blobs(store)
+    assert len(blobs) == 1
+
+    # a fresh program with the same tag must serve from disk: boobytrap
+    # compilation so any recompile fails the test
+    prog2 = exe_cache.cached_jit(f, tag="double")
+    assert isinstance(prog2, exe_cache.CachedProgram)
+
+    class Boom:
+        def lower(self, *a, **k):
+            raise AssertionError("recompiled instead of loading the blob")
+
+        def __call__(self, *a, **k):
+            raise AssertionError("fell back to jit instead of the blob")
+
+    prog2._jit = Boom()
+    np.testing.assert_allclose(np.asarray(prog2(x)), np.arange(8) * 2.0)
+
+
+def test_key_covers_tag_shape_dtype(store):
+    def f(x):
+        return x + 1
+
+    a = exe_cache.cached_jit(f, tag="A")
+    k1 = a._key((jnp.zeros((4,), jnp.float32),))
+    k2 = a._key((jnp.zeros((8,), jnp.float32),))
+    k3 = a._key((jnp.zeros((4,), jnp.bfloat16),))
+    b = exe_cache.cached_jit(f, tag="B")
+    k4 = b._key((jnp.zeros((4,), jnp.float32),))
+    assert len({k1, k2, k3, k4}) == 4
+    # ShapeDtypeStructs key identically to concrete arrays (build() AOT)
+    k5 = a._key((jax.ShapeDtypeStruct((4,), jnp.float32),))
+    assert k5 == k1
+
+
+def test_corrupt_blob_recompiles(store):
+    def f(x):
+        return x - 3
+
+    prog = exe_cache.cached_jit(f, tag="sub")
+    x = jnp.float32(10.0)
+    assert float(prog(x)) == 7.0
+    (blob,) = _blobs(store)
+    blob.write_bytes(b"not a pickle")
+    prog2 = exe_cache.cached_jit(f, tag="sub")
+    assert float(prog2(x)) == 7.0  # recompiled, not crashed
+    # and the store was repaired with a fresh good blob
+    (blob2,) = _blobs(store)
+    rec = pickle.loads(blob2.read_bytes())
+    assert rec["tag"] == "sub"
+
+
+def test_env_disable_writes_nothing(tmp_path, monkeypatch):
+    monkeypatch.setenv("WAIFU2X_EXE_CACHE", "0")
+    exe_cache.configure(tmp_path)
+    try:
+        prog = exe_cache.cached_jit(lambda x: x + 1, tag="t")
+        assert int(prog(jnp.int32(4))) == 5
+        assert not (tmp_path / ".jax_cache" / "executables").exists()
+    finally:
+        exe_cache.configure(None)
+
+
+def test_default_off_on_cpu(tmp_path, monkeypatch):
+    monkeypatch.delenv("WAIFU2X_EXE_CACHE", raising=False)
+    exe_cache.configure(tmp_path)
+    try:
+        assert not exe_cache.enabled()  # cpu backend: persistent cache wins
+    finally:
+        exe_cache.configure(None)
+
+
+def test_module_tag_tracks_hyperparams():
+    from waifu2x_tensorrt_tpu.models import registry
+
+    m1, _ = registry.create_model("swin_unet/art", 2, -1,
+                                  base_dim=16, depths=(1, 1))
+    m2, _ = registry.create_model("swin_unet/art", 2, -1,
+                                  base_dim=16, depths=(1, 2))
+    m3, _ = registry.create_model("swin_unet/art", 2, -1,
+                                  base_dim=16, depths=(1, 1))
+    assert exe_cache.module_tag(m1) != exe_cache.module_tag(m2)
+    assert exe_cache.module_tag(m1) == exe_cache.module_tag(m3)
+
+
+def test_aot_roundtrip_with_structs(store):
+    def f(p, x):
+        return x * p["w"]
+
+    prog = exe_cache.cached_jit(f, tag="aot")
+    p = {"w": jnp.float32(3.0)}
+    xs = jax.ShapeDtypeStruct((4,), jnp.float32)
+    exe = prog.aot(p, xs)
+    out = exe(p, jnp.ones((4,), jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), 3.0)
+    assert len(_blobs(store)) == 1
+    # the call path reuses the same key -> no second blob
+    prog(p, jnp.ones((4,), jnp.float32))
+    assert len(_blobs(store)) == 1
+
+
+def test_upscaler_render_populates_store_and_serves_fresh(tmp_path,
+                                                          monkeypatch):
+    """End-to-end: a small random-init swin render writes model/prep/fin
+    blobs; a second Upscaler (fresh jit caches) renders the same frame
+    byte-identically with compilation boobytrapped at the store layer."""
+    from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+    from waifu2x_tensorrt_tpu.engine.upscaler import Upscaler
+
+    monkeypatch.setenv("WAIFU2X_EXE_CACHE", "1")
+    cfg = RenderConfig(precision=Precision.TF32, batch_size=4,
+                       height=64, width=64, scaling=2,
+                       overlap=(1 / 16, 1 / 16))
+    frame = np.random.default_rng(0).integers(
+        0, 255, (60, 40, 3), np.uint8)
+
+    up = Upscaler(models_dir=tmp_path, allow_random_init=True)
+    up.load("cunet/art", 2, 1, cfg)
+    out1 = up.render(frame)
+
+    store = tmp_path / ".jax_cache" / "executables"
+    blobs = _blobs(store)
+    assert len(blobs) >= 3, [b.name for b in blobs]  # model+prep+fin at least
+
+    # "fresh process": drop jax's in-memory executable caches, then prove
+    # the store (not a recompile) serves every program: any store miss in
+    # the cached layer fails the test
+    jax.clear_caches()
+
+    def strict_get(self, key, args):
+        exe = self._mem.get(key)
+        if exe is None:
+            exe = self._load(key)
+        if exe is None:
+            raise AssertionError(
+                f"store miss for tag {self._tag!r}: warm start recompiled")
+        self._mem[key] = exe
+        return exe
+
+    try:
+        monkeypatch.setattr(exe_cache.CachedProgram, "_get", strict_get)
+        up2 = Upscaler(models_dir=tmp_path, allow_random_init=True)
+        up2.load("cunet/art", 2, 1, cfg)
+        out2 = up2.render(frame)
+        np.testing.assert_array_equal(out1, out2)
+    finally:
+        exe_cache.configure(None)

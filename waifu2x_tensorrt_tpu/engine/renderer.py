@@ -624,8 +624,6 @@ class ChunkedPipeline:
         module_pack_x=None,
         spec_pack_x: Optional[ModelSpec] = None,
     ) -> None:
-        from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
-
         self._jit_kw = {}
         opts = tpu_compiler_options()
         if opts:
@@ -638,23 +636,36 @@ class ChunkedPipeline:
             self._n_dp = int(np.prod([
                 sharding.mesh.shape[a] for a in sharding.spec if a is not None
             ]))
-        self._model_prog = jax.jit(tile_apply_fn(module), **self._jit_kw)
+        # Model programs go through the executable store (engine/exe_cache):
+        # the expensive remote compile is persisted like the reference's
+        # .trt so a fresh process deserializes instead of recompiling.
+        # Sharded (dp) pipelines bypass it — multi-device executables bind
+        # mesh device ids that a fresh process need not reproduce.
+        self._exe_ok = sharding is None
+        self._model_prog = self._make_model_prog(module)
         self._spec_px = spec_pack_x if module_pack_x is not None else None
         self._model_prog_px = (
-            jax.jit(tile_apply_fn(module_pack_x), **self._jit_kw)
+            self._make_model_prog(module_pack_x)
             if module_pack_x is not None else None)
         self._geoms: dict[tuple[int, int], tuple] = {}
+
+    def _make_model_prog(self, module):
+        from waifu2x_tensorrt_tpu.engine import exe_cache
+        from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
+
+        fn = tile_apply_fn(module)
+        if not self._exe_ok:
+            return jax.jit(fn, **self._jit_kw)
+        return exe_cache.cached_jit(
+            fn, tag=f"model|{exe_cache.module_tag(module)}", **self._jit_kw)
 
     def set_module(self, module, module_pack_x=None) -> None:
         """Swap the model program(s) (fused-kernel fallback seam); the
         per-geometry prepare/finalize programs are model-independent and
         stay valid."""
-        from waifu2x_tensorrt_tpu.models.registry import tile_apply_fn
-
-        self._model_prog = jax.jit(tile_apply_fn(module), **self._jit_kw)
+        self._model_prog = self._make_model_prog(module)
         if module_pack_x is not None:
-            self._model_prog_px = jax.jit(tile_apply_fn(module_pack_x),
-                                          **self._jit_kw)
+            self._model_prog_px = self._make_model_prog(module_pack_x)
         elif self._model_prog_px is not None:
             # twin not rebuilt: disable the packed path rather than mix
             # old/new modules — and drop geometry entries whose finalize
@@ -687,10 +698,23 @@ class ChunkedPipeline:
             out_shardings = None
             if self._sharding is not None:
                 out_shardings = (self._sharding,) * len(chunk_sizes)
-            prep_prog = jax.jit(prepare, out_shardings=out_shardings)
-            prep_prog.flat = (jax.jit(prepare.flat)
-                              if prepare.flat is not None else None)
-            fin_prog = jax.jit(finalize)
+            if self._exe_ok:
+                from waifu2x_tensorrt_tpu.engine import exe_cache
+
+                # geometry (frame H,W) rides in via the argument shapes;
+                # everything else shaping the traced program is in the tag
+                gtag = (f"{spec_used}|{self._config}|dp{self._n_dp}"
+                        f"|px{int(use_px)}")
+                prep_prog = exe_cache.cached_jit(prepare, tag=f"prep|{gtag}")
+                prep_prog.flat = (
+                    exe_cache.cached_jit(prepare.flat, tag=f"prepflat|{gtag}")
+                    if prepare.flat is not None else None)
+                fin_prog = exe_cache.cached_jit(finalize, tag=f"fin|{gtag}")
+            else:
+                prep_prog = jax.jit(prepare, out_shardings=out_shardings)
+                prep_prog.flat = (jax.jit(prepare.flat)
+                                  if prepare.flat is not None else None)
+                fin_prog = jax.jit(finalize)
             entry = (prep_prog, fin_prog, plan, len(chunk_sizes))
             entry[0].chunk_sizes = chunk_sizes
             entry[0].use_pack_x = use_px
@@ -840,8 +864,16 @@ class TileStream:
                     parts.append(
                         jax.lax.slice_in_dim(avail, kk * chunk, m, axis=0))
                 return tuple(parts)
-            fn = (jax.jit(assemble) if r
-                  else jax.jit(lambda t: assemble(None, t)))
+            if self._pl._exe_ok:
+                from waifu2x_tensorrt_tpu.engine import exe_cache
+
+                fn = (exe_cache.cached_jit(
+                          assemble, tag=f"asm|c{chunk}|r{r}") if r
+                      else exe_cache.cached_jit(
+                          lambda t: assemble(None, t), tag=f"asm|c{chunk}|r0"))
+            else:
+                fn = (jax.jit(assemble) if r
+                      else jax.jit(lambda t: assemble(None, t)))
             self._asm[r] = fn
         parts = fn(self._carry, tiles) if r else fn(tiles)
         chunks = parts[:k]
@@ -971,7 +1003,17 @@ class RendererCache:
                 self._module, self._spec, self._config, key, self._sharding
             )
             opts = tpu_compiler_options()
-            prog = jax.jit(fn, **({"compiler_options": opts} if opts else {}))
+            jit_kw = {"compiler_options": opts} if opts else {}
+            if self._sharding is None:
+                from waifu2x_tensorrt_tpu.engine import exe_cache
+
+                prog = exe_cache.cached_jit(
+                    fn,
+                    tag=(f"fused|{exe_cache.module_tag(self._module)}"
+                         f"|{self._spec}|{self._config}"),
+                    **jit_kw)
+            else:
+                prog = jax.jit(fn, **jit_kw)
             prog.plan = fn.plan
             prog.n_chunks = fn.n_chunks
             self._programs[key] = prog

@@ -20,6 +20,7 @@ import numpy as np
 
 from waifu2x_tensorrt_tpu.engine import cache as engine_cache
 from waifu2x_tensorrt_tpu.engine import config as engine_config
+from waifu2x_tensorrt_tpu.engine import exe_cache
 from waifu2x_tensorrt_tpu.engine.config import BuildConfig, RenderConfig
 from waifu2x_tensorrt_tpu.engine.renderer import (
     ChunkedPipeline,
@@ -184,6 +185,7 @@ class Upscaler:
         self._select_device(config.device_id)
         self._artifact_arch = None
         engine_cache.enable_persistent_cache(self.models_dir)
+        exe_cache.configure(self.models_dir, device=self._device)
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use_pallas is None:
             use_pallas = on_tpu
@@ -251,11 +253,22 @@ class Upscaler:
         opts = tpu_compiler_options()
         jit_kw = {"compiler_options": opts} if opts else {}
         apply_tiles = registry.tile_apply_fn(module)
+        # The corner executables go through the executable store: build()
+        # now writes the serialized-program artifact the reference's build
+        # writes (.trt, img2img_build.cpp:151-166), so a later process is
+        # pipeline-ready by deserializing, not recompiling.
+        prog = exe_cache.cached_jit(
+            apply_tiles, tag=f"model|{exe_cache.module_tag(module)}",
+            **jit_kw)
         flops = 0.0
         for b, h, w in shapes:
             x = jax.ShapeDtypeStruct((b, h, w, 3), config.precision.dtype)
-            compiled = jax.jit(apply_tiles, **jit_kw).lower(params, x).compile()
-            flops = max(flops, compiled.cost_analysis().get("flops", 0.0))
+            compiled = (prog.aot(params, x) if hasattr(prog, "aot")
+                        else prog.lower(params, x).compile())
+            try:
+                flops = max(flops, compiled.cost_analysis().get("flops", 0.0))
+            except Exception:
+                pass  # deserialized executables may not carry an analysis
         dt = time.perf_counter() - t0
         stem = registry.weights_path(self.models_dir, family, scale, noise)
         sidecar = engine_cache.write_engine_sidecar(stem, config)
@@ -291,6 +304,7 @@ class Upscaler:
         device = self._select_device(config.device_id)
         self._artifact_arch = None
         engine_cache.enable_persistent_cache(self.models_dir)
+        exe_cache.configure(self.models_dir, device=self._device)
         stem = registry.weights_path(self.models_dir, family, scale, noise)
         # sharded renders dispatch batch*n_dp-tile chunks — that is the
         # shape that must be warm, not the per-device batch
