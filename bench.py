@@ -256,17 +256,105 @@ def _probe_devices(timeout_s: float):
                        f"after {timeout_s:.0f} s")
 
 
+def _bench_cache_root() -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".jax_bench_cache")
+
+
+def ready_probe() -> None:
+    """Fresh-process pipeline-ready time — the reference's '.trt
+    deserialize and go' UX row (img2img_load.cpp:157-172; VERDICT r4
+    item 1). Builds the headline pipeline reading the serialized-
+    executable store and forces one frame; prints ONE JSON line.
+
+    Two runs measure the two regimes: run 1 pays whatever is cold
+    (client compile and/or the axon server's first-execution program
+    load); run 2 is the REPRODUCIBLE warm start — the exe store replays
+    byte-identical program binaries, so the server's cross-session
+    program cache hits deterministically (probes/probe_serialize_exe.py
+    measurements: fresh-process first call 415.7 s cold, 5.5 s once the
+    server has executed those exact bytes; re-lowering in each process
+    instead emits slightly different HLO and made round-4 warm starts
+    flaky: 199/315/53/323 s)."""
+    _probe_devices(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "480")))
+    from waifu2x_tensorrt_tpu.engine import exe_cache
+
+    root = _bench_cache_root()
+    jax.config.update("jax_compilation_cache_dir", root)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    exe_cache.configure(root)
+    frame_hw, _tile, _batch, scale, config = headline_setup()
+    t0 = time.perf_counter()
+    prewarm_params("swin_unet/art", scale, 3, config)  # host init + upload
+    run = make_pipeline("swin_unet/art", scale, 3, config, frame_hw,
+                        fused_block=True)
+    force(run(make_frame(frame_hw)))
+    ready = time.perf_counter() - t0
+    store = exe_cache.store_dir()
+    blobs = (sorted(store.glob("*" + exe_cache.EXE_SUFFIX))
+             if store is not None and store.is_dir() else [])
+    print(json.dumps({
+        "ready_s": round(ready, 1),
+        "store_blobs": len(blobs),
+        "store_bytes": sum(b.stat().st_size for b in blobs),
+    }), flush=True)
+
+
+def _measure_ready_rows() -> dict:
+    """Run the ready probe in two consecutive FRESH processes (before this
+    process initializes its own TPU client — one axon client at a time)."""
+    import subprocess
+
+    rows: dict = {}
+    timeout_s = float(os.environ.get("BENCH_READY_TIMEOUT_S", "900"))
+    for key in ("ready_run1_s", "ready_warm_s"):
+        t0 = time.perf_counter()
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--ready-probe"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            rows[key] = f"timeout>{timeout_s:.0f}s"
+            log(f"[bench] ready probe {key}: timed out")
+            continue
+        line = (p.stdout.strip().splitlines() or [""])[-1]
+        try:
+            rec = json.loads(line)
+            rows[key] = rec["ready_s"]
+            rows.setdefault("ready_store_blobs", rec.get("store_blobs"))
+            rows.setdefault("ready_store_bytes", rec.get("store_bytes"))
+            log(f"[bench] ready probe {key}: {rec['ready_s']}s "
+                f"({rec.get('store_blobs')} blobs, total wall "
+                f"{time.perf_counter() - t0:.1f}s)")
+        except (json.JSONDecodeError, KeyError):
+            rows[key] = f"failed rc={p.returncode}"
+            log(f"[bench] ready probe {key} failed rc={p.returncode}: "
+                f"{p.stderr[-1500:]}")
+    return rows
+
+
 def main() -> None:
     from waifu2x_tensorrt_tpu.engine.config import Precision, RenderConfig
+
+    # Fresh-process warm-start rows FIRST: the probes must own the (single)
+    # axon client before this process binds it. BENCH_READY=0 skips.
+    ready_rows = {}
+    if os.environ.get("BENCH_READY", "1") != "0":
+        ready_rows = _measure_ready_rows()
 
     _probe_devices(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "480")))
 
     # Persistent XLA compile cache: remote compiles swing 15 s <-> 200+ s
     # run-to-run (BENCH_NOTES.md); caching makes reruns measurement-bound.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_bench_cache")
+    cache_dir = _bench_cache_root()
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Serialized-executable store (engine/exe_cache): the bench process
+    # reads the store the ready probes just wrote and keeps it fresh.
+    from waifu2x_tensorrt_tpu.engine import exe_cache as _exe_cache
+
+    _exe_cache.configure(cache_dir)
 
     frame_hw, tile, batch, scale, config = headline_setup()
     frame = make_frame(frame_hw)
@@ -316,6 +404,10 @@ def main() -> None:
         "per_frame_fps": round(fps_frame, 3),
         "fps_tunnel_limited_full_fetch": round(1.0 / fetch_dt, 3),
         "compile_s": round(compile_s, 1),
+        # fresh-process pipeline-ready rows (VERDICT r4 item 1):
+        # ready_run1_s pays anything cold; ready_warm_s is the
+        # reproducible serialized-executable warm start
+        **ready_rows,
         "device": str(jax.devices()[0]),
         "device_kind": getattr(jax.devices()[0], "device_kind", "?"),
         "tiles_per_frame": run.plan.tile_count,
@@ -522,6 +614,33 @@ def main() -> None:
                     "mode": "whole-frame tile, bf16, streamed b16"}
         row("config1c_cunet2x_512_bf16_best", config1c)
 
+        # config 1d (VERDICT r4 item 8): cunet at LARGE frames. The
+        # batch-16 lever was 512px-proven only (tiled t256 28.1 -> 62.6
+        # MP/s b4 -> b16, 2026-08-19); this row measures 1080p tiled
+        # b4 vs b16 streamed so the advisor's cunet b16 recommendation
+        # (engine/advice.py batch_advice) is backed at production frame
+        # sizes. 1080p/t256 is 40 tiles/frame: b4 divides evenly, b16
+        # carries across frames (2-frame cycle).
+        def config1d():
+            hw1080 = (1080, 1920)
+            f1080 = make_frame(hw1080, seed=3)
+            out = {}
+            for b in (4, 16):
+                cfgd = RenderConfig(
+                    precision=Precision.FP16, batch_size=b, height=256,
+                    width=256, scaling=2, overlap=(1 / 16, 1 / 16))
+                rund = make_pipeline("cunet/art", 2, 1, cfgd, hw1080,
+                                     fused_block=False)
+                force(rund(f1080))
+                v, _f = measure_stream(rund, f1080, 2, hw1080, iters=8,
+                                       warm=4)
+                out[f"b{b}_MPps"] = round(v, 1)
+            out["b16_over_b4"] = round(
+                out["b16_MPps"] / max(out["b4_MPps"], 1e-9), 2)
+            out["mode"] = "1080p tiled t256 bf16 streamed"
+            return out
+        row("config1d_cunet2x_1080p_t256_batch", config1d)
+
         # config 3: swin_unet/art_scan 4x with 8-way TTA, batch 8 (the
         # BASELINE-pinned batch), 512x512 stills. tileSize is free in
         # BASELINE.md; 128 measured fastest for the 8x-dihedral stream
@@ -682,6 +801,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--ready-probe" in sys.argv:
+        ready_probe()
+        sys.exit(0)
     try:
         main()
     except RuntimeError as e:

@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -695,6 +697,23 @@ class ChunkedPipeline:
             prepare, finalize, plan, chunk_sizes = make_chunked_fns(
                 spec_used, self._config, key, self._n_dp
             )
+            # Pallas gather epilogue (ops/finalize_epilogue): one-pass
+            # blend+scatter+u8, bit-identical to the scan. Opt-in while
+            # the A/B is being measured: WAIFU2X_PALLAS_FINALIZE=1
+            # (compiled) or =interpret (CPU tests).
+            epi_env = os.environ.get("WAIFU2X_PALLAS_FINALIZE", "")
+            if epi_env in ("1", "interpret"):
+                from waifu2x_tensorrt_tpu.ops.finalize_epilogue import (
+                    epilogue_applicable,
+                    make_finalize_epilogue,
+                )
+
+                if epilogue_applicable(plan, self._config.tta,
+                                       spec_used.packing,
+                                       spec_used.pack_x):
+                    finalize = make_finalize_epilogue(
+                        plan, interpret=epi_env == "interpret")
+                    finalize.is_epilogue = True
             out_shardings = None
             if self._sharding is not None:
                 out_shardings = (self._sharding,) * len(chunk_sizes)
@@ -715,6 +734,7 @@ class ChunkedPipeline:
                 prep_prog.flat = (jax.jit(prepare.flat)
                                   if prepare.flat is not None else None)
                 fin_prog = jax.jit(finalize)
+            fin_prog.is_epilogue = getattr(finalize, "is_epilogue", False)
             entry = (prep_prog, fin_prog, plan, len(chunk_sizes))
             entry[0].chunk_sizes = chunk_sizes
             entry[0].use_pack_x = use_px
