@@ -307,7 +307,16 @@ def _measure_ready_rows() -> dict:
 
     rows: dict = {}
     timeout_s = float(os.environ.get("BENCH_READY_TIMEOUT_S", "900"))
+    # the axon server serializes clients and a just-exited (or killed)
+    # client's session lingers; connecting immediately wedges the new
+    # client in a futex-parked RPC (measured 2026-08-21: back-to-back
+    # probes hung twice, a 30 s-spaced run completed). Space the probes.
+    pause_s = float(os.environ.get("BENCH_READY_PAUSE_S", "30"))
+    first = True
     for key in ("ready_run1_s", "ready_warm_s"):
+        if not first:
+            time.sleep(pause_s)
+        first = False
         t0 = time.perf_counter()
         try:
             p = subprocess.run(
@@ -342,6 +351,9 @@ def main() -> None:
     ready_rows = {}
     if os.environ.get("BENCH_READY", "1") != "0":
         ready_rows = _measure_ready_rows()
+        # let the last probe's server session clear before THIS process
+        # binds the tunnel (same back-to-back wedge hazard as above)
+        time.sleep(float(os.environ.get("BENCH_READY_PAUSE_S", "30")))
 
     _probe_devices(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "480")))
 
