@@ -111,3 +111,29 @@ def test_epilogue_through_pipeline_env_gate(monkeypatch):
     assert getattr(epi.get(frame.shape[:2])[1], "is_epilogue", False)
     got = np.asarray(epi.render(params, jnp.asarray(frame)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_exe_cache_tag_distinguishes_finalize_variant(tmp_path, monkeypatch):
+    """Round-5 A/B bug regression: with the executable store on, the scan
+    and epilogue pipelines' finalize programs MUST have distinct cache
+    tags — a shared tag silently served the scan executable to the
+    epilogue pipeline (byte-identical output, invalidated measurement)."""
+    from waifu2x_tensorrt_tpu.engine import exe_cache
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.models.registry import create_model
+
+    module, spec = create_model("swin_unet/art", 2, -1)
+    config = _cfg(64, 3)
+    monkeypatch.setenv("WAIFU2X_EXE_CACHE", "1")
+    exe_cache.configure(tmp_path)
+    try:
+        monkeypatch.delenv("WAIFU2X_PALLAS_FINALIZE", raising=False)
+        fin_scan = ChunkedPipeline(module, spec, config).get((100, 110))[1]
+        monkeypatch.setenv("WAIFU2X_PALLAS_FINALIZE", "interpret")
+        fin_epi = ChunkedPipeline(module, spec, config).get((100, 110))[1]
+        assert isinstance(fin_scan, exe_cache.CachedProgram)
+        assert isinstance(fin_epi, exe_cache.CachedProgram)
+        assert fin_epi.is_epilogue and not fin_scan.is_epilogue
+        assert fin_scan._tag != fin_epi._tag
+    finally:
+        exe_cache.configure(None)

@@ -721,9 +721,14 @@ class ChunkedPipeline:
                 from waifu2x_tensorrt_tpu.engine import exe_cache
 
                 # geometry (frame H,W) rides in via the argument shapes;
-                # everything else shaping the traced program is in the tag
+                # everything else shaping the traced program is in the
+                # tag — INCLUDING the finalize implementation choice: an
+                # env-selected variant is invisible to the source hash
+                # and the arg shapes, and omitting it served the scan
+                # executable to the epilogue pipeline (round-5 A/B bug)
                 gtag = (f"{spec_used}|{self._config}|dp{self._n_dp}"
-                        f"|px{int(use_px)}")
+                        f"|px{int(use_px)}"
+                        f"|epi{int(getattr(finalize, 'is_epilogue', False))}")
                 prep_prog = exe_cache.cached_jit(prepare, tag=f"prep|{gtag}")
                 prep_prog.flat = (
                     exe_cache.cached_jit(prepare.flat, tag=f"prepflat|{gtag}")

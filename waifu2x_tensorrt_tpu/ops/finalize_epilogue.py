@@ -39,7 +39,25 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-STRIP3 = 384  # lane-folded strip width: 128 px x 3 channels
+def _strip3(ow3: int, sx3: int) -> int:
+    """Lane-folded strip width: the largest common divisor of the tile
+    width and the column stride, capped at 384 lanes. Dividing BOTH lets
+    the kernel write canvas-row-band layout directly: cell c's strips
+    land at canvas strip c*(sx3/STRIP3)+s, and the one overlap strip per
+    boundary is simply overwritten by the owning cell later in the
+    sequential grid — no u8 transpose/stitch pass afterwards (the v1
+    per-cell layout lost 4.3% to exactly that, probes/r5_finalize_ab).
+    """
+    import math
+
+    g = math.gcd(ow3, sx3)
+    # sub-96-lane strips are lane-inefficient but only ever serve small
+    # tile sizes (t64: gcd 24) — geometries the tile advisor steers away
+    # from anyway; production tiles land 192+ (t256 4x: gcd(3072,2880))
+    for cand in (384, 192, 96, 48, 24):
+        if g % cand == 0:
+            return cand
+    return 0
 
 
 def _grid_geometry(plan):
@@ -84,7 +102,11 @@ def epilogue_applicable(plan, tta: bool, packing: int, pack_x: int) -> bool:
     # band views must be whole blocks; strips must divide the folded width
     if sy % ovy or sx % ovx:
         return False
-    if (ow * 3) % STRIP3 or (ovx * 3) > STRIP3:
+    # strip width = gcd(ow3, sx3) = gcd(ow3, ovx3) divides ovx3; with the
+    # ovx3 <= strip3 cap the two are EQUAL whenever applicable — the
+    # kernel relies on strips being exactly the overlap width
+    strip3 = _strip3(ow * 3, sx * 3)
+    if strip3 == 0 or (ovx * 3) != strip3:
         return False
     # row/col ramps must depend only on the row/col index (they do by
     # construction — same neighbour/clamp conditions along a row/col)
@@ -101,22 +123,24 @@ def _kernel(own_ref, top_ref, left_ref, corner_ref,
     f32 = jnp.float32
     wyo = wyo_ref[0, :, 0:1]          # (oh, 1)
     wyt = wyt_ref[0, :, 0:1]          # (ovy, 1)  zeros on the first row
-    wxo = wxo_ref[0, 0:1, :]          # (1, STRIP3)
-    wxl = wxl_ref[0, 0:1, :]          # (1, ovx3)  zeros on the first col
-    own = own_ref[0].astype(f32) * wyo * wxo            # (oh, STRIP3)
-    top = top_ref[0].astype(f32) * wyt * wxo            # (ovy, STRIP3)
-    left = left_ref[0].astype(f32) * wyo * wxl          # (oh, ovx3)
-    corner = corner_ref[0].astype(f32) * wyt * wxl      # (ovy, ovx3)
+    wxo = wxo_ref[0, 0:1, :]          # (1, strip3)
+    # left/corner bands exist only in the FIRST strip of each cell (the
+    # ovx-wide boundary zone); zero their weights elsewhere — adding the
+    # zeroed arrays keeps the fp32 sequence bit-identical to the scan
+    # (x + 0.0 == x for the non-negative blend range)
+    first_strip = (pl.program_id(2) == 0).astype(f32)
+    wxl = wxl_ref[0, 0:1, :] * first_strip   # (1, ovx3); zeros on col 0
+    # applicability pins strip3 == ovx3 (both equal gcd(ow3, sx3)), so
+    # the left/corner bands span the whole first strip: no zone slicing.
+    own = own_ref[0].astype(f32) * wyo * wxo            # (oh, strip3)
+    top = top_ref[0].astype(f32) * wyt * wxo            # (ovy, strip3)
+    left = left_ref[0].astype(f32) * wyo * wxl          # (oh, strip3)
+    corner = corner_ref[0].astype(f32) * wyt * wxl      # (ovy, strip3)
     # fp32 adds in ascending tile-index order (column-major grid:
     # corner < left < top < own) — element-wise identical to the scan
-    tl = ((corner + left[:ovy]) + top[:, :ovx3]) + own[:ovy, :ovx3]
-    tr = top[:, ovx3:] + own[:ovy, ovx3:]
-    bl = left[ovy:] + own[ovy:, :ovx3]
-    br = own[ovy:, ovx3:]
-    acc = jnp.concatenate([
-        jnp.concatenate([tl, tr], axis=1),
-        jnp.concatenate([bl, br], axis=1),
-    ], axis=0)
+    top_rows = ((corner + left[:ovy]) + top) + own[:ovy]
+    bot_rows = left[ovy:] + own[ovy:]
+    acc = jnp.concatenate([top_rows, bot_rows], axis=0)
     out_ref[0] = jnp.clip(jnp.round(acc * 255.0), 0.0, 255.0
                           ).astype(jnp.uint8)
 
@@ -125,19 +149,26 @@ def _kernel(own_ref, top_ref, left_ref, corner_ref,
 def _cells_call(y, wyo, wyt, wxo, wxl, *, geom, interpret):
     (R, C, sy, sx, ovy, ovx, oh, ow3) = geom
     ovx3 = ovx * 3
-    NS = ow3 // STRIP3
-    T = R * C
+    strip3 = _strip3(ow3, sx * 3)
+    NS = ow3 // strip3
+    NSX = (sx * 3) // strip3  # canvas strips per column stride
+    canvas_w3 = (C - 1) * sx * 3 + ow3
 
     def t_of(c, r):
         return c * R + r
 
+    # Output: canvas-row-band layout (R, oh, canvas_w3). Cell (r, c)'s
+    # strip s lands at canvas strip c*NSX + s; strips s >= NSX overlap
+    # the NEXT cell's span and are overwritten by it later in the
+    # sequential grid (c is the outermost grid dim), so the final bytes
+    # are the owning cell's — the horizontal stitch costs nothing.
     grid = (C, R, NS)
     in_specs = [
         # own tile strip
-        pl.BlockSpec((1, oh, STRIP3),
+        pl.BlockSpec((1, oh, strip3),
                      lambda c, r, s: (t_of(c, r), 0, s)),
         # the tile above's bottom band: rows [sy, sy+ovy) = block sy//ovy
-        pl.BlockSpec((1, ovy, STRIP3),
+        pl.BlockSpec((1, ovy, strip3),
                      lambda c, r, s: (t_of(c, jnp.maximum(r - 1, 0)),
                                       sy // ovy, s)),
         # the tile to the left's right band: cols [sx3, sx3+ovx3)
@@ -152,17 +183,17 @@ def _cells_call(y, wyo, wyt, wxo, wxl, *, geom, interpret):
         # weights (lane/sublane-broadcast source columns)
         pl.BlockSpec((1, oh, 128), lambda c, r, s: (r, 0, 0)),
         pl.BlockSpec((1, ovy, 128), lambda c, r, s: (r, 0, 0)),
-        pl.BlockSpec((1, 8, STRIP3), lambda c, r, s: (c * NS + s, 0, 0)),
+        pl.BlockSpec((1, 8, strip3), lambda c, r, s: (c * NS + s, 0, 0)),
         pl.BlockSpec((1, 8, ovx3), lambda c, r, s: (c, 0, 0)),
     ]
-    out_specs = pl.BlockSpec((1, oh, STRIP3),
-                             lambda c, r, s: (t_of(c, r), 0, s))
+    out_specs = pl.BlockSpec((1, oh, strip3),
+                             lambda c, r, s: (r, 0, c * NSX + s))
     return pl.pallas_call(
         functools.partial(_kernel, ovy=ovy, ovx3=ovx3),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=jax.ShapeDtypeStruct((T, oh, ow3), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((R, oh, canvas_w3), jnp.uint8),
         interpret=interpret,
     )(y, y, y, y, wyo, wyt, wxo, wxl)
 
@@ -186,9 +217,10 @@ def make_finalize_epilogue(plan, interpret: bool = False):
     wyt = np.zeros((R, ovy, 128), np.float32)
     wyt[1:] = rw[:-1, sy:, None]                        # zeros on row 0
     cw3 = np.repeat(cw, 3, axis=1)                      # (C, ow3) lane-folded
-    NS = ow3 // STRIP3
+    strip3 = _strip3(ow3, sx * 3)
+    NS = ow3 // strip3
     wxo = np.broadcast_to(
-        cw3.reshape(C * NS, 1, STRIP3), (C * NS, 8, STRIP3)
+        cw3.reshape(C * NS, 1, strip3), (C * NS, 8, strip3)
     ).astype(np.float32)
     wxl = np.zeros((C, 8, ovx3), np.float32)
     wxl[1:] = cw3[:-1, None, sx * 3: sx * 3 + ovx3]     # zeros on col 0
@@ -199,19 +231,14 @@ def make_finalize_epilogue(plan, interpret: bool = False):
         y = jnp.concatenate(outs, 0)[:n_steps] if len(outs) > 1 else \
             outs[0][:n_steps]
         y = y.reshape(n_steps, oh, ow3)
-        cells = _cells_call(y, wyo, wyt, wxo, wxl, geom=geom,
-                            interpret=interpret)
-        # reassemble: cells -> canvas (u8 concat; every cell's real span
-        # is (sy, sx) except the last row/col which carry the full tile)
-        cells = cells.reshape(C, R, oh, NS, STRIP3).reshape(C, R, oh, ow3)
-        rows = jnp.concatenate(
-            [cells[:, :-1, :sy].reshape(C, (R - 1) * sy, ow3),
-             cells[:, -1]], axis=1)                     # (C, canvas_h, ow3)
-        canvas_h = (R - 1) * sy + oh
+        bands = _cells_call(y, wyo, wyt, wxo, wxl, geom=geom,
+                            interpret=interpret)       # (R, oh, canvas_w3)
+        # vertical stitch: row band r owns canvas rows [r*sy, r*sy+sy)
+        # (the last band its full tile height) — contiguous u8 slices,
+        # one layout-preserving concat, no transpose
         canvas = jnp.concatenate(
-            [rows[:-1, :, : sx * 3].transpose(1, 0, 2)
-             .reshape(canvas_h, (C - 1) * sx * 3),
-             rows[-1]], axis=1)                         # (canvas_h, ...)
+            [bands[:-1, :sy].reshape((R - 1) * sy, bands.shape[2]),
+             bands[-1]], axis=0)
         out = canvas[:out_h, : out_w * 3]
         return out.reshape(out_h, out_w, 3)
 
