@@ -354,6 +354,11 @@ def main() -> None:
         # let the last probe's server session clear before THIS process
         # binds the tunnel (same back-to-back wedge hazard as above)
         time.sleep(float(os.environ.get("BENCH_READY_PAUSE_S", "30")))
+        # the probes are their own timed rows: restart the config-row
+        # budget clock so they don't push BASELINE rows into
+        # "skipped (budget)" (r3 item 1's zero-skip requirement)
+        global _PROC_T0
+        _PROC_T0 = time.perf_counter()
 
     _probe_devices(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "480")))
 

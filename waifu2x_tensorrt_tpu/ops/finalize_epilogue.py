@@ -145,8 +145,10 @@ def _kernel(own_ref, top_ref, left_ref, corner_ref,
     top_rows = ((corner + left[:ovy]) + top) + own[:ovy]
     bot_rows = left[ovy:] + own[ovy:]
     acc = jnp.concatenate([top_rows, bot_rows], axis=0)
-    out_ref[0] = jnp.clip(jnp.round(acc * 255.0), 0.0, 255.0
-                          ).astype(jnp.uint8)
+    q = jnp.clip(jnp.round(acc * 255.0), 0.0, 255.0)
+    # Mosaic has no direct f32->u8 cast; the clipped value is an exact
+    # integer in [0, 255], so the i32 hop is value-preserving
+    out_ref[0] = q.astype(jnp.int32).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("geom", "interpret"))
