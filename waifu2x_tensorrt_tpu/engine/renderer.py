@@ -698,11 +698,19 @@ class ChunkedPipeline:
                 spec_used, self._config, key, self._n_dp
             )
             # Pallas gather epilogue (ops/finalize_epilogue): one-pass
-            # blend+scatter+u8, bit-identical to the scan. Opt-in while
-            # the A/B is being measured: WAIFU2X_PALLAS_FINALIZE=1
-            # (compiled) or =interpret (CPU tests).
-            epi_env = os.environ.get("WAIFU2X_PALLAS_FINALIZE", "")
-            if epi_env in ("1", "interpret"):
+            # blend+scatter+u8, bit-identical to the scan. Measured v5e
+            # 2026-08-21 (probes/r5_finalize_ab): +6.1% streamed at the
+            # headline (461.5 -> 489.6 MP/s) — DEFAULT ON for TPU
+            # backends where the geometry applies; the scan remains the
+            # fallback and the CPU path (goldens pin it).
+            # WAIFU2X_PALLAS_FINALIZE: 0 = off, 1 = force,
+            # interpret = CPU interpret mode (tests), unset = TPU auto.
+            epi_env = os.environ.get("WAIFU2X_PALLAS_FINALIZE", "auto")
+            use_epi = (
+                epi_env in ("1", "interpret")
+                or (epi_env == "auto"
+                    and jax.default_backend() not in ("cpu", "gpu")))
+            if use_epi:
                 from waifu2x_tensorrt_tpu.ops.finalize_epilogue import (
                     epilogue_applicable,
                     make_finalize_epilogue,
