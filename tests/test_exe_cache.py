@@ -121,6 +121,26 @@ def test_default_off_on_cpu(tmp_path, monkeypatch):
         exe_cache.configure(None)
 
 
+def test_configure_prunes_stale_generations(tmp_path, monkeypatch):
+    """Blobs from older code fingerprints can never be read again (the
+    key covers the package hash) — configure() deletes them; live ones
+    survive (one bench day accumulated 642 MB of dead blobs)."""
+    monkeypatch.setenv("WAIFU2X_EXE_CACHE", "1")
+    exe_cache.configure(tmp_path)
+    try:
+        prog = exe_cache.cached_jit(lambda x: x * 5, tag="gc")
+        assert int(prog(jnp.int32(2))) == 10
+        store = tmp_path / ".jax_cache" / "executables"
+        (live,) = _blobs(store)
+        stale = store / f"deadbeef00000000-{'0' * 24}{exe_cache.EXE_SUFFIX}"
+        stale.write_bytes(b"old generation")
+        exe_cache.configure(tmp_path)  # re-configure prunes
+        assert not stale.exists()
+        assert live.exists()
+    finally:
+        exe_cache.configure(None)
+
+
 def test_module_tag_tracks_hyperparams():
     from waifu2x_tensorrt_tpu.models import registry
 

@@ -58,13 +58,28 @@ def configure(models_dir: Optional[str | Path], device=None) -> None:
     Upscaler's selected device). Serialized executables are loaded onto
     exactly this device — deserialize_and_load's default is the client's
     FULL device list, which mis-loads a 1-device program as N-sharded on
-    multi-device backends (the 8-device CPU test mesh)."""
+    multi-device backends (the 8-device CPU test mesh).
+
+    Any source edit invalidates every entry (the key covers the package
+    hash), so stale blobs from previous code versions can never be read
+    again; configure prunes them (filenames carry the code fingerprint
+    as a prefix — one bench day accumulated 642 MB of dead blobs
+    otherwise)."""
     global _dir, _device
     _device = device
     if models_dir is None:
         _dir = None
         return
     _dir = Path(models_dir) / ".jax_cache" / "executables"
+    try:
+        if _dir.is_dir():
+            live = _code_fingerprint()
+            for p in _dir.glob(f"*{EXE_SUFFIX}"):
+                pre = p.name.split("-", 1)[0]
+                if pre != live:
+                    p.unlink(missing_ok=True)
+    except OSError:
+        pass
 
 
 def _exec_device():
@@ -182,7 +197,8 @@ class CachedProgram:
     def _path(self, key: str) -> Optional[Path]:
         if _dir is None:
             return None
-        return _dir / f"{key}{EXE_SUFFIX}"
+        # fingerprint-prefixed so configure() can prune dead generations
+        return _dir / f"{_code_fingerprint()}-{key}{EXE_SUFFIX}"
 
     def _load(self, key: str):
         path = self._path(key)
