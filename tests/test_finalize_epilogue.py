@@ -113,6 +113,27 @@ def test_epilogue_through_pipeline_env_gate(monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_epilogue_skipped_on_sharded_pipelines(monkeypatch):
+    """dp pipelines must keep the scan finalize: the gather epilogue is a
+    single-device pallas program and GSPMD cannot partition it over the
+    sharded chunk outputs."""
+    import jax
+
+    from waifu2x_tensorrt_tpu.engine.renderer import ChunkedPipeline
+    from waifu2x_tensorrt_tpu.models.registry import create_model
+    from waifu2x_tensorrt_tpu.parallel import data_parallel_mesh, tile_sharding
+
+    module, spec = create_model("swin_unet/art", 2, -1)
+    config = _cfg(64, 1)
+    monkeypatch.setenv("WAIFU2X_PALLAS_FINALIZE", "interpret")
+    mesh = data_parallel_mesh(8)
+    with mesh:
+        pl = ChunkedPipeline(module, spec, config,
+                             sharding=tile_sharding(mesh))
+        fin = pl.get((100, 110))[1]
+    assert not getattr(fin, "is_epilogue", False)
+
+
 def test_exe_cache_tag_distinguishes_finalize_variant(tmp_path, monkeypatch):
     """Round-5 A/B bug regression: with the executable store on, the scan
     and epilogue pipelines' finalize programs MUST have distinct cache

@@ -710,6 +710,12 @@ class ChunkedPipeline:
                 epi_env in ("1", "interpret")
                 or (epi_env == "auto"
                     and jax.default_backend() not in ("cpu", "gpu")))
+            # dp-sharded pipelines keep the scan: finalize consumes
+            # sharded chunk outputs and GSPMD cannot partition the
+            # pallas_call (the gather epilogue is a single-device
+            # program; the scan replicates fine)
+            if self._sharding is not None:
+                use_epi = False
             if use_epi:
                 from waifu2x_tensorrt_tpu.ops.finalize_epilogue import (
                     epilogue_applicable,
