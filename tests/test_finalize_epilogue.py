@@ -113,6 +113,40 @@ def test_epilogue_through_pipeline_env_gate(monkeypatch):
     np.testing.assert_array_equal(got, want)
 
 
+def test_epilogue_through_tile_stream(monkeypatch):
+    """TileStream hands finalize PIECES sliced at arbitrary chunk
+    boundaries (cross-frame carry); the epilogue's concat must reproduce
+    the scan stream byte-for-byte across a full carry cycle."""
+    from waifu2x_tensorrt_tpu.engine.renderer import (
+        ChunkedPipeline,
+        TileStream,
+    )
+    from waifu2x_tensorrt_tpu.models.registry import create_model, init_params
+
+    module, spec = create_model("swin_unet/art", 2, -1)
+    params = init_params(module, tile=64, seed=0)
+    config = _cfg(64, 4)  # 6 tiles/frame at (100,110), chunk 4 -> carry
+    frames = [np.random.default_rng(k).integers(0, 256, (100, 110, 3),
+                                                np.uint8) for k in range(3)]
+
+    def run_stream():
+        pl = ChunkedPipeline(module, spec, config)
+        stream = TileStream(pl, params, (100, 110))
+        got = []
+        for f in frames:
+            got.extend(np.asarray(o) for o in stream.submit(f))
+        got.extend(np.asarray(o) for o in stream.flush())
+        return got
+
+    monkeypatch.delenv("WAIFU2X_PALLAS_FINALIZE", raising=False)
+    want = run_stream()
+    monkeypatch.setenv("WAIFU2X_PALLAS_FINALIZE", "interpret")
+    got = run_stream()
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_epilogue_skipped_on_sharded_pipelines(monkeypatch):
     """dp pipelines must keep the scan finalize: the gather epilogue is a
     single-device pallas program and GSPMD cannot partition it over the
