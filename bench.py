@@ -326,6 +326,12 @@ def _measure_ready_rows() -> dict:
         except subprocess.TimeoutExpired:
             rows[key] = f"timeout>{timeout_s:.0f}s"
             log(f"[bench] ready probe {key}: timed out")
+            if key == "ready_run1_s":
+                # the tunnel is in a wedge window (observed evenings where
+                # even well-spaced fresh clients park in the compile RPC);
+                # don't feed it a second probe — get on with the bench
+                rows["ready_warm_s"] = "skipped: run1 timeout"
+                break
             continue
         line = (p.stdout.strip().splitlines() or [""])[-1]
         try:
