@@ -17,15 +17,18 @@ column-major, tiling.calculate_tiles), which is element-wise the exact
 addition sequence of the XLA scan, so the u8 output is BIT-IDENTICAL to
 the scan path.
 
-Layout notes (v3): Mosaic requires block lane dims divisible by 128, and
+Layout notes (v4): Mosaic requires block lane dims divisible by 128, and
 the column stride sx3 is generally NOT (720p->4x: 2880), so the kernel
 cannot place cell strips at canvas positions directly (the v2
-canvas-band design) — it emits per-cell blocks (T, oh, ow3) on
-128-multiple strips and the canvas is stitched afterwards in XLA (u8
-row-concat + one column-interleave transpose). The left/corner neighbor
-bands are loaded as their tile's LAST strip block (bands are suffixes of
-the tile row: sx3 + ovx3 == ow3) and shifted to the cell's leading lanes
-with a static slice + zero-pad inside the kernel.
+canvas-band design). It instead writes cells into a lane-major
+(R, oh, C*ow3) layout — cell lane offsets c*ow3 ARE block-divisible —
+so the column stitch is pure lane-slice concats (each cell keeps its
+first sx3 lanes; the ovx3 tail belongs to the next cell) and the row
+stitch a contiguous concat: no u8 transpose anywhere (the v3 per-cell
+layout paid one). The left/corner neighbor bands are loaded as their
+tile's LAST strip block (bands are suffixes of the tile row:
+sx3 + ovx3 == ow3) and shifted to the cell's leading lanes with a
+static slice + zero-pad inside the kernel.
 
 Geometry contract (epilogue_applicable): the tile grid is uniform —
 calculate_tiles places origins at exact stride multiples and only clamps
@@ -188,14 +191,19 @@ def _cells_call(y, wyo, wyt, wxo, wxl, *, geom, interpret):
         pl.BlockSpec((1, 8, strip3), lambda c, r, s: (c * NS + s, 0, 0)),
         pl.BlockSpec((1, 8, strip3), lambda c, r, s: (c, 0, 0)),
     ]
+    # Output in (row-band, lane-major-C) layout: cell (r, c)'s strips
+    # land at lanes [c*ow3, (c+1)*ow3) of band r — the block lane offset
+    # c*NS+s IS block-divisible (unlike canvas positions c*sx3), and the
+    # column stitch afterwards becomes pure lane-slice concats with NO
+    # u8 transpose (the v3 stitch's dominant cost).
     out_specs = pl.BlockSpec((1, oh, strip3),
-                             lambda c, r, s: (t_of(c, r), 0, s))
+                             lambda c, r, s: (r, 0, c * NS + s))
     return pl.pallas_call(
         functools.partial(_kernel, ovy=ovy, ovx3=ovx3, off3=off3),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=jax.ShapeDtypeStruct((T, oh, ow3), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((R, oh, C * ow3), jnp.uint8),
         interpret=interpret,
     )(y, y, y, y, wyo, wyt, wxo, wxl)
 
@@ -236,20 +244,18 @@ def make_finalize_epilogue(plan, interpret: bool = False):
         y = jnp.concatenate(outs, 0)[:n_steps] if len(outs) > 1 else \
             outs[0][:n_steps]
         y = y.reshape(n_steps, oh, ow3)
-        cells = _cells_call(y, wyo, wyt, wxo, wxl, geom=geom,
-                            interpret=interpret)       # (T, oh, ow3) u8
+        bands = _cells_call(y, wyo, wyt, wxo, wxl, geom=geom,
+                            interpret=interpret)       # (R, oh, C*ow3) u8
         # stitch: row band r owns canvas rows [r*sy, r*sy+sy) (the last
-        # its full tile height); columns interleave across C (one u8
-        # transpose — measured as part of the A/B)
-        cells = cells.reshape(C, R, oh, ow3)
+        # its full tile height) — contiguous row concat; columns drop
+        # each cell's ovx3 tail (owned by the next cell) with pure
+        # lane-slice concats, no transpose
         rows = jnp.concatenate(
-            [cells[:, :-1, :sy].reshape(C, (R - 1) * sy, ow3),
-             cells[:, -1]], axis=1)                     # (C, canvas_h, ow3)
-        canvas_h = (R - 1) * sy + oh
+            [bands[:-1, :sy].reshape((R - 1) * sy, C * ow3),
+             bands[-1]], axis=0)                       # (canvas_h, C*ow3)
         canvas = jnp.concatenate(
-            [rows[:-1, :, :sx3].transpose(1, 0, 2)
-             .reshape(canvas_h, (C - 1) * sx3),
-             rows[-1]], axis=1)
+            [rows[:, c * ow3: c * ow3 + sx3] for c in range(C - 1)]
+            + [rows[:, (C - 1) * ow3:]], axis=1)
         out = canvas[:out_h, : out_w * 3]
         return out.reshape(out_h, out_w, 3)
 
